@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators._
+import graft.sources.CorpusGen
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Record-linkage pipeline queries (the engine's own operators). The
+  * corpus is generated in Scala (deterministic, seed 42) so these are
+  * rows-only checks for the driver; correctness is enforced by the
+  * golden + property ScalaTest suites and the F1/cluster fixtures.
+  * DuckDB-oracle-checkable queries over the driver's own parquet tables
+  * live in [[RelQueries]] / [[TextQueries]].
+  */
+object ErQueries {
+
+  private def pipeline(spark: SparkSession, sfDir: String): Pipeline.Result =
+    Results.cached(spark, sfDir)
+
+  /** Cache pipeline results per (session, sfDir) so Verify/Bench running
+    * many queries do not re-run the whole DAG per query. */
+  private object Results {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, Pipeline.Result]
+    def cached(spark: SparkSession, sfDir: String): Pipeline.Result =
+      cache.getOrElseUpdate(sfDir, {
+        Pipeline.run(spark, CorpusGen.corpus(spark, sfDir))
+      })
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_trees" -> ((s, dir) => {
+      pipeline(s, dir).trees.toDF()
+        .select(col("id"), col("lang"), col("sha256"), col("n"), col("nTokens").as("n_tokens"))
+        .orderBy(col("id"))
+    }),
+    "er_pairs" -> ((s, dir) => pipeline(s, dir).pairs.orderBy(col("idA"), col("idB"))),
+    "er_scores" -> ((s, dir) => {
+      pipeline(s, dir).scores.toDF()
+        .select(col("idA"), col("idB"), col("dist"), col("isMatch"))
+        .orderBy(col("idA"), col("idB"))
+    }),
+    "er_matches" -> ((s, dir) => pipeline(s, dir).matches.orderBy(col("idA"), col("idB"))),
+    "er_clusters" -> ((s, dir) => pipeline(s, dir).clusters.orderBy(col("id"))),
+    "er_cluster_sizes" -> ((s, dir) => {
+      pipeline(s, dir).clusters
+        .groupBy(col("clusterId")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("size"))
+    }),
+    "er_f1" -> ((s, dir) => {
+      val r = pipeline(s, dir)
+      Pipeline.pairwiseF1(r.scores, r.trees)
+    }),
+    "er_block_histogram" -> ((s, dir) => {
+      Blocking.blockHistogram(pipeline(s, dir).trees, 64)
+        .orderBy(col("lang"), col("size_bucket"))
+    }),
+    "er_metrics" -> ((s, dir) => {
+      pipeline(s, dir).metrics
+        .groupBy(col("stage"))
+        .agg(
+          count(lit(1)).as("n_partitions"),
+          sum(col("pairsScored")).as("pairs_scored"),
+          sum(col("dpCells")).as("dp_cells"))
+    }),
+    "er_sha_invariant" -> ((s, dir) => {
+      // per-row invariant (input_hint): sha256 recomputed from the raw
+      // corpus equals the value the parse stage carried through
+      import s.implicits._
+      val files = CorpusGen.corpus(s, dir)
+      val raw = files.map(f => (graft.util.Hashing.rowId(f.repo, f.path, f.commit),
+        graft.util.Hashing.sha256Hex(f.content))).toDF("id", "sha_raw")
+      pipeline(s, dir).trees.toDF().select(col("id"), col("sha256"))
+        .join(raw, "id")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("sha256") === col("sha_raw"), 1L).otherwise(0L)).as("n_equal"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map.empty
+}

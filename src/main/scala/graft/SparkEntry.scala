@@ -1,13 +1,24 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.sources.CorpusGen
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * `queries` is filled progressively, one entry per operator; oracle SQL
+  * (DuckDB-runnable) exists for every SQL-expressible query — the ZSS DP
+  * itself and hash-dependent blocking internals are covered by golden
+  * ScalaTest suites instead (SURVEY.md §6).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: full record-linkage pipeline (parse → block → ZSS score →
+    * cluster) over the synthetic source-code corpus at sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val files = CorpusGen.corpus(spark, "/root/testdata/sf0.001")
+    Pipeline.run(spark, files).clusters
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ErQueries.queries
+
+  def oracleSql: Map[String, String] = ErQueries.oracleSql
 }

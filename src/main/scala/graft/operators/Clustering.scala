@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stage 4: transitive closure of the match graph — connected components
+  * via alternating large-star / small-star DataFrame self-joins
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14 — public paper; required shape per BASELINE.json north_star).
+  *
+  * The reference has no clustering (SURVEY.md §3b): its "entity
+  * clusters" in the north_rule are the components of the thresholded
+  * ZSS match graph, computed here.
+  *
+  * Scale notes: converges in O(log n) rounds (vs O(diameter) for naive
+  * label propagation); each round is two shuffles (groupBy min + join).
+  * `localCheckpoint(eager)` after every round truncates the lineage so
+  * the plan does not grow with iterations — at cluster scale swap for
+  * reliable `checkpoint()` on durable storage (TableIO). Convergence is
+  * detected by an order-independent (count, sum-of-edge-hashes)
+  * signature — one tiny aggregate per round, no `except()` anti-join.
+  */
+object Clustering {
+
+  /** edges: DataFrame(idA, idB) undirected; nodes: DataFrame(id) — the
+    * full node universe, so singletons get their own cluster.
+    * Returns DataFrame(id, clusterId) with clusterId = min member id. */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame, maxIter: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // orient every edge large → small and dedupe
+    var e = edges
+      .select(greatest($"idA", $"idB").as("src"), least($"idA", $"idB").as("dst"))
+      .where($"src" =!= $"dst")
+      .distinct()
+      .localCheckpoint(true)
+
+    var converged = e.isEmpty
+    var iter = 0
+    var sigPrev = signature(e)
+    while (!converged && iter < maxIter) {
+      // ---- large-star: for every node u, attach all strictly-larger
+      // neighbors to m = min(N(u) ∪ {u})
+      val und = e.select($"src", $"dst")
+        .union(e.select($"dst".as("src"), $"src".as("dst")))
+      val mins = und.groupBy($"src").agg(min($"dst").as("mn"))
+        .select($"src", least($"src", $"mn").as("mn"))
+      val ls = und.join(mins, "src")
+        .where($"dst" > $"src")
+        .select($"dst".as("src"), $"mn".as("dst"))
+        .where($"src" =!= $"dst")
+        .distinct()
+
+      // ---- small-star: edges are src > dst; attach u and all its
+      // smaller neighbors to their min
+      val mins2 = ls.groupBy($"src").agg(min($"dst").as("mn"))
+      val j = ls.join(mins2, "src")
+      val ss = j.select($"src", $"mn".as("dst"))
+        .union(j.where($"dst" =!= $"mn").select($"dst".as("src"), $"mn".as("dst")))
+        .where($"src" =!= $"dst")
+        .distinct()
+        .localCheckpoint(true)
+
+      val sig = signature(ss)
+      converged = sig == sigPrev
+      sigPrev = sig
+      e = ss
+      iter += 1
+    }
+
+    val memberToRoot = e.select($"src".as("id"), $"dst".as("clusterId"))
+    val roots = e.select($"dst".as("id")).distinct().withColumn("clusterId", $"id")
+    val connected = memberToRoot.union(roots)
+      .groupBy($"id").agg(min($"clusterId").as("clusterId"))
+    val singletons = nodes.select($"id")
+      .join(connected.select($"id"), Seq("id"), "left_anti")
+      .withColumn("clusterId", $"id")
+    connected.union(singletons)
+  }
+
+  /** Order-independent edge-set signature: (count, bit_xor of xxhash64).
+    * xor (not sum) — ANSI mode makes a Long sum of hashes overflow; the
+    * edge set is distinct so xor-cancellation of duplicates is moot. */
+  private def signature(e: DataFrame): (Long, Long) = {
+    if (e.isEmpty) (0L, 0L)
+    else {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+  }
+}

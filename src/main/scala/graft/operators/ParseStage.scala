@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.model.{FileRow, TreeRow}
+import graft.parse.CodeParser
+import graft.util.Hashing
+import org.apache.spark.sql.Dataset
+
+/** Stage 1: content → flattened postorder tree + blocking features.
+  *
+  * One narrow `Dataset.map` — embarrassingly parallel, no shuffle. The
+  * reference re-annotates both trees on every `distance()` call
+  * (zss/compare.py anchor `def distance` constructs two AnnotatedTrees
+  * per invocation); here annotation and MinHash run ONCE per file and the
+  * O(pairs) scoring stage reuses the arrays (SURVEY.md §4 E2).
+  */
+object ParseStage {
+
+  /** MinHash parameters: numHashes signatures, banded as bands×rows for
+    * LSH blocking. rows=2 keeps recall ≥ 0.999 at Jaccard 0.85 with 6
+    * bands: 1−(1−J²)⁶. */
+  final case class MinHashConfig(numHashes: Int = 12, bands: Int = 6, shingleK: Int = 4) {
+    require(numHashes % bands == 0)
+    def rows: Int = numHashes / bands
+  }
+
+  /** Seeded-minimum MinHash over token k-shingles — hand-rolled on
+    * [[Hashing]] (not spark.ml MinHashLSH) so the signature is a pure,
+    * documented function of the token stream: deterministic across runs,
+    * executors, and resume (SURVEY.md §3b Blocking/LSH row). */
+  def minHash(tokens: Array[String], cfg: MinHashConfig): Array[Long] = {
+    val k = cfg.shingleK
+    val th = new Array[Long](tokens.length)
+    var i = 0
+    while (i < tokens.length) { th(i) = Hashing.hashString(tokens(i)); i += 1 }
+    val nSh = math.max(1, tokens.length - k + 1)
+    val shingles = new Array[Long](nSh)
+    i = 0
+    while (i < nSh) {
+      var h = 0L
+      var j = 0
+      while (j < k && i + j < tokens.length) { h = Hashing.mix64(h ^ th(i + j)); j += 1 }
+      shingles(i) = h
+      i += 1
+    }
+    val sig = new Array[Long](cfg.numHashes)
+    var s = 0
+    while (s < cfg.numHashes) {
+      var mn = Long.MaxValue
+      i = 0
+      while (i < nSh) {
+        val v = Hashing.hashLong(shingles(i), 0x5eed0000L + s)
+        if (v < mn) mn = v
+        i += 1
+      }
+      sig(s) = mn
+      s += 1
+    }
+    sig
+  }
+
+  def parse(files: Dataset[FileRow],
+            cfg: CodeParser.ParseConfig = CodeParser.defaultConfig,
+            mh: MinHashConfig = MinHashConfig()): Dataset[TreeRow] = {
+    import files.sparkSession.implicits._
+    files.map { f =>
+      val p = CodeParser.parse(f.content, cfg)
+      val toks = CodeParser.tokens(f.content, cfg)
+      TreeRow(
+        id = Hashing.rowId(f.repo, f.path, f.commit),
+        repo = f.repo,
+        path = f.path,
+        commit = f.commit,
+        lang = f.lang,
+        sha256 = Hashing.sha256Hex(f.content),
+        labels = p.tree.labels,
+        lmds = p.tree.lmds,
+        keyroots = p.tree.keyroots,
+        n = p.tree.n,
+        nTokens = p.nTokens,
+        truncated = p.truncated,
+        minhash = minHash(toks, mh),
+        groupId = f.groupId)
+    }
+  }
+}

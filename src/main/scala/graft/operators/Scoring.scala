@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.model.{PartMetrics, ScoreRow, TreeRow}
+import graft.zs.{PTree, Scorer}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.CollectionAccumulator
+
+/** Stage 3: pairwise Zhang–Shasha scoring inside `mapPartitions`.
+  *
+  * The DP kernel is a black box to Catalyst by design (SURVEY.md §5):
+  * keyroot decomposition must not be decomposed into relational ops. One
+  * [[Scorer]] per partition reuses its scratch matrices across every
+  * pair, so steady-state scoring allocates nothing but the output rows.
+  *
+  * Per-partition lineage goes through a CollectionAccumulator — one
+  * [[PartMetrics]] row per task, registered via a task-completion
+  * listener, collected on the driver after the action and persisted by
+  * the Pipeline. #rows = #partitions, so the driver-side cost is
+  * negligible even at cluster scale.
+  */
+object Scoring {
+
+  /** Internal join-product row: a candidate pair with both flattened trees. */
+  final case class PairTrees(
+      idA: Long, idB: Long,
+      laA: Array[String], lmA: Array[Int], krA: Array[Int],
+      laB: Array[String], lmB: Array[Int], krB: Array[Int])
+
+  /** Attach both trees to each candidate pair. Two equi-joins on id; the
+    * trees side is one row per key, so the explicit salted join bounds
+    * any single hot tree id (a file in many candidate pairs) while AQE
+    * handles residual shuffle skew.
+    */
+  def attachTrees(pairs: DataFrame, trees: Dataset[TreeRow], salts: Int = 8): Dataset[PairTrees] = {
+    val spark = trees.sparkSession
+    import spark.implicits._
+    val slim = trees.toDF().select($"id", $"labels", $"lmds", $"keyroots")
+
+    val withA = SaltedJoin.saltedEquiJoin(
+      pairs.withColumnRenamed("idA", "id"), slim, "id", salts, leftSaltBy = col("idB"))
+      .withColumnRenamed("id", "idA")
+      .withColumnRenamed("labels", "laA")
+      .withColumnRenamed("lmds", "lmA")
+      .withColumnRenamed("keyroots", "krA")
+    val withB = SaltedJoin.saltedEquiJoin(
+      withA.withColumnRenamed("idB", "id"), slim, "id", salts, leftSaltBy = col("idA"))
+      .withColumnRenamed("id", "idB")
+      .withColumnRenamed("labels", "laB")
+      .withColumnRenamed("lmds", "lmB")
+      .withColumnRenamed("keyroots", "krB")
+    withB.select($"idA", $"idB", $"laA", $"lmA", $"krA", $"laB", $"lmB", $"krB").as[PairTrees]
+  }
+
+  /** Score all pairs; `tau` is the normalized-distance match threshold.
+    * normDist = dist / (nA + nB), well-defined in [0,1] by the unit-cost
+    * bound d ≤ |A| + |B|. */
+  def score(
+      pairTrees: Dataset[PairTrees],
+      tau: Double,
+      metricsAcc: Option[CollectionAccumulator[PartMetrics]] = None): Dataset[ScoreRow] = {
+    val spark = pairTrees.sparkSession
+    import spark.implicits._
+    pairTrees.mapPartitions { it =>
+      val scorer = new Scorer
+      val t0 = System.nanoTime()
+      var rowsIn = 0L
+      metricsAcc.foreach { acc =>
+        val tc = TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          acc.add(PartMetrics(
+            stage = "score",
+            partitionId = if (tc == null) -1 else tc.partitionId(),
+            rowsIn = rowsIn,
+            rowsOut = rowsIn,
+            pairsScored = scorer.pairsScored,
+            dpCells = scorer.cellsTouched,
+            wallNs = System.nanoTime() - t0))
+        }
+      }
+      it.map { p =>
+        rowsIn += 1
+        val a = PTree(p.laA, p.lmA, p.krA)
+        val b = PTree(p.laB, p.lmB, p.krB)
+        val d = scorer.dist(a, b)
+        val nd = d.toDouble / math.max(1, a.n + b.n)
+        ScoreRow(p.idA, p.idB, d, a.n, b.n, nd, isMatch = nd <= tau)
+      }
+    }
+  }
+
+  /** Matched edges only, as (idA, idB). */
+  def matches(scores: Dataset[ScoreRow]): DataFrame = {
+    import scores.sparkSession.implicits._
+    scores.toDF().where($"isMatch").select($"idA", $"idB")
+  }
+}

@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Table persistence boundary for checkpoint/resume (north_rule:
+  * "resumable from checkpoint with per-partition lineage + metrics").
+  *
+  * At deployment scale this is an Iceberg catalog (`format("iceberg")`)
+  * — the runtime jar is not present in this sandbox (SURVEY.md §8
+  * environment facts), so the local implementation is parquet with
+  * Iceberg-shaped atomicity: a stage directory is only readable once its
+  * `_SUCCESS` marker exists (Hadoop committers write it last), which
+  * gives the same all-or-nothing stage semantics resume depends on.
+  * Every stage consumer goes through this trait, so swapping in Iceberg
+  * is a constructor change, not a pipeline change.
+  */
+trait TableIO extends Serializable {
+  def write(df: DataFrame, table: String): Unit
+  def read(spark: SparkSession, table: String): DataFrame
+  def exists(spark: SparkSession, table: String): Boolean
+}
+
+final class ParquetTableIO(root: String) extends TableIO {
+  private def path(table: String) = s"$root/$table"
+
+  def write(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path(table))
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(path(table))
+
+  def exists(spark: SparkSession, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(table), "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+}
