@@ -1,10 +1,212 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
-/** Placeholder — filled in M7 with DuckDB-oracle-checked relational and
-  * text/dedup queries over the driver's parquet tables. */
+/** Relational operator coverage over the driver's TPC-H-ish tables, every
+  * query DuckDB-oracle-checked (SparkEntry.oracleSql). Float discipline:
+  * all aggregated arithmetic runs in DECIMAL (exact, order-independent)
+  * and is cast to double only at the end, so Spark and DuckDB hash
+  * identically; output rows are deterministically ordered.
+  *
+  * The reference library has no relational layer at all (SURVEY.md §3a)
+  * — these exercise the Spark-native engine around the scorer: scans
+  * with pushdown, hash aggregates, broadcast/semi/anti joins, windows,
+  * sorts/limits, set ops, scalar functions.
+  */
 object RelQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map.empty
-  def oracleSql: Map[String, String] = Map.empty
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // scan + filter + hash aggregate, decimal-exact sums
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") < lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)"))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // broadcast join + aggregate + top-n with deterministic tiebreak
+    "q3_topn" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(broadcast(orders), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)"))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // anti join: customers with no high-value orders
+    "q_anti_join" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").where(col("o_totalprice") > 300000.0)
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // semi join + multi-way broadcast join through the star schema
+    "q_star_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      val orders = t(s, dir, "orders")
+      cust
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(orders, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // window function: top line per supplier by price, deterministic ties
+    "q_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // running aggregate window over time per user (events table)
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("running_value",
+          sum(col("value").cast("decimal(18,2)")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+        .select(col("user_id"), col("event_id"), col("running_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // set ops: parts referenced by lineitem INTERSECT large parts,
+    // EXCEPT cheap parts — distinct-set semantics on both engines
+    "q_setops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_partkey").as("k")).distinct()
+      val big = t(s, dir, "part").where(col("p_size") >= 25).select(col("p_partkey").as("k"))
+      val cheap = t(s, dir, "part").where(col("p_retailprice") < 500.0).select(col("p_partkey").as("k"))
+      li.intersect(big).except(cheap).orderBy(col("k"))
+    }),
+
+    // scalar functions: date parts, string ops, math — grouped counts
+    "q_scalars" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          upper(substring(col("o_orderpriority"), 1, 1)).as("prio"),
+          (col("o_totalprice") > 100000.0).as("is_big"))
+        .groupBy(col("yr"), col("mo"), col("prio"), col("is_big"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("yr"), col("mo"), col("prio"), col("is_big"))
+    }),
+
+    // grouped top-k per group via window + dense ranking over aggregates
+    "q_topk_per_group" -> ((s, dir) => {
+      val agg = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("qty").desc, col("l_partkey"))
+      agg.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("l_suppkey"), col("l_partkey"), col("qty"), col("rk"))
+        .orderBy(col("l_suppkey"), col("rk"))
+    }),
+
+    // tumbling-window batch aggregation over the event stream table —
+    // the batch twin of the Structured Streaming query (StreamingSpec
+    // asserts streaming == this)
+    "q_events_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          (floor(unix_timestamp(col("ts")) / 300) * 300).cast("long").as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topn" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn = 1 ORDER BY l_suppkey""".stripMargin,
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_setops" ->
+      """(SELECT DISTINCT l_partkey AS k FROM lineitem
+        | INTERSECT SELECT p_partkey AS k FROM part WHERE p_size >= 25)
+        |EXCEPT SELECT p_partkey AS k FROM part WHERE p_retailprice < 500.0
+        |ORDER BY k""".stripMargin,
+    "q_scalars" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  upper(substring(o_orderpriority, 1, 1)) AS prio,
+        |  o_totalprice > 100000.0 AS is_big, count(*) AS n
+        |FROM orders GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT l_suppkey, l_partkey, qty, rk FROM (
+        |  SELECT l_suppkey, l_partkey, qty,
+        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY qty DESC, l_partkey) AS rk
+        |  FROM (SELECT l_suppkey, l_partkey,
+        |          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |        FROM lineitem GROUP BY l_suppkey, l_partkey))
+        |WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin,
+    "q_events_window" ->
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start, event_type,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
 }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search and multimodal queries over `embeddings.parquet` /
+  * `documents.parquet`. Float cosine math is not stable across engines,
+  * so these are rows-only for the driver; SimilaritySpec asserts
+  * brute-force correctness against an independent in-memory
+  * implementation and LSH recall against brute force.
+  */
+object SimQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def queriesOf(df: DataFrame, n: Int): DataFrame =
+    df.where(col("vec_id") < n)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact brute-force cosine top-5 for the first 20 vectors
+    "q_knn_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteKnn(e, queriesOf(e, 20), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed approximate top-5 for the same queries; few plane
+    // bits because these embeddings are weakly correlated (top-1 cosine
+    // ~0.4 ⇒ P(bit agree) ~0.62) — more bits would empty the buckets
+    "q_knn_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshKnn(e, queriesOf(e, 20), k = 5, planeBits = 4, tables = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // embedding-cosine near-dup pairs; threshold calibrated to the
+    // synthetic embeddings (top-1 neighbor cosine is ~0.32-0.48, so
+    // 0.35 marks the "unusually close" tail — real corpora would use
+    // ~0.9 on normalized text embeddings)
+    "q_embed_neardup" -> ((s, dir) => {
+      Similarity.embeddingNearDupPairs(emb(s, dir), minCosine = 0.35)
+        .orderBy(col("idA"), col("idB"))
+    }),
+
+    // multimodal: binary assets + stub-decoded features
+    "q_multimodal_features" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Multimodal.extractFeatures(Multimodal.assets(docs)).toDF()
+        .select(col("asset_id"), col("mime"), col("width"), col("height"), col("n_frames"))
+        .orderBy(col("asset_id"))
+    }),
+
+    // multimodal: frame sampling plumbing for video assets
+    "q_frame_samples" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val feats = Multimodal.extractFeatures(Multimodal.assets(docs))
+      Multimodal.sampleFrames(feats, stride = 10)
+        .orderBy(col("asset_id"), col("frame_idx"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map.empty
+}

@@ -18,7 +18,9 @@ object SparkEntry {
     Pipeline.run(spark, files).clusters
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = ErQueries.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ErQueries.queries ++ RelQueries.queries ++ TextQueries.queries ++ SimQueries.queries
 
-  def oracleSql: Map[String, String] = ErQueries.oracleSql
+  def oracleSql: Map[String, String] =
+    ErQueries.oracleSql ++ RelQueries.oracleSql ++ TextQueries.oracleSql ++ SimQueries.oracleSql
 }

@@ -1,0 +1,160 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.CorpusGen
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup queries. Document-table queries are DuckDB-
+  * oracle-checked (same regex/lambda logic in both dialects); queries on
+  * the generated code corpus (where true near-dups exist) are rows-only
+  * and covered by ScalaTest assertions instead.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def corpusDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CorpusGen.corpus(s, dir)
+      .map(f => (graft.util.Hashing.rowId(f.repo, f.path, f.commit), f.content))
+      .toDF("doc_id", "text")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-language document stats — scan + hash agg, oracle-checked
+    "q_doc_stats" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // exact-dedup summary — md5 grouping, oracle-checked
+    "q_exact_dedup" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct"))
+        .withColumn("n_dup_rows", col("n_docs") - col("n_distinct"))
+        .orderBy(col("source"))
+    }),
+
+    // token counting via regexp token stream — oracle-checked
+    "q_token_stats" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"), TextAnalysis.tokenCountCol(col("text")).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // heuristic language ID vs labeled lang — confusion counts, oracle-checked
+    "q_langid" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"), TextAnalysis.langGuessCol(col("text")).as("lang_guess"))
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_guess"))
+    }),
+
+    // quality-score decile histogram per source — oracle-checked
+    "q_quality_hist" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("source"),
+          floor(TextAnalysis.qualityScoreCol(col("text"), col("n_chars")) * 10).cast("int").as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("decile"))
+    }),
+
+    // MinHash LSH near-dup candidates on the code corpus (true dups
+    // exist there) — verified by DedupSpec, rows-only for the driver
+    "q_minhash_neardup" -> ((s, dir) => {
+      Dedup.minHashPairs(corpusDf(s, dir), "doc_id", "text")
+        .orderBy(col("idA"), col("idB"))
+    }),
+
+    // SimHash near-dup pairs with Hamming ≤ 3 on the code corpus
+    "q_simhash_neardup" -> ((s, dir) => {
+      Dedup.simHashPairs(corpusDf(s, dir), "doc_id", "text")
+        .orderBy(col("idA"), col("idB"))
+    }),
+
+    // n-gram Jaccard verification of the MinHash candidates
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val c = corpusDf(s, dir)
+      Dedup.ngramJaccard(Dedup.minHashPairs(c, "doc_id", "text"), c, "doc_id", "text")
+        .orderBy(col("idA"), col("idB"))
+    }),
+
+    // winnowing fingerprint index stats
+    "q_fingerprints" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+          (id, TextAnalysis.winnow(toks).length)
+        }
+        .toDF("doc_id", "n_fingerprints")
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_doc_stats" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_exact_dedup" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
+        |  count(*) - count(DISTINCT md5(text)) AS n_dup_rows
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS sum_tokens,
+        |  min(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS min_tokens,
+        |  max(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS max_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_langid" ->
+      """WITH t AS (
+        |  SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+        |), h AS (
+        |  SELECT lang,
+        |    len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','on','for','with','a'], t))) AS en,
+        |    len(list_filter(toks, t -> list_contains(['le','la','les','et','de','un','une','dans','est','pour'], t))) AS fr,
+        |    len(list_filter(toks, t -> list_contains(['el','los','las','y','en','un','una','que','es','por'], t))) AS es,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','von','mit','ist','im','den','zu'], t))) AS de
+        |  FROM t
+        |)
+        |SELECT lang,
+        |  CASE WHEN en + fr + es + de = 0 THEN 'und'
+        |       WHEN en >= fr AND en >= es AND en >= de THEN 'en'
+        |       WHEN fr >= es AND fr >= de THEN 'fr'
+        |       WHEN es >= de THEN 'es'
+        |       ELSE 'de' END AS lang_guess,
+        |  count(*) AS n
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_quality_hist" ->
+      """WITH q AS (
+        |  SELECT CAST(floor(
+        |    least(CAST(n_chars AS DOUBLE) / 200.0, 1.0)
+        |    * (1.0 - least(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+        |        / greatest(CAST(n_chars AS DOUBLE), 1.0) * 10.0, 1.0) * 0.5)
+        |    * (1.0 - least(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |        / greatest(CAST(n_chars AS DOUBLE), 1.0) * 5.0, 1.0) * 0.5)
+        |    * 10) AS INT) AS decile
+        |  FROM documents)
+        |SELECT decile, count(*) AS n FROM q GROUP BY decile ORDER BY decile""".stripMargin
+  )
+}

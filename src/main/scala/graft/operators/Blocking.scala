@@ -79,29 +79,9 @@ object Blocking {
       val ks = keysFor(t.lang, t.nTokens, t.minhash, cfg)
       val shaKey = Hashing.hashString(t.sha256, 0xabcdefL)
       (ks :+ shaKey).map(k => (k, t.id))
-    }.toDF("key", "id").as[(Long, Long)]
+    }
 
-    val cap = cfg.maxBlockSize
-    keyed
-      .groupBy($"key")
-      .agg(collect_list($"id").as("ids"))
-      .select($"ids")
-      .as[Seq[Long]]
-      .flatMap { ids =>
-        if (ids.length < 2) Iterator.empty
-        else {
-          // deterministic cap: keep the `cap` smallest ids
-          val arr = ids.toArray
-          java.util.Arrays.sort(arr)
-          val m = math.min(arr.length, cap)
-          for {
-            i <- Iterator.range(0, m)
-            j <- Iterator.range(i + 1, m)
-          } yield (arr(i), arr(j))
-        }
-      }
-      .toDF("idA", "idB")
-      .distinct()
+    CandidateGen.pairsFromKeys(keyed, cfg.maxBlockSize)
   }
 
   /** Diagnostics: block-size histogram (oracle-checkable on the simple

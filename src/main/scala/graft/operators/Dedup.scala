@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.util.Hashing
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for large-scale training-data pipelines:
+  * exact (hash groupBy), MinHash+LSH, SimHash, and n-gram Jaccard
+  * verification. All candidate generation funnels through
+  * [[CandidateGen.pairsFromKeys]] (capped, skew-safe); signatures are
+  * computed in one narrow map per document.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash. One shuffle; map-side
+    * partial aggregation applies since count/min are algebraic. */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(md5(col(textCol)).as("content_hash"), col(idCol).cast("long").as("id"))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("id")).as("keep_id"))
+      .where(col("n_copies") > 1)
+
+  /** Drop exact duplicates, keeping the smallest id per content hash —
+    * the canonical "exact dedup" pass before any near-dup work. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  // --- MinHash near-dup ---------------------------------------------------
+
+  final case class MinHashParams(numHashes: Int = 12, bands: Int = 6, shingleWords: Int = 3, cap: Int = 64) {
+    require(numHashes % bands == 0)
+    def rows: Int = numHashes / bands
+  }
+
+  /** Word-shingle MinHash signature (reuses the seeded-minimum scheme of
+    * [[ParseStage.minHash]], over whitespace words instead of code
+    * tokens). */
+  def wordMinHash(text: String, p: MinHashParams): Array[Long] = {
+    val words = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    ParseStage.minHash(words, ParseStage.MinHashConfig(p.numHashes, p.bands, p.shingleWords))
+  }
+
+  /** Near-duplicate candidate pairs on a text column via banded MinHash. */
+  def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   p: MinHashParams = MinHashParams()): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sig = wordMinHash(text, p)
+        val rows = p.rows
+        (0 until p.bands).iterator.map { band =>
+          var h = Hashing.hashLong(band.toLong, 77L)
+          var r = 0
+          while (r < rows) { h = Hashing.mix64(h ^ sig(band * rows + r)); r += 1 }
+          (h, id)
+        }
+      }
+    CandidateGen.pairsFromKeys(keyed, p.cap)
+  }
+
+  // --- SimHash near-dup ---------------------------------------------------
+
+  /** Charikar SimHash (64-bit) over word hashes: bit b of the signature
+    * is the sign of the sum over words of ±1 at bit b. Near-dups have
+    * small Hamming distance. */
+  def simHash64(text: String): Long = {
+    val words = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < words.length) {
+      val h = Hashing.hashString(words(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    * Candidate generation by the pigeonhole principle: the 64-bit
+    * signature splits into `maxHamming + 1` chunks, and any pair within
+    * the Hamming budget must agree on at least one whole chunk — block
+    * on (chunkIdx, chunkValue), then verify with bit_count(xor). */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, cap: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nChunks = maxHamming + 1
+    val chunkBits = 64 / nChunks
+
+    val sigs = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) => (id, simHash64(text)) }
+      .toDF("id", "simhash")
+      .persist()
+
+    val keyed = sigs.as[(Long, Long)].flatMap { case (id, sig) =>
+      (0 until nChunks).iterator.map { c =>
+        val chunk = (sig >>> (c * chunkBits)) & ((1L << chunkBits) - 1)
+        (Hashing.mix64(Hashing.hashLong(c.toLong, 55L) ^ chunk), id)
+      }
+    }
+    val cand = CandidateGen.pairsFromKeys(keyed, cap)
+    val out = cand
+      .join(sigs.withColumnRenamed("id", "idA").withColumnRenamed("simhash", "shA"), "idA")
+      .join(sigs.withColumnRenamed("id", "idB").withColumnRenamed("simhash", "shB"), "idB")
+      .withColumn("hamming", bit_count(col("shA").bitwiseXOR(col("shB"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("idA"), col("idB"), col("hamming"))
+    out
+  }
+
+  // --- n-gram Jaccard verification ---------------------------------------
+
+  /** Exact token n-gram Jaccard for candidate pairs — the verify step
+    * after LSH recall stages. Shingle sets are built once per doc in a
+    * narrow map; the set algebra runs on codegen'd array functions. */
+  def ngramJaccard(candidates: DataFrame, docs: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shingled = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+        val sh = (0 until math.max(1, words.length - n + 1)).map { i =>
+          var h = 0L
+          var j = 0
+          while (j < n && i + j < words.length) { h = Hashing.mix64(h ^ Hashing.hashString(words(i + j))); j += 1 }
+          h
+        }.distinct.toArray
+        (id, sh)
+      }
+      .toDF("id", "shingles")
+
+    candidates
+      .join(shingled.withColumnRenamed("id", "idA").withColumnRenamed("shingles", "shA"), "idA")
+      .join(shingled.withColumnRenamed("id", "idB").withColumnRenamed("shingles", "shB"), "idB")
+      .withColumn("inter", size(array_intersect(col("shA"), col("shB"))))
+      .withColumn("union", size(array_union(col("shA"), col("shB"))))
+      .withColumn("jaccard", col("inter").cast("double") / greatest(col("union"), lit(1)).cast("double"))
+      .select(col("idA"), col("idB"), col("jaccard"))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.util.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a random-
+  * hyperplane LSH-bucketed variant as the scale path. Distance math is
+  * pure `zip_with`/`aggregate` — codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, in double precision,
+    * deterministic left-to-right fold. */
+  def cosineCol(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    dot(a, b) / greatest(na * nb, lit(1e-12))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * Scale shape: queries are the SMALL side — broadcast them so the
+    * corpus streams through map tasks with no shuffle of the big side;
+    * the only shuffle is the final per-query top-k (window on
+    * #queries·k rows). At 100 TB the corpus scan dominates and
+    * parallelizes linearly; never collect the corpus. */
+  def bruteKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(queries.select(
+        col("vec_id").as("query_id"), col("embedding").as("q_emb"))))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosineCol(col("embedding"), col("q_emb")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes: `tables` sets of `planeBits`
+    * pseudo-random unit-direction vectors, seeded — identical on every
+    * executor. */
+  private[operators] def planes(dim: Int, planeBits: Int, tables: Int): Array[Array[Array[Float]]] = {
+    Array.tabulate(tables, planeBits) { (t, p) =>
+      val rng = new Hashing.DetRng(Hashing.hashLong(t.toLong * 131L + p, 0x9e3779b9L))
+      Array.fill(dim)((rng.nextDouble() * 2.0 - 1.0).toFloat)
+    }
+  }
+
+  /** Sign-LSH bucket signature of a vector for one table. */
+  private def sigFor(v: Seq[Float], tablePlanes: Array[Array[Float]]): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < tablePlanes.length) {
+      val plane = tablePlanes(p)
+      var s = 0.0
+      var i = 0
+      val n = math.min(v.length, plane.length)
+      while (i < n) { s += v(i) * plane(i); i += 1 }
+      if (s > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Approximate top-k: bucket vectors by random-hyperplane signature in
+    * `tables` tables, score only same-bucket candidates. Recall rises
+    * with `tables`, cost with bucket size (bounded by `cap` through
+    * [[CandidateGen]]'s skew guard). */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             planeBits: Int = 12, tables: Int = 8, cap: Int = 256): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(col("embedding")).head().getSeq[Float](0).length
+    val ps = planes(dim, planeBits, tables)
+    val bps = spark.sparkContext.broadcast(ps)
+
+    def buckets(df: DataFrame): DataFrame =
+      df.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Seq[Float])]
+        .flatMap { case (id, emb) =>
+          val local = bps.value
+          (0 until local.length).iterator.map { t =>
+            (Hashing.mix64(Hashing.hashLong(t.toLong, 991L) ^ sigFor(emb, local(t))), id)
+          }
+        }
+        .toDF("bucket", "id")
+
+    val qb = buckets(queries).withColumnRenamed("id", "query_id")
+    val cb = buckets(corpus)
+    val cand = qb.join(cb, "bucket")
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"))
+      .distinct()
+
+    val scored = cand
+      .join(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), "query_id")
+      .join(corpus.select(col("vec_id").as("id"), col("embedding")), "id")
+      .withColumn("cosine", cosineCol(col("embedding"), col("q_emb")))
+      .select(col("query_id"), col("id").as("vec_id"), col("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cosine ≥ minCosine) via the
+    * same LSH bucketing — the "embedding near-dup" dedup mode. */
+  def embeddingNearDupPairs(corpus: DataFrame, minCosine: Double,
+                            planeBits: Int = 12, tables: Int = 8, cap: Int = 128): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(col("embedding")).head().getSeq[Float](0).length
+    val ps = planes(dim, planeBits, tables)
+    val bps = spark.sparkContext.broadcast(ps)
+
+    val keyed = corpus.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Seq[Float])]
+      .flatMap { case (id, emb) =>
+        val local = bps.value
+        (0 until local.length).iterator.map { t =>
+          (Hashing.mix64(Hashing.hashLong(t.toLong, 991L) ^ sigFor(emb, local(t))), id)
+        }
+      }
+    val cand = CandidateGen.pairsFromKeys(keyed, cap)
+    cand
+      .join(corpus.select(col("vec_id").as("idA"), col("embedding").as("embA")), "idA")
+      .join(corpus.select(col("vec_id").as("idB"), col("embedding").as("embB")), "idB")
+      .withColumn("cosine", cosineCol(col("embA"), col("embB")))
+      .where(col("cosine") >= minCosine)
+      .select(col("idA"), col("idB"), col("cosine"))
+  }
+}

@@ -52,12 +52,16 @@ object CorpusGen {
       groupId = groupId)
   }
 
-  /** The corpus as a Dataset, driven by documents.parquet row ids. */
-  def corpus(spark: SparkSession, sfDir: String): Dataset[FileRow] = {
+  /** The corpus as a Dataset, driven by documents.parquet row ids.
+    * `mult` fans each doc id out to `mult` synthetic files (bench knob:
+    * the documents table is small at every sf, so throughput runs scale
+    * the corpus deterministically instead). */
+  def corpus(spark: SparkSession, sfDir: String, mult: Int = 1): Dataset[FileRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id").as[Long]
-      .map(fileFor _)
+    if (mult == 1) ids.map(fileFor _)
+    else ids.flatMap(d => (0 until mult).iterator.map(j => fileFor(d * mult + j)))
   }
 
   // --- base program generation -------------------------------------------

@@ -1,0 +1,147 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  import spark.implicits._
+
+  private val texts = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different content about spark distributed query engines"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (5L, "yet another unrelated piece of text mentioning nothing similar at all"))
+
+  test("exact dedup finds duplicate groups and keeps min id") {
+    val df = texts.toDF("doc_id", "text")
+    val groups = Dedup.exactDupGroups(df, "doc_id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("n_copies") == 2)
+    assert(groups(0).getAs[Long]("keep_id") == 1L)
+    val deduped = Dedup.exactDedup(df, "doc_id", "text")
+    assert(deduped.count() == 4)
+    assert(deduped.where($"doc_id" === 4L).isEmpty)
+  }
+
+  test("minhash LSH finds near-dup and exact-dup pairs, not unrelated ones") {
+    val df = texts.toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact dup must collide in every band")
+    assert(pairs.contains((1L, 2L)), "one-word-changed near dup should collide")
+    assert(!pairs.contains((3L, 5L)), "unrelated texts should not pair")
+  }
+
+  test("simhash pairs have verified hamming distance and find near-dups") {
+    val df = texts.toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 3)
+    val rows = pairs.collect()
+    rows.foreach { r =>
+      val h = java.lang.Long.bitCount(
+        Dedup.simHash64(texts.find(_._1 == r.getLong(0)).get._2) ^
+          Dedup.simHash64(texts.find(_._1 == r.getLong(1)).get._2))
+      assert(h == r.getAs[Int]("hamming") && h <= 3)
+    }
+    assert(rows.exists(r => r.getLong(0) == 1L && r.getLong(1) == 4L))
+  }
+
+  test("ngram jaccard: identical = 1.0, near-dup high, unrelated low") {
+    val df = texts.toDF("doc_id", "text")
+    val cand = Seq((1L, 4L), (1L, 2L), (3L, 5L)).toDF("idA", "idB")
+    val j = Dedup.ngramJaccard(cand, df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 2L)) > 0.6)
+    assert(j((3L, 5L)) < 0.1)
+  }
+
+  test("brute-force knn matches an independent in-memory computation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.bruteKnn(emb, emb.where($"vec_id" < 5), k = 3)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq).toMap
+
+    // independent: collect vectors, compute cosine in plain Scala
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+    }
+    for (q <- 0L until 5L) {
+      val qv = vecs.find(_._1 == q).get._2
+      val expected = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(3).map(_._1).toSeq
+      assert(got(q) == expected, s"query $q: got ${got(q)}, expected $expected")
+    }
+  }
+
+  test("lsh knn achieves reasonable recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.where($"vec_id" < 20)
+    val brute = Similarity.bruteKnn(emb, qs, k = 5).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val approx = Similarity.lshKnn(emb, qs, k = 5, planeBits = 4, tables = 8).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val recalls = brute.keys.toSeq.map { q =>
+      val a = approx.getOrElse(q, Set.empty)
+      brute(q).intersect(a).size.toDouble / brute(q).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.5, s"mean LSH recall@5 = $meanRecall")
+  }
+
+  test("multimodal assets + stub features are deterministic and complete") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val feats = Multimodal.extractFeatures(Multimodal.assets(docs)).persist()
+    assert(feats.count() == docs.count())
+    val f1 = feats.orderBy($"asset_id").head()
+    val f2 = Multimodal.extractFeatures(Multimodal.assets(docs)).orderBy($"asset_id").head()
+    assert(f1.asset_id == f2.asset_id && f1.width == f2.width &&
+      f1.height == f2.height && f1.feature.toSeq == f2.feature.toSeq,
+      "stub decode must be deterministic")
+    assert(feats.where($"width" < 64 || $"width" >= 256).isEmpty)
+    // feature vectors are L1-normalized byte histograms
+    val sums = feats.select(aggregate($"feature", lit(0.0), (a, x) => a + x).as("s"))
+      .where(abs($"s" - 1.0) > 1e-3)
+    assert(sums.isEmpty)
+    val frames = Multimodal.sampleFrames(feats, stride = 10)
+    assert(frames.count() > 0)
+    assert(frames.where($"frame_idx" % 10 =!= 0).isEmpty)
+  }
+
+  test("winnowing fingerprints: deterministic, overlapping for near-dups") {
+    // long prefix identical; single change near the end so early windows
+    // provably share their minima
+    val a = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima " +
+      "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray zulu one").split(" ")
+    val b = a.clone(); b(b.length - 2) = "CHANGED"
+    val fa = TextAnalysis.winnow(a)
+    val fb = TextAnalysis.winnow(b)
+    assert(fa.toSeq == TextAnalysis.winnow(a).toSeq)
+    assert(fa.intersect(fb).length > 0, "near-dup docs share fingerprints")
+    assert(TextAnalysis.winnow(Array.empty[String]).isEmpty)
+  }
+
+  test("language guess heuristic picks the dominant stopword language") {
+    val df = Seq(
+      ("the cat and the dog is on a mat", "en"),
+      ("le chat et la vache dans une maison", "fr"),
+      ("el gato y el perro en una casa que", "es"),
+      ("der hund und die katze ist im haus", "de"),
+      ("zzz qqq xxx", "und")).toDF("text", "expected")
+    val got = df.select(TextAnalysis.langGuessCol($"text").as("g"), $"expected")
+      .where($"g" =!= $"expected").count()
+    assert(got == 0)
+  }
+}
