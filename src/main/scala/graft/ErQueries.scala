@@ -63,6 +63,25 @@ object ErQueries {
           sum(col("pairsScored")).as("pairs_scored"),
           sum(col("dpCells")).as("dp_cells"))
     }),
+    // the ZSS scorer through its SQL surface (custom Catalyst
+    // Expression): same candidate pairs, distances via spark.sql
+    "er_ted_sql" -> ((s, dir) => {
+      graft.functions.TreeEditDistance.register(s)
+      val r = pipeline(s, dir)
+      val slim = r.trees.toDF().select(col("id"), col("labels"), col("lmds"), col("keyroots"))
+      r.pairs
+        .join(slim.withColumnRenamed("id", "idA")
+          .withColumnRenamed("labels", "laA").withColumnRenamed("lmds", "lmA")
+          .withColumnRenamed("keyroots", "krA"), "idA")
+        .join(slim.withColumnRenamed("id", "idB")
+          .withColumnRenamed("labels", "laB").withColumnRenamed("lmds", "lmB")
+          .withColumnRenamed("keyroots", "krB"), "idB")
+        .select(col("idA"), col("idB"),
+          graft.functions.TreeEditDistance.treeEditDistance(
+            col("laA"), col("lmA"), col("krA"),
+            col("laB"), col("lmB"), col("krB")).as("dist"))
+        .orderBy(col("idA"), col("idB"))
+    }),
     "er_sha_invariant" -> ((s, dir) => {
       // per-row invariant (input_hint): sha256 recomputed from the raw
       // corpus equals the value the parse stage carried through

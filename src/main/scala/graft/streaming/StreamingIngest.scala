@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingest: the incremental path for new corpus
+  * files/events. Batch and streaming share the same tumbling-window
+  * aggregation logic, so `q_events_window` (batch, oracle-checked) is
+  * the golden twin of this stream — StreamingSpec asserts equality.
+  *
+  * Scale notes: a 5-minute tumbling window + 10-minute watermark keeps
+  * state bounded (~windows × event_types rows); at cluster scale the
+  * same query runs from a file/Kafka source with checkpointLocation on
+  * durable storage.
+  */
+object StreamingIngest {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The shared windowed aggregation: 5-min tumbling windows per
+    * event_type, decimal-exact value sums. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Start a streaming query over the events parquet directory into an
+    * in-memory sink (complete mode: emit every window each trigger). */
+  def startMemoryStream(spark: SparkSession, sfDir: String, sinkName: String): StreamingQuery = {
+    // the sf dirs store each table as a single parquet FILE; a file
+    // source needs a directory, so stream the parent dir with a glob
+    val stream = spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    windowedAgg(stream)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+  }
+}

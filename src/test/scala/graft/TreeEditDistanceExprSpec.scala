@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.TreeEditDistance
+import graft.zs.{Tree, TreeDist}
+import graft.zs.SExpr
+import org.scalatest.funsuite.AnyFunSuite
+
+class TreeEditDistanceExprSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  import spark.implicits._
+
+  private val goldenPairs = Seq(
+    ("(f (d a (c b)) e)", "(f (c (d a b)) e)", 2),
+    ("(a (b x y))", "(a x (b y))", 2),
+    ("(a)", "(b)", 1),
+    ("(f (d a (c b)) e)", "(f (d a (c b)) e)", 0))
+
+  private def df = {
+    val rows = goldenPairs.map { case (sa, sb, exp) =>
+      val a = Tree.annotate(SExpr.parse(sa))
+      val b = Tree.annotate(SExpr.parse(sb))
+      (a.labels, a.lmds, a.keyroots, b.labels, b.lmds, b.keyroots, exp)
+    }
+    rows.toDF("laA", "lmA", "krA", "laB", "lmB", "krB", "expected")
+  }
+
+  test("Column API computes golden distances") {
+    TreeEditDistance.register(spark)
+    val got = df.withColumn("d", TreeEditDistance.treeEditDistance(
+      $"laA", $"lmA", $"krA", $"laB", $"lmB", $"krB"))
+    assert(got.where($"d" =!= $"expected").isEmpty)
+  }
+
+  test("SQL function tree_edit_distance is registered and correct") {
+    TreeEditDistance.register(spark)
+    df.createOrReplaceTempView("golden_trees")
+    val got = spark.sql(
+      """SELECT expected,
+        |  tree_edit_distance(laA, lmA, krA, laB, lmB, krB) AS d
+        |FROM golden_trees""".stripMargin)
+    assert(got.where($"d" =!= $"expected").isEmpty)
+  }
+
+  test("null inputs yield null") {
+    TreeEditDistance.register(spark)
+    val r = spark.sql(
+      "SELECT tree_edit_distance(NULL, NULL, NULL, NULL, NULL, NULL) AS d").head()
+    assert(r.isNullAt(0))
+  }
+
+  test("expression agrees with the kernel on random trees") {
+    TreeEditDistance.register(spark)
+    val gen = new scala.util.Random(7) // test-only randomness, fixed seed
+    def randTree(depth: Int): graft.zs.TNode = {
+      val n = new graft.zs.TNode("l" + gen.nextInt(6))
+      if (depth > 0) (0 until gen.nextInt(3)).foreach(_ => n.addkid(randTree(depth - 1)))
+      n
+    }
+    val pts = (1 to 30).map(_ => Tree.annotate(randTree(4)))
+    val rows = pts.zip(pts.reverse).map { case (a, b) =>
+      (a.labels, a.lmds, a.keyroots, b.labels, b.lmds, b.keyroots, TreeDist.unit(a, b))
+    }
+    val d = rows.toDF("laA", "lmA", "krA", "laB", "lmB", "krB", "expected")
+      .withColumn("d", TreeEditDistance.treeEditDistance(
+        $"laA", $"lmA", $"krA", $"laB", $"lmB", $"krB"))
+    assert(d.where($"d" =!= $"expected").isEmpty)
+  }
+}
