@@ -30,6 +30,7 @@ final case class TreeRow(
     lang: String,
     sha256: String,
     labels: Array[String],
+    labelsH: Array[Long],
     lmds: Array[Int],
     keyroots: Array[Int],
     n: Int,
@@ -42,7 +43,10 @@ final case class TreeRow(
 final case class PairRow(idA: Long, idB: Long, lang: String, sizeBucket: Int)
 
 /** Scored pair. normDist = dist / (nA + nB) ∈ [0, 1] under unit costs
-  * (the unit-cost bound d ≤ |A|+|B| makes this a proper normalization). */
+  * (the unit-cost bound d ≤ |A|+|B| makes this a proper normalization).
+  * `dist` is exact when the pair matches (d ≤ τ·(nA+nB)); for
+  * non-matches the banded kernel reports the deterministic cap
+  * ⌊τ·(nA+nB)⌋+1 — a lower bound sufficient for the match decision. */
 final case class ScoreRow(
     idA: Long,
     idB: Long,

@@ -73,6 +73,7 @@ object ParseStage {
         lang = f.lang,
         sha256 = Hashing.sha256Hex(f.content),
         labels = p.tree.labels,
+        labelsH = p.tree.labels.map(Hashing.hashString(_)),
         lmds = p.tree.lmds,
         keyroots = p.tree.keyroots,
         n = p.tree.n,

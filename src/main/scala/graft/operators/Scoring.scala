@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.model.{PartMetrics, ScoreRow, TreeRow}
-import graft.zs.{PTree, Scorer}
+import graft.zs.Scorer
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -25,8 +25,8 @@ object Scoring {
   /** Internal join-product row: a candidate pair with both flattened trees. */
   final case class PairTrees(
       idA: Long, idB: Long,
-      laA: Array[String], lmA: Array[Int], krA: Array[Int],
-      laB: Array[String], lmB: Array[Int], krB: Array[Int])
+      laA: Array[Long], lmA: Array[Int], krA: Array[Int],
+      laB: Array[Long], lmB: Array[Int], krB: Array[Int])
 
   /** Attach both trees to each candidate pair. Two equi-joins on id; the
     * trees side is one row per key, so the explicit salted join bounds
@@ -36,7 +36,10 @@ object Scoring {
   def attachTrees(pairs: DataFrame, trees: Dataset[TreeRow], salts: Int = 8): Dataset[PairTrees] = {
     val spark = trees.sparkSession
     import spark.implicits._
-    val slim = trees.toDF().select($"id", $"labels", $"lmds", $"keyroots")
+    // ship hashed labels, not strings: primitive-array rows keep the
+    // scoring stage free of string deserialization and shrink shuffle
+    // and cache bytes (labels stay on TreeRow for the SQL surface)
+    val slim = trees.toDF().select($"id", $"labelsH".as("labels"), $"lmds", $"keyroots")
 
     val withA = SaltedJoin.saltedEquiJoin(
       pairs.withColumnRenamed("idA", "id"), slim, "id", salts, leftSaltBy = col("idB"))
@@ -50,7 +53,14 @@ object Scoring {
       .withColumnRenamed("labels", "laB")
       .withColumnRenamed("lmds", "lmB")
       .withColumnRenamed("keyroots", "krB")
-    withB.select($"idA", $"idB", $"laA", $"lmA", $"krA", $"laB", $"lmB", $"krB").as[PairTrees]
+    // Explicit repartition before the DP stage: AQE sizes the join
+    // output by BYTES (~64MB targets), but scoring cost is CPU per pair
+    // — a byte-coalesced layout would cap DP parallelism at a handful
+    // of tasks. Hash on the pair id so heavy trees spread evenly.
+    val par = spark.sparkContext.defaultParallelism * 4
+    withB.select($"idA", $"idB", $"laA", $"lmA", $"krA", $"laB", $"lmB", $"krB")
+      .repartition(par, $"idA", $"idB")
+      .as[PairTrees]
   }
 
   /** Score all pairs; `tau` is the normalized-distance match threshold.
@@ -79,13 +89,18 @@ object Scoring {
             wallNs = System.nanoTime() - t0))
         }
       }
+      val emptyHash = graft.util.Hashing.hashString("")
       it.map { p =>
         rowsIn += 1
-        val a = PTree(p.laA, p.lmA, p.krA)
-        val b = PTree(p.laB, p.lmB, p.krB)
-        val d = scorer.dist(a, b)
-        val nd = d.toDouble / math.max(1, a.n + b.n)
-        ScoreRow(p.idA, p.idB, d, a.n, b.n, nd, isMatch = nd <= tau)
+        val nA = p.laA.length
+        val nB = p.laB.length
+        // Threshold-banded DP: exact distance for matches (d ≤ τ·(nA+nB)),
+        // capped at maxDist+1 beyond — cuts DP cells ~(n/2τ·n)× per pair.
+        val maxDist = (tau * (nA + nB)).toInt
+        val d = scorer.distHashedBounded(
+          p.laA, p.lmA, p.krA, p.laB, p.lmB, p.krB, emptyHash, maxDist)
+        val nd = d.toDouble / math.max(1, nA + nB)
+        ScoreRow(p.idA, p.idB, d, nA, nB, nd, isMatch = nd <= tau)
       }
     }
   }

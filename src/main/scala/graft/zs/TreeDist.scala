@@ -138,8 +138,12 @@ object TreeDist {
   * the O(n² · d²) inner loop never touches a String.
   */
 final class Scorer {
-  private var td: Array[Int] = new Array[Int](0)
-  private var fd: Array[Int] = new Array[Int](0)
+  // 16-bit DP cells: unit-cost distance is bounded by |A|+|B| ≤ 2·maxNodes
+  // (4096 with the parse cap) « 65535, and halving the matrix footprint
+  // doubles effective memory bandwidth — the DP is bandwidth-bound at
+  // high core counts, so this directly buys multi-core scaling.
+  private var td: Array[Char] = new Array[Char](0)
+  private var fd: Array[Char] = new Array[Char](0)
   private var la: Array[Int] = new Array[Int](0)
   private var lb: Array[Int] = new Array[Int](0)
   private var ra: Array[Int] = new Array[Int](0) // remove cost per A-node
@@ -151,11 +155,210 @@ final class Scorer {
   /** Total DP cells touched (throughput denominator for bench). */
   var cellsTouched: Long = 0L
 
+  /** Unit-cost distance over 64-bit label hashes — the pipeline's hot
+    * path. The scoring stage ships `labelsH: Array[Long]` (hashed at
+    * parse time) instead of strings: primitive arrays deserialize with
+    * zero object churn and label equality is one long compare (the
+    * chance of a mix64 collision making two different labels "equal" is
+    * ~2⁻⁶⁴ per comparison — negligible next to any data-quality noise).
+    * `emptyHash` marks the empty label, whose insert/remove cost is 0
+    * under `simple_distance` semantics.
+    */
+  def distHashed(laA: Array[Long], alIn: Array[Int], kraIn: Array[Int],
+                 lbB: Array[Long], blIn: Array[Int], krbIn: Array[Int],
+                 emptyHash: Long): Int = {
+    val na = laA.length
+    val nb = lbB.length
+    require(na + nb < 65535, s"tree pair too large for 16-bit DP cells: $na + $nb")
+    if (td.length < na * nb) td = new Array[Char](na * nb)
+    if (fd.length < (na + 1) * (nb + 1)) fd = new Array[Char]((na + 1) * (nb + 1))
+    if (ra.length < na) ra = new Array[Int](na)
+    if (ib.length < nb) ib = new Array[Int](nb)
+    var i0 = 0
+    while (i0 < na) { ra(i0) = if (laA(i0) == emptyHash) 0 else 1; i0 += 1 }
+    var j0 = 0
+    while (j0 < nb) { ib(j0) = if (lbB(j0) == emptyHash) 0 else 1; j0 += 1 }
+
+    val al = alIn
+    val bl = blIn
+    var ki = 0
+    while (ki < kraIn.length) {
+      val i = kraIn(ki)
+      val ali = al(i)
+      val m = i - ali + 2
+      val ioff = ali - 1
+      var kj = 0
+      while (kj < krbIn.length) {
+        val j = krbIn(kj)
+        val blj = bl(j)
+        val n = j - blj + 2
+        val joff = blj - 1
+        cellsTouched += m.toLong * n
+        fd(0) = 0.toChar
+        var x = 1
+        while (x < m) { fd(x * n) = (fd((x - 1) * n) + ra(x + ioff)).toChar; x += 1 }
+        var y = 1
+        while (y < n) { fd(y) = (fd(y - 1) + ib(y + joff)).toChar; y += 1 }
+        x = 1
+        while (x < m) {
+          val xa = x + ioff
+          val alxa = al(xa)
+          val rxa = ra(xa)
+          val laxa = laA(xa)
+          val row = x * n
+          val prow = row - n
+          val tdrow = xa * nb
+          val whole = ali == alxa
+          y = 1
+          while (y < n) {
+            val yb = y + joff
+            var mn = fd(prow + y) + rxa
+            val d2 = fd(row + y - 1) + ib(yb)
+            if (d2 < mn) mn = d2
+            if (whole && blj == bl(yb)) {
+              val d3 = fd(prow + y - 1) + (if (laxa == lbB(yb)) 0 else 1)
+              if (d3 < mn) mn = d3
+              fd(row + y) = mn.toChar
+              td(tdrow + yb) = mn.toChar
+            } else {
+              val p = alxa - 1 - ioff
+              val q = bl(yb) - 1 - joff
+              val d3 = fd(p * n + q) + td(tdrow + yb)
+              if (d3 < mn) mn = d3
+              fd(row + y) = mn.toChar
+            }
+            y += 1
+          }
+          x += 1
+        }
+        kj += 1
+      }
+      ki += 1
+    }
+    pairsScored += 1
+    td((na - 1) * nb + (nb - 1))
+  }
+
+  /** Threshold-banded variant of [[distHashed]] (Ukkonen-style band, a
+    * public technique for edit distances): when only distances ≤ maxDist
+    * matter (the pipeline thresholds at τ·(nA+nB)), any forest-prefix
+    * cell with |x−y| > maxDist is a dead end — under unit insert/remove
+    * costs fd(x,y) ≥ |x−y| — so the DP walks only a 2·maxDist+1 band
+    * per keyroot pair. Stored values are capped at maxDist+1, which is
+    * sound: caps only lower computed sums, and any path through a capped
+    * cell already exceeds maxDist, so results ≤ maxDist are exact and
+    * results above are reported as maxDist+1.
+    *
+    * Returns exact distance if ≤ maxDist, else maxDist+1.
+    * Falls back to the exact full DP when labels can be empty
+    * (insert/remove cost 0 breaks the band bound) or the band would not
+    * save work.
+    */
+  def distHashedBounded(laA: Array[Long], al: Array[Int], kra: Array[Int],
+                        lbB: Array[Long], bl: Array[Int], krb: Array[Int],
+                        emptyHash: Long, maxDist: Int): Int = {
+    val na = laA.length
+    val nb = lbB.length
+    if (math.abs(na - nb) > maxDist)
+      return maxDist + 1 // size gap alone exceeds the threshold
+    var hasEmpty = false
+    var i = 0
+    while (i < na && !hasEmpty) { hasEmpty = laA(i) == emptyHash; i += 1 }
+    i = 0
+    while (i < nb && !hasEmpty) { hasEmpty = lbB(i) == emptyHash; i += 1 }
+    if (hasEmpty || maxDist >= na + nb)
+      return math.min(distHashed(laA, al, kra, lbB, bl, krb, emptyHash), maxDist + 1)
+
+    require(na + nb < 65535, s"tree pair too large for 16-bit DP cells: $na + $nb")
+    if (td.length < na * nb) td = new Array[Char](na * nb)
+    if (fd.length < (na + 1) * (nb + 1)) fd = new Array[Char]((na + 1) * (nb + 1))
+    val D = maxDist
+    val cap = (D + 1).toChar
+
+    var ki = 0
+    while (ki < kra.length) {
+      val i2 = kra(ki)
+      val ali = al(i2)
+      val m = i2 - ali + 2
+      val ioff = ali - 1
+      var kj = 0
+      while (kj < krb.length) {
+        val j = krb(kj)
+        val blj = bl(j)
+        val n = j - blj + 2
+        val joff = blj - 1
+        // boundary rows/cols inside the band (+ sentinel just outside)
+        val x0max = math.min(m - 1, D + 1)
+        var x = 0
+        while (x <= x0max) { fd(x * n) = (if (x > D) D + 1 else x).toChar; x += 1 }
+        val y0max = math.min(n - 1, D + 1)
+        var y = 0
+        while (y <= y0max) { fd(y) = (if (y > D) D + 1 else y).toChar; y += 1 }
+        x = 1
+        while (x < m) {
+          val ylo = math.max(1, x - D)
+          val yhi = math.min(n - 1, x + D)
+          if (ylo <= yhi) {
+            cellsTouched += (yhi - ylo + 1).toLong
+            val xa = x + ioff
+            val alxa = al(xa)
+            val laxa = laA(xa)
+            val row = x * n
+            val prow = row - n
+            val tdrow = xa * nb
+            val whole = ali == alxa
+            if (ylo >= 2) fd(row + ylo - 1) = cap // left sentinel
+            y = ylo
+            while (y <= yhi) {
+              val yb = y + joff
+              var mn = fd(prow + y) + 1 // remove cost 1 (no empty labels)
+              val d2 = fd(row + y - 1) + 1
+              if (d2 < mn) mn = d2
+              if (whole && blj == bl(yb)) {
+                val d3 = fd(prow + y - 1) + (if (laxa == lbB(yb)) 0 else 1)
+                if (d3 < mn) mn = d3
+                if (mn > D) mn = D + 1
+                fd(row + y) = mn.toChar
+                td(tdrow + yb) = mn.toChar
+              } else {
+                val p = alxa - 1 - ioff
+                val q = bl(yb) - 1 - joff
+                // guarded reads: out-of-band positions are ≥ cap by the
+                // band bound, and td entries for subtree pairs whose
+                // size gap exceeds D were never computed this pair
+                val fpq = if (math.abs(p - q) > D) cap.toInt else fd(p * n + q).toInt
+                val szA = xa - alxa + 1
+                val szB = yb - bl(yb) + 1
+                val tdv = if (math.abs(szA - szB) > D) cap.toInt else td(tdrow + yb).toInt
+                val d3 = fpq + tdv
+                if (d3 < mn) mn = d3
+                if (mn > D) mn = D + 1
+                fd(row + y) = mn.toChar
+              }
+              y += 1
+            }
+            if (yhi + 1 <= n - 1) fd(row + yhi + 1) = cap // right sentinel
+          }
+          x += 1
+        }
+        kj += 1
+      }
+      ki += 1
+    }
+    pairsScored += 1
+    if (math.abs((na - 1) - (nb - 1)) > D) D + 1
+    else {
+      val sz = math.abs(na - nb)
+      if (sz > D) D + 1 else math.min(td((na - 1) * nb + (nb - 1)).toInt, D + 1)
+    }
+  }
+
   def dist(a: PTree, b: PTree): Int = {
     val na = a.n
     val nb = b.n
-    if (td.length < na * nb) td = new Array[Int](na * nb)
-    if (fd.length < (na + 1) * (nb + 1)) fd = new Array[Int]((na + 1) * (nb + 1))
+    require(na + nb < 65535, s"tree pair too large for 16-bit DP cells: $na + $nb")
+    if (td.length < na * nb) td = new Array[Char](na * nb)
+    if (fd.length < (na + 1) * (nb + 1)) fd = new Array[Char]((na + 1) * (nb + 1))
     if (la.length < na) { la = new Array[Int](na); ra = new Array[Int](na) }
     if (lb.length < nb) { lb = new Array[Int](nb); ib = new Array[Int](nb) }
     codes.clear()
@@ -196,11 +399,11 @@ final class Scorer {
         val n = j - blj + 2
         val joff = blj - 1
         cellsTouched += m.toLong * n
-        fd(0) = 0
+        fd(0) = 0.toChar
         var x = 1
-        while (x < m) { fd(x * n) = fd((x - 1) * n) + ra(x + ioff); x += 1 }
+        while (x < m) { fd(x * n) = (fd((x - 1) * n) + ra(x + ioff)).toChar; x += 1 }
         var y = 1
-        while (y < n) { fd(y) = fd(y - 1) + ib(y + joff); y += 1 }
+        while (y < n) { fd(y) = (fd(y - 1) + ib(y + joff)).toChar; y += 1 }
         x = 1
         while (x < m) {
           val xa = x + ioff
@@ -220,14 +423,14 @@ final class Scorer {
             if (whole && blj == bl(yb)) {
               val d3 = fd(prow + y - 1) + (if (laxa == lb(yb)) 0 else 1)
               if (d3 < mn) mn = d3
-              fd(row + y) = mn
-              td(tdrow + yb) = mn
+              fd(row + y) = mn.toChar
+              td(tdrow + yb) = mn.toChar
             } else {
               val p = alxa - 1 - ioff
               val q = bl(yb) - 1 - joff
               val d3 = fd(p * n + q) + td(tdrow + yb)
               if (d3 < mn) mn = d3
-              fd(row + y) = mn
+              fd(row + y) = mn.toChar
             }
             y += 1
           }
