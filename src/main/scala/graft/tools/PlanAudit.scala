@@ -1,0 +1,26 @@
+package graft.tools
+
+import graft._
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints formatted physical plans for headline queries so
+  * pushdown/pruning/broadcast regressions are visible at a glance. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("q1_agg", "q3_topn", "q_doc_stats")) {
+      println(s"===== $q =====")
+      println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    println("===== corpus scan (docs column pruning) =====")
+    graft.sources.CorpusGen.corpus(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode).linesIterator
+      .filter(l => l.contains("ReadSchema") || l.contains("Scan")).foreach(println)
+    spark.stop()
+  }
+}
