@@ -56,12 +56,16 @@ object ErQueries {
         .orderBy(col("lang"), col("size_bucket"))
     }),
     "er_metrics" -> ((s, dir) => {
+      // metrics rows are per task ATTEMPT; dedupe to one per partition
+      // (max) before summing so re-executions don't double-count
       pipeline(s, dir).metrics
+        .groupBy(col("stage"), col("partitionId"))
+        .agg(max(col("pairsScored")).as("p"), max(col("dpCells")).as("c"))
         .groupBy(col("stage"))
         .agg(
           count(lit(1)).as("n_partitions"),
-          sum(col("pairsScored")).as("pairs_scored"),
-          sum(col("dpCells")).as("dp_cells"))
+          sum(col("p")).as("pairs_scored"),
+          sum(col("c")).as("dp_cells"))
     }),
     // the ZSS scorer through its SQL surface (custom Catalyst
     // Expression): same candidate pairs, distances via spark.sql
