@@ -25,7 +25,7 @@ import org.apache.spark.storage.StorageLevel
 object Pipeline {
 
   final case class Config(
-      tau: Double = 0.05,
+      tau: Double = 0.08,
       salts: Int = 8,
       parse: CodeParser.ParseConfig = CodeParser.defaultConfig,
       blocking: Blocking.BlockingConfig = Blocking.BlockingConfig(),
