@@ -18,8 +18,18 @@ object CandidateGen {
   def pairsFromKeys(keyed: Dataset[(Long, Long)], cap: Int): DataFrame = {
     val spark = keyed.sparkSession
     import spark.implicits._
+    // Cap BEFORE materializing the block: row_number streams through a
+    // sort within the key's partition, so a degenerate hot key (10^9
+    // members at corpus scale) never has to fit in one collect_list
+    // buffer — at most `cap` rows per key survive to the aggregation.
+    // The window and the groupBy share the same hash partitioning, so
+    // Catalyst plans a single exchange for both.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"key").orderBy($"id")
     keyed
       .toDF("key", "id")
+      .withColumn("__rn", row_number().over(w))
+      .where($"__rn" <= cap)
       .groupBy($"key")
       .agg(collect_list($"id").as("ids"))
       .select($"ids")
@@ -29,10 +39,9 @@ object CandidateGen {
         else {
           val arr = ids.toArray
           java.util.Arrays.sort(arr)
-          val m = math.min(arr.length, cap)
           for {
-            i <- Iterator.range(0, m)
-            j <- Iterator.range(i + 1, m)
+            i <- Iterator.range(0, arr.length)
+            j <- Iterator.range(i + 1, arr.length)
           } yield (arr(i), arr(j))
         }
       }
