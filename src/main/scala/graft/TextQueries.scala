@@ -98,6 +98,20 @@ object TextQueries {
         .orderBy(col("idA"), col("idB"))
     }),
 
+    // ER blocking math over documents, DuckDB-checkable: block-size
+    // histogram on (lang, token-count bucket) keys and the candidate
+    // pair count each block would emit (n·(n−1)/2) — the oracle-visible
+    // twin of the engine-internal MinHash blocking (SURVEY.md §6.4)
+    "er_doc_blocks" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"),
+          floor(TextAnalysis.tokenCountCol(col("text")) / 64).cast("long").as("size_bucket"))
+        .groupBy(col("lang"), col("size_bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_pairs", col("n_docs") * (col("n_docs") - 1) / 2)
+        .orderBy(col("lang"), col("size_bucket"))
+    }),
+
     // winnowing fingerprint index stats
     "q_fingerprints" -> ((s, dir) => {
       import s.implicits._
@@ -145,6 +159,12 @@ object TextQueries {
         |       ELSE 'de' END AS lang_guess,
         |  count(*) AS n
         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "er_doc_blocks" ->
+      """SELECT lang,
+        |  CAST(floor(len(regexp_extract_all(lower(text), '[a-z0-9]+')) / 64) AS BIGINT) AS size_bucket,
+        |  count(*) AS n_docs,
+        |  count(*) * (count(*) - 1) / 2 AS n_pairs
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_quality_hist" ->
       """WITH q AS (
         |  SELECT CAST(floor(
