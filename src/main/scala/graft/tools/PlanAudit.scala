@@ -17,6 +17,15 @@ object PlanAudit {
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
+    println("===== ER: candidate pair generation (window+groupBy share one exchange) =====")
+    val trees = graft.operators.ParseStage.parse(graft.sources.CorpusGen.corpus(spark, dir))
+    val pairs = graft.operators.Blocking.candidatePairs(trees)
+    println(pairs.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+    println("===== ER: scoring input (salted joins + explicit repartition) =====")
+    val pt = graft.operators.Scoring.attachTrees(pairs, trees)
+    println(pt.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
     println("===== corpus scan (docs column pruning) =====")
     graft.sources.CorpusGen.corpus(spark, dir).queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode).linesIterator
