@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Optional extra JVM flags for benchmark experiments (e.g.
+// GRAFT_EXTRA_JVM="-XX:+UseParallelGC"); unset in normal runs.
+javaOptions ++= sys.env.get("GRAFT_EXTRA_JVM").map(_.split(" ").toSeq).getOrElse(Seq.empty)
