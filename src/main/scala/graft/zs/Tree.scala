@@ -29,6 +29,42 @@ object TNode {
   }
 }
 
+/** Reference traversal/lookup helpers (zss/simple_tree.py anchors
+  * `def get`, `def iter`, `def __contains__` ~L75-105): `get` finds the
+  * first node with a label by preorder descent, `iter` walks
+  * breadth-first (the reference uses a deque), `contains` is label
+  * membership. Convenience only — never used by the distance kernel,
+  * exactly as in the reference. */
+object TreeOps {
+  /** First node with `label` in preorder, or null (reference `get`). */
+  def get(root: TNode, label: String): TNode = {
+    if (root.label == label) return root
+    var i = 0
+    while (i < root.children.length) {
+      val r = get(root.children(i), label)
+      if (r != null) return r
+      i += 1
+    }
+    null
+  }
+
+  /** Breadth-first node iterator (reference `iter`). */
+  def iter(root: TNode): Iterator[TNode] = new Iterator[TNode] {
+    private val q = new scala.collection.mutable.ArrayDeque[TNode]()
+    q.append(root)
+    def hasNext: Boolean = q.nonEmpty
+    def next(): TNode = {
+      val n = q.removeHead()
+      n.children.foreach(q.append)
+      n
+    }
+  }
+
+  /** Label membership (reference `__contains__`). */
+  def contains(root: TNode, label: String): Boolean =
+    iter(root).exists(_.label == label)
+}
+
 /** Flattened postorder tree — the shuffle-safe IR of this engine.
   *
   * Equivalent of the reference's `AnnotatedTree` (zss/compare.py anchor
