@@ -307,28 +307,33 @@ final class Scorer {
             val prow = row - n
             val tdrow = xa * nb
             val whole = ali == alxa
+            // per-row constants of the else branch, hoisted out of the
+            // y loop: p (fd row of the left-forest splice), its base
+            // offset, and the A-subtree size
+            val p = alxa - 1 - ioff
+            val pn = p * n
+            val szA = xa - alxa + 1
             if (ylo >= 2) fd(row + ylo - 1) = cap // left sentinel
             y = ylo
             while (y <= yhi) {
               val yb = y + joff
+              val blyb = bl(yb)
               var mn = fd(prow + y) + 1 // remove cost 1 (no empty labels)
               val d2 = fd(row + y - 1) + 1
               if (d2 < mn) mn = d2
-              if (whole && blj == bl(yb)) {
+              if (whole && blj == blyb) {
                 val d3 = fd(prow + y - 1) + (if (laxa == lbB(yb)) 0 else 1)
                 if (d3 < mn) mn = d3
                 if (mn > D) mn = D + 1
                 fd(row + y) = mn.toChar
                 td(tdrow + yb) = mn.toChar
               } else {
-                val p = alxa - 1 - ioff
-                val q = bl(yb) - 1 - joff
+                val q = blyb - 1 - joff
                 // guarded reads: out-of-band positions are ≥ cap by the
                 // band bound, and td entries for subtree pairs whose
                 // size gap exceeds D were never computed this pair
-                val fpq = if (math.abs(p - q) > D) cap.toInt else fd(p * n + q).toInt
-                val szA = xa - alxa + 1
-                val szB = yb - bl(yb) + 1
+                val fpq = if (math.abs(p - q) > D) cap.toInt else fd(pn + q).toInt
+                val szB = yb - blyb + 1
                 val tdv = if (math.abs(szA - szB) > D) cap.toInt else td(tdrow + yb).toInt
                 val d3 = fpq + tdv
                 if (d3 < mn) mn = d3
