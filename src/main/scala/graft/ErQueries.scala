@@ -67,6 +67,51 @@ object ErQueries {
           sum(col("p")).as("pairs_scored"),
           sum(col("c")).as("dp_cells"))
     }),
+    // cluster cohesion diagnostics: per-cluster member count, matched
+    // intra-edges, and worst intra-pair normalized distance — the
+    // threshold-drift monitor a 100 TB deployment would watch
+    "er_cluster_cohesion" -> ((s, dir) => {
+      val r = pipeline(s, dir)
+      val cl = r.clusters
+      val edges = r.scores.toDF().where(col("isMatch"))
+        .join(cl.withColumnRenamed("id", "idA").withColumnRenamed("clusterId", "cA"), "idA")
+        .join(cl.withColumnRenamed("id", "idB").withColumnRenamed("clusterId", "cB"), "idB")
+      val sizes = cl.groupBy(col("clusterId")).agg(count(lit(1)).as("n_members"))
+      edges.where(col("cA") === col("cB"))
+        .groupBy(col("cA").as("clusterId"))
+        .agg(count(lit(1)).as("n_edges"),
+          round(max(col("normDist")), 6).as("max_norm_dist"),
+          round(avg(col("normDist")), 6).as("avg_norm_dist"))
+        .join(sizes, "clusterId")
+        .orderBy(col("clusterId"))
+    }),
+    // edit scripts for matched pairs through the reference's
+    // return_operations surface (TreeDistOps) — one row per operation
+    "er_edit_scripts" -> ((s, dir) => {
+      import s.implicits._
+      val r = pipeline(s, dir)
+      val slim = r.trees.toDF().select(col("id"), col("labels"), col("lmds"), col("keyroots"))
+      val sample = r.matches.orderBy(col("idA"), col("idB")).limit(50)
+      val withTrees = sample
+        .join(slim.withColumnRenamed("id", "idA")
+          .withColumnRenamed("labels", "laA").withColumnRenamed("lmds", "lmA")
+          .withColumnRenamed("keyroots", "krA"), "idA")
+        .join(slim.withColumnRenamed("id", "idB")
+          .withColumnRenamed("labels", "laB").withColumnRenamed("lmds", "lmB")
+          .withColumnRenamed("keyroots", "krB"), "idB")
+        .select(col("idA"), col("idB"), col("laA"), col("lmA"), col("krA"),
+          col("laB"), col("lmB"), col("krB"))
+        .as[(Long, Long, Seq[String], Seq[Int], Seq[Int], Seq[String], Seq[Int], Seq[Int])]
+      withTrees.flatMap { case (idA, idB, laA, lmA, krA, laB, lmB, krB) =>
+        val a = graft.zs.PTree(laA.toArray, lmA.toArray, krA.toArray)
+        val b = graft.zs.PTree(laB.toArray, lmB.toArray, krB.toArray)
+        val (cost, ops) = graft.zs.TreeDistOps.distanceWithOps(a, b)
+        ops.zipWithIndex.map { case (op, i) =>
+          (idA, idB, cost, i, op.op.toInt, op.aIdx, op.bIdx)
+        }
+      }.toDF("idA", "idB", "cost", "op_seq", "op", "a_idx", "b_idx")
+        .orderBy(col("idA"), col("idB"), col("op_seq"))
+    }),
     // the ZSS scorer through its SQL surface (custom Catalyst
     // Expression): same candidate pairs, distances via spark.sql
     "er_ted_sql" -> ((s, dir) => {
