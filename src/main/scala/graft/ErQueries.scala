@@ -18,13 +18,25 @@ object ErQueries {
     Results.cached(spark, sfDir)
 
   /** Cache pipeline results per (session, sfDir) so Verify/Bench running
-    * many queries do not re-run the whole DAG per query. */
+    * many queries do not re-run the whole DAG per query. Keyed by the
+    * session too: a cached Dataset is bound to the session that built it,
+    * so a second session in the same JVM must get its own build. */
   private object Results {
-    private val cache = scala.collection.concurrent.TrieMap.empty[String, Pipeline.Result]
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Pipeline.Result]
     def cached(spark: SparkSession, sfDir: String): Pipeline.Result =
-      cache.getOrElseUpdate(sfDir, {
+      cache.getOrElseUpdate((spark, sfDir), {
         Pipeline.run(spark, CorpusGen.corpus(spark, sfDir))
       })
+  }
+
+  /** Force the shared pipeline's persisted stages once, so per-query
+    * timings downstream measure the query, not the pipeline build. */
+  def warm(spark: SparkSession, sfDir: String): Unit = {
+    val r = Results.cached(spark, sfDir)
+    r.trees.count()
+    r.scores.count()
+    r.clusters.count()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

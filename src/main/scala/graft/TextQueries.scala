@@ -54,8 +54,10 @@ object TextQueries {
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("sum_tokens"),
-          min(col("n_tokens")).as("min_tokens"),
-          max(col("n_tokens")).as("max_tokens"))
+          // cast to long: the driver's hash compare is type-sensitive and
+          // DuckDB len() yields BIGINT, so min/max must be int64 both sides
+          min(col("n_tokens")).cast("long").as("min_tokens"),
+          max(col("n_tokens")).cast("long").as("max_tokens"))
         .orderBy(col("lang"))
     }),
 
@@ -126,8 +128,11 @@ object TextQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // DuckDB sum(int) is HUGEINT (float64 through pandas) — cast to BIGINT
+    // so the driver's type-sensitive hash matches Spark's int64 sums
     "q_doc_stats" ->
-      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q_exact_dedup" ->
@@ -136,7 +141,7 @@ object TextQueries {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS sum_tokens,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS sum_tokens,
         |  min(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS min_tokens,
         |  max(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS max_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

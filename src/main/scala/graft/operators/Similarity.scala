@@ -71,8 +71,10 @@ object Similarity {
 
   /** Approximate top-k: bucket vectors by random-hyperplane signature in
     * `tables` tables, score only same-bucket candidates. Recall rises
-    * with `tables`, cost with bucket size (bounded by `cap` through
-    * [[CandidateGen]]'s skew guard). */
+    * with `tables`, cost with bucket size — corpus-side membership of
+    * each bucket is capped at `cap` (keep the `cap` smallest ids,
+    * deterministic) BEFORE the join, so one hot bucket can never emit
+    * more than #queries·cap candidates. */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              planeBits: Int = 12, tables: Int = 8, cap: Int = 256): DataFrame = {
     val spark = corpus.sparkSession
@@ -92,7 +94,11 @@ object Similarity {
         .toDF("bucket", "id")
 
     val qb = buckets(queries).withColumnRenamed("id", "query_id")
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("id"))
     val cb = buckets(corpus)
+      .withColumn("__rn", row_number().over(wb))
+      .where(col("__rn") <= cap)
+      .drop("__rn")
     val cand = qb.join(cb, "bucket")
       .where(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id"))

@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   * aggregation logic, so `q_events_window` (batch, oracle-checked) is
   * the golden twin of this stream — StreamingSpec asserts equality.
   *
-  * Scale notes: a 5-minute tumbling window + 10-minute watermark keeps
-  * state bounded (~windows × event_types rows); at cluster scale the
-  * same query runs from a file/Kafka source with checkpointLocation on
-  * durable storage.
+  * Scale notes: the watermark bounds state only in append/update output
+  * modes (complete mode keeps every window by definition) — the
+  * in-memory sink below runs `complete` as a test/demo surface, while
+  * the production shape is `append` with finalized windows emitted once
+  * the watermark passes, from a file/Kafka source with
+  * checkpointLocation on durable storage. The incremental-ER path in
+  * [[StreamingEr]] is the stateful-pipeline twin.
   */
 object StreamingIngest {
 
