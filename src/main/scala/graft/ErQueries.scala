@@ -113,7 +113,7 @@ object ErQueries {
           .withColumnRenamed("keyroots", "krB"), "idB")
         .select(col("idA"), col("idB"), col("laA"), col("lmA"), col("krA"),
           col("laB"), col("lmB"), col("krB"))
-        .as[(Long, Long, Seq[String], Seq[Int], Seq[Int], Seq[String], Seq[Int], Seq[Int])]
+        .as[(String, String, Seq[String], Seq[Int], Seq[Int], Seq[String], Seq[Int], Seq[Int])]
       withTrees.flatMap { case (idA, idB, laA, lmA, krA, laB, lmB, krB) =>
         val a = graft.zs.PTree(laA.toArray, lmA.toArray, krA.toArray)
         val b = graft.zs.PTree(laB.toArray, lmB.toArray, krB.toArray)
@@ -148,7 +148,7 @@ object ErQueries {
       // corpus equals the value the parse stage carried through
       import s.implicits._
       val files = CorpusGen.corpus(s, dir)
-      val raw = files.map(f => (graft.util.Hashing.rowId(f.repo, f.path, f.commit),
+      val raw = files.map(f => (graft.util.Hashing.rowId128Hex(f.repo, f.path, f.commit),
         graft.util.Hashing.sha256Hex(f.content))).toDF("id", "sha_raw")
       pipeline(s, dir).trees.toDF().select(col("id"), col("sha256"))
         .join(raw, "id")

@@ -23,7 +23,7 @@ final case class FileRow(
   * plus identity, the sha256 per-row invariant, and size metadata used
   * for blocking. */
 final case class TreeRow(
-    id: Long,
+    id: String,
     repo: String,
     path: String,
     commit: String,
@@ -40,7 +40,7 @@ final case class TreeRow(
     groupId: Long)
 
 /** Candidate pair, canonical order idA < idB. */
-final case class PairRow(idA: Long, idB: Long, lang: String, sizeBucket: Int)
+final case class PairRow(idA: String, idB: String, lang: String, sizeBucket: Int)
 
 /** Scored pair. normDist = dist / (nA + nB) ∈ [0, 1] under unit costs
   * (the unit-cost bound d ≤ |A|+|B| makes this a proper normalization).
@@ -48,8 +48,8 @@ final case class PairRow(idA: Long, idB: Long, lang: String, sizeBucket: Int)
   * non-matches the banded kernel reports the deterministic cap
   * ⌊τ·(nA+nB)⌋+1 — a lower bound sufficient for the match decision. */
 final case class ScoreRow(
-    idA: Long,
-    idB: Long,
+    idA: String,
+    idB: String,
     dist: Int,
     nA: Int,
     nB: Int,
@@ -57,7 +57,7 @@ final case class ScoreRow(
     isMatch: Boolean)
 
 /** Node → cluster representative (min member id). */
-final case class ClusterRow(id: Long, clusterId: Long)
+final case class ClusterRow(id: String, clusterId: String)
 
 /** Per-partition lineage/metrics row emitted by the scoring stage. */
 final case class PartMetrics(

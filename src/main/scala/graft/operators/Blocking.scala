@@ -75,13 +75,13 @@ object Blocking {
     val spark = trees.sparkSession
     import spark.implicits._
 
-    val keyed: Dataset[(Long, Long)] = trees.flatMap { t =>
+    val keyed: Dataset[(Long, String)] = trees.flatMap { t =>
       val ks = keysFor(t.lang, t.nTokens, t.minhash, cfg)
       val shaKey = Hashing.hashString(t.sha256, 0xabcdefL)
       (ks :+ shaKey).map(k => (k, t.id))
     }
 
-    CandidateGen.pairsFromKeys(keyed, cfg.maxBlockSize)
+    CandidateGen.pairsFromKeys(keyed.toDF("key", "id"), cfg.maxBlockSize)
   }
 
   /** Diagnostics: block-size histogram (oracle-checkable on the simple

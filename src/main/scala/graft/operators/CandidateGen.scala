@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Shared LSH-style candidate-pair generation: rows keyed by a 64-bit
@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object CandidateGen {
 
-  def pairsFromKeys(keyed: Dataset[(Long, Long)], cap: Int): DataFrame = {
-    val spark = keyed.sparkSession
-    import spark.implicits._
+  /** `keyed` must have columns (key, id); the id may be any orderable
+    * type — int64 driver ids and 128-bit hex ER ids alike. Pair emission
+    * is pure codegen'd array algebra (transform/slice/explode), no typed
+    * lambda, so the generic id costs nothing.
+    */
+  def pairsFromKeys(keyed: DataFrame, cap: Int): DataFrame = {
     // Cap BEFORE materializing the block: row_number streams through a
     // sort within the key's partition, so a degenerate hot key (10^9
     // members at corpus scale) never has to fit in one collect_list
@@ -25,27 +28,19 @@ object CandidateGen {
     // The window and the groupBy share the same hash partitioning, so
     // Catalyst plans a single exchange for both.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"key").orderBy($"id")
+      .partitionBy(col("key")).orderBy(col("id"))
     keyed
-      .toDF("key", "id")
       .withColumn("__rn", row_number().over(w))
-      .where($"__rn" <= cap)
-      .groupBy($"key")
-      .agg(collect_list($"id").as("ids"))
-      .select($"ids")
-      .as[Seq[Long]]
-      .flatMap { ids =>
-        if (ids.length < 2) Iterator.empty
-        else {
-          val arr = ids.toArray
-          java.util.Arrays.sort(arr)
-          for {
-            i <- Iterator.range(0, arr.length)
-            j <- Iterator.range(i + 1, arr.length)
-          } yield (arr(i), arr(j))
-        }
-      }
-      .toDF("idA", "idB")
+      .where(col("__rn") <= cap)
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) >= 2)
+      // all (i < j) pairs of the sorted block, emitted as one nested
+      // transform: element i pairs with every element after it
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("idA"), y.as("idB")))))).as("p"))
+      .select(col("p.idA"), col("p.idB"))
       .distinct()
   }
 }

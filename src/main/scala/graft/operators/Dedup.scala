@@ -60,7 +60,7 @@ object Dedup {
           (h, id)
         }
       }
-    CandidateGen.pairsFromKeys(keyed, p.cap)
+    CandidateGen.pairsFromKeys(keyed.toDF("key", "id"), p.cap)
   }
 
   // --- SimHash near-dup ---------------------------------------------------
@@ -110,7 +110,7 @@ object Dedup {
         (Hashing.mix64(Hashing.hashLong(c.toLong, 55L) ^ chunk), id)
       }
     }
-    val cand = CandidateGen.pairsFromKeys(keyed, cap)
+    val cand = CandidateGen.pairsFromKeys(keyed.toDF("key", "id"), cap)
     val out = cand
       .join(sigs.withColumnRenamed("id", "idA").withColumnRenamed("simhash", "shA"), "idA")
       .join(sigs.withColumnRenamed("id", "idB").withColumnRenamed("simhash", "shB"), "idB")

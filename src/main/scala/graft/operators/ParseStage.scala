@@ -66,7 +66,7 @@ object ParseStage {
       val p = CodeParser.parse(f.content, cfg)
       val toks = CodeParser.tokens(f.content, cfg)
       TreeRow(
-        id = Hashing.rowId(f.repo, f.path, f.commit),
+        id = Hashing.rowId128Hex(f.repo, f.path, f.commit),
         repo = f.repo,
         path = f.path,
         commit = f.commit,

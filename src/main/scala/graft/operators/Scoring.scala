@@ -24,7 +24,7 @@ object Scoring {
 
   /** Internal join-product row: a candidate pair with both flattened trees. */
   final case class PairTrees(
-      idA: Long, idB: Long,
+      idA: String, idB: String,
       laA: Array[Long], lmA: Array[Int], krA: Array[Int],
       laB: Array[Long], lmB: Array[Int], krB: Array[Int])
 

@@ -132,7 +132,7 @@ object Similarity {
           (Hashing.mix64(Hashing.hashLong(t.toLong, 991L) ^ sigFor(emb, local(t))), id)
         }
       }
-    val cand = CandidateGen.pairsFromKeys(keyed, cap)
+    val cand = CandidateGen.pairsFromKeys(keyed.toDF("key", "id"), cap)
     cand
       .join(corpus.select(col("vec_id").as("idA"), col("embedding").as("embA")), "idA")
       .join(corpus.select(col("vec_id").as("idB"), col("embedding").as("embB")), "idB")

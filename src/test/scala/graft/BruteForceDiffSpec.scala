@@ -21,7 +21,7 @@ class BruteForceDiffSpec extends AnyFunSuite {
 
     val trees = r.trees.toDF()
       .select($"id", $"labelsH", $"lmds", $"keyroots").collect()
-      .map(row => (row.getLong(0),
+      .map(row => (row.getString(0),
         PTree(Array.empty, row.getSeq[Int](2).toArray, row.getSeq[Int](3).toArray),
         row.getSeq[Long](1).toArray))
     val n = trees.length
@@ -30,11 +30,11 @@ class BruteForceDiffSpec extends AnyFunSuite {
     // brute force all pairs with the raw kernel
     val scorer = new Scorer
     val eh = graft.util.Hashing.hashString("")
-    val pr = scala.collection.mutable.Map[Long, Long](trees.map(t => t._1 -> t._1).toSeq: _*)
-    def find(x: Long): Long = { var r0 = x; while (pr(r0) != r0) r0 = pr(r0); r0 }
-    def union(a: Long, b: Long): Unit = {
+    val pr = scala.collection.mutable.Map[String, String](trees.map(t => t._1 -> t._1).toSeq: _*)
+    def find(x: String): String = { var r0 = x; while (pr(r0) != r0) r0 = pr(r0); r0 }
+    def union(a: String, b: String): Unit = {
       val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { if (ra < rb) pr(rb) = ra else pr(ra) = rb }
+      if (ra != rb) { if (ra < rb) pr(rb) = ra else pr(ra) = rb } // lexicographic min = unsigned 128-bit min
     }
     for (i <- 0 until n; j <- (i + 1) until n) {
       val (ia, ta, ha) = trees(i)
@@ -46,7 +46,7 @@ class BruteForceDiffSpec extends AnyFunSuite {
     val bruteClusters = trees.map(_._1).map(id => id -> find(id)).toMap
 
     val pipelineClusters = r.clusters.collect()
-      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+      .map(row => row.getString(0) -> row.getString(1)).toMap
     assert(pipelineClusters.keySet == bruteClusters.keySet)
     val mismatches = bruteClusters.count { case (id, c) => pipelineClusters(id) != c }
     assert(mismatches == 0, s"$mismatches of $n rows clustered differently than brute force")

@@ -86,7 +86,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(cmp == 0)
     // and the parse stage carried it through unchanged
     val viaTrees = result.trees.toDF().select($"id", $"sha256")
-    val raw = files.map(f => (graft.util.Hashing.rowId(f.repo, f.path, f.commit),
+    val raw = files.map(f => (graft.util.Hashing.rowId128Hex(f.repo, f.path, f.commit),
       graft.util.Hashing.sha256Hex(f.content))).toDF("id", "sha_raw")
     assert(viaTrees.join(raw, "id").where($"sha256" =!= $"sha_raw").count() == 0)
   }

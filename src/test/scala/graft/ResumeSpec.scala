@@ -15,7 +15,7 @@ class ResumeSpec extends AnyFunSuite {
 
     // first run writes every stage
     val r1 = Pipeline.run(spark, files, cfg)
-    val clusters1 = r1.clusters.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clusters1 = r1.clusters.collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(io.exists(spark, "trees") && io.exists(spark, "pairs") &&
       io.exists(spark, "scores") && io.exists(spark, "matches") &&
       io.exists(spark, "clusters") && io.exists(spark, "metrics"))
@@ -29,7 +29,7 @@ class ResumeSpec extends AnyFunSuite {
 
     // resume: earlier stages read back, later stages recomputed; results identical
     val r2 = Pipeline.run(spark, files, cfg)
-    val clusters2 = r2.clusters.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clusters2 = r2.clusters.collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(clusters2 == clusters1)
 
     // a half-written stage directory (no _SUCCESS) does not count as done
