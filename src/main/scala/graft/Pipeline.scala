@@ -31,13 +31,70 @@ object Pipeline {
       blocking: Blocking.BlockingConfig = Blocking.BlockingConfig(),
       io: Option[TableIO] = None)
 
-  final case class Result(
-      trees: Dataset[TreeRow],
-      pairs: DataFrame,
-      scores: Dataset[ScoreRow],
-      matches: DataFrame,
-      clusters: DataFrame,
-      metrics: DataFrame)
+  /** Lazy stage handles: constructing a Result builds only the plan —
+    * zero Spark jobs run until a stage is forced, so asking for `trees`
+    * never pays for the DP or the clustering rounds. Each `lazy val`
+    * memoizes, so shared upstream stages (persisted trees/scores) are
+    * built once however many downstream stages are read. With `cfg.io`
+    * set, forcing a stage writes-or-resumes it (and its upstreams) at
+    * that moment.
+    */
+  final class Result private[Pipeline] (
+      spark: SparkSession,
+      files: Dataset[FileRow],
+      cfg: Config) {
+    import spark.implicits._
+
+    private val metricsAcc = new org.apache.spark.util.CollectionAccumulator[PartMetrics]
+    spark.sparkContext.register(metricsAcc, "graft.score.partMetrics")
+
+    lazy val trees: Dataset[TreeRow] = staged(spark, cfg, "trees") {
+      ParseStage.parse(files, cfg.parse, cfg.blocking.mh).toDF()
+    }.as[TreeRow].persist(StorageLevel.MEMORY_AND_DISK)
+
+    lazy val pairs: DataFrame = staged(spark, cfg, "pairs") {
+      Blocking.candidatePairs(trees, cfg.blocking)
+    }
+
+    // persist: matches, clusters, F1 and metrics all read scores — without
+    // it every downstream action re-runs the (expensive) DP stage
+    lazy val scores: Dataset[ScoreRow] = staged(spark, cfg, "scores") {
+      scoreStage()
+    }.as[ScoreRow].persist(StorageLevel.MEMORY_AND_DISK)
+
+    private def scoreStage(): DataFrame = {
+      val pt = Scoring.attachTrees(pairs, trees, cfg.salts)
+      Scoring.score(pt, cfg.tau, Some(metricsAcc)).toDF()
+    }
+
+    lazy val matches: DataFrame = staged(spark, cfg, "matches") { Scoring.matches(scores) }
+
+    lazy val clusters: DataFrame = staged(spark, cfg, "clusters") {
+      Clustering.connectedComponents(matches, trees.toDF().select($"id"))
+    }
+
+    /** Per-partition lineage/metrics. The accumulator fills when the
+      * score stage actually executes; on resume it stays empty and the
+      * persisted metrics table (written in the same run as the scores)
+      * is the record. If a crash landed between the scores write and the
+      * metrics write, the score stage is re-run purely to regenerate the
+      * metrics — never persist an empty metrics table, which would
+      * permanently record zero scoring metrics for the run. */
+    lazy val metrics: DataFrame = cfg.io match {
+      case Some(io) if io.exists(spark, "metrics") => io.read(spark, "metrics")
+      case other =>
+        scores.count() // force the stage so the accumulator fills
+        if (metricsAcc.value.isEmpty && other.isDefined) {
+          // scores resumed from checkpoint but metrics table missing:
+          // recompute the score stage for its side-band metrics only
+          scoreStage().count()
+        }
+        val m = spark.createDataFrame(
+          scala.jdk.CollectionConverters.ListHasAsScala(metricsAcc.value).asScala.toSeq)
+        other.foreach(io => io.write(m, "metrics"))
+        m
+    }
+  }
 
   /** Session defaults every entry point should use. AQE on, skew-join
     * split on — the pair-generation and tree-fetch shuffles are the
@@ -49,52 +106,8 @@ object Pipeline {
   }
 
   def run(spark: SparkSession, files: Dataset[FileRow], cfg: Config = Config()): Result = {
-    import spark.implicits._
     tune(spark)
-
-    // -- stage: parse ------------------------------------------------------
-    val trees: Dataset[TreeRow] = staged(spark, cfg, "trees") {
-      ParseStage.parse(files, cfg.parse, cfg.blocking.mh).toDF()
-    }.as[TreeRow].persist(StorageLevel.MEMORY_AND_DISK)
-
-    // -- stage: candidate pairs -------------------------------------------
-    val pairs = staged(spark, cfg, "pairs") {
-      Blocking.candidatePairs(trees, cfg.blocking)
-    }
-
-    // -- stage: score ------------------------------------------------------
-    val metricsAcc = new org.apache.spark.util.CollectionAccumulator[PartMetrics]
-    spark.sparkContext.register(metricsAcc, "graft.score.partMetrics")
-    // persist: matches, clusters, F1 and metrics all read scores — without
-    // it every downstream action re-runs the (expensive) DP stage
-    val scores: Dataset[ScoreRow] = staged(spark, cfg, "scores") {
-      val pt = Scoring.attachTrees(pairs, trees, cfg.salts)
-      Scoring.score(pt, cfg.tau, Some(metricsAcc)).toDF()
-    }.as[ScoreRow].persist(StorageLevel.MEMORY_AND_DISK)
-
-    // -- stage: matches + clusters ----------------------------------------
-    val matches = staged(spark, cfg, "matches") { Scoring.matches(scores) }
-    val clusters = staged(spark, cfg, "clusters") {
-      Clustering.connectedComponents(matches, trees.toDF().select($"id"))
-    }
-
-    // -- per-partition lineage/metrics ------------------------------------
-    // The accumulator fills when the score stage actually executes; if the
-    // stage was resumed from checkpoint it stays empty and the persisted
-    // metrics table (written in the same run as the scores) is the record.
-    val metrics: DataFrame = cfg.io match {
-      case Some(io) if io.exists(spark, "metrics") && metricsAcc.value.isEmpty =>
-        io.read(spark, "metrics")
-      case other =>
-        // force scores so the accumulator fills, then persist
-        scores.count()
-        val m = spark.createDataFrame(
-          scala.jdk.CollectionConverters.ListHasAsScala(metricsAcc.value).asScala.toSeq)
-        other.foreach(io => io.write(m, "metrics"))
-        m
-    }
-
-    Result(trees, pairs, scores, matches, clusters, metrics)
+    new Result(spark, files, cfg)
   }
 
   /** Run-or-resume: with an IO configured, a stage whose table already
