@@ -40,15 +40,27 @@ object ErQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // identity columns only — every one is independently recomputable by
+    // the DuckDB oracle from the dumped raw corpus (id = sha256 prefix of
+    // the identity triple, sha256 = content hash)
     "er_trees" -> ((s, dir) => {
       pipeline(s, dir).trees.toDF()
-        .select(col("id"), col("lang"), col("sha256"), col("n"), col("nTokens").as("n_tokens"))
+        .select(col("id"), col("lang"), col("sha256"))
+        .orderBy(col("id"))
+    }),
+    // parse-derived size stats (tree nodes / token counts) — not
+    // SQL-recomputable (custom lexer), dumped for downstream oracles
+    "er_tree_stats" -> ((s, dir) => {
+      pipeline(s, dir).trees.toDF()
+        .select(col("id"), col("lang"), col("n"), col("nTokens").as("n_tokens"),
+          col("truncated"))
         .orderBy(col("id"))
     }),
     "er_pairs" -> ((s, dir) => pipeline(s, dir).pairs.orderBy(col("idA"), col("idB"))),
     "er_scores" -> ((s, dir) => {
       pipeline(s, dir).scores.toDF()
-        .select(col("idA"), col("idB"), col("dist"), col("isMatch"))
+        .select(col("idA"), col("idB"), col("dist"), col("nA"), col("nB"),
+          col("normDist"), col("isMatch"))
         .orderBy(col("idA"), col("idB"))
     }),
     "er_matches" -> ((s, dir) => pipeline(s, dir).matches.orderBy(col("idA"), col("idB"))),
@@ -125,10 +137,14 @@ object ErQueries {
         .orderBy(col("idA"), col("idB"), col("op_seq"))
     }),
     // the ZSS scorer through its SQL surface (custom Catalyst
-    // Expression): same candidate pairs, distances via spark.sql
+    // Expression): same candidate pairs, EXACT distances via spark.sql,
+    // clamped to the banded kernel's cap ⌊τ·(nA+nB)⌋+1 so the result is
+    // value-identical to the mapPartitions scorer on every pair — the
+    // oracle then cross-checks the two independent code paths
     "er_ted_sql" -> ((s, dir) => {
       graft.functions.TreeEditDistance.register(s)
       val r = pipeline(s, dir)
+      val tau = Pipeline.Config().tau
       val slim = r.trees.toDF().select(col("id"), col("labels"), col("lmds"), col("keyroots"))
       r.pairs
         .join(slim.withColumnRenamed("id", "idA")
@@ -138,9 +154,13 @@ object ErQueries {
           .withColumnRenamed("labels", "laB").withColumnRenamed("lmds", "lmB")
           .withColumnRenamed("keyroots", "krB"), "idB")
         .select(col("idA"), col("idB"),
-          graft.functions.TreeEditDistance.treeEditDistance(
-            col("laA"), col("lmA"), col("krA"),
-            col("laB"), col("lmB"), col("krB")).as("dist"))
+          least(
+            graft.functions.TreeEditDistance.treeEditDistance(
+              col("laA"), col("lmA"), col("krA"),
+              col("laB"), col("lmB"), col("krB")),
+            (floor(lit(tau) * (size(col("laA")) + size(col("laB")))) + 1).cast("int")
+          ).as("dist"),
+          size(col("laA")).as("nA"), size(col("laB")).as("nB"))
         .orderBy(col("idA"), col("idB"))
     }),
     "er_sha_invariant" -> ((s, dir) => {
@@ -158,5 +178,118 @@ object ErQueries {
     })
   )
 
-  def oracleSql: Map[String, String] = Map.empty
+  /** Auxiliary dumps for the DuckDB oracle: the deterministic raw corpus
+    * (so the oracle can recompute ids and content hashes from scratch)
+    * and the raw per-attempt scoring metrics (so the oracle can redo the
+    * dedupe/rollup independently). Verify calls this after the query
+    * dumps; the driver ignores non-query directories. */
+  def dumpAux(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    CorpusGen.corpus(spark, sfDir).toDF()
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/corpus")
+    Results.cached(spark, sfDir).metrics
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/metrics_raw")
+  }
+
+  /** DuckDB oracle SQL. `{OUT}` is substituted by Verify with the
+    * absolute dump directory; queries read the dumped stage tables plus
+    * the raw corpus, so every SQL-expressible derivation is checked by an
+    * independent engine:
+    *  - er_trees: ids + sha256 recomputed from the raw corpus by DuckDB's
+    *    own sha256 — a genuine cross-engine recomputation;
+    *  - er_clusters: connected components recomputed via a recursive CTE
+    *    — an independent CC implementation over the matched edges;
+    *  - er_scores ⇄ er_ted_sql: the mapPartitions banded kernel and the
+    *    Catalyst expression surface must agree pairwise;
+    *  - the rest are aggregation/derivation recomputations.
+    * The DP itself stays oracle-exempt (not SQL-expressible) and is
+    * covered by the golden + property + brute-force-differential suites.
+    */
+  def oracleSql: Map[String, String] = {
+    val corpus = "read_parquet('{OUT}/_aux/corpus/*.parquet')"
+    val idExpr = "substr(sha256(repo || chr(10) || path || chr(10) || commit), 1, 32)"
+    Map(
+      "er_trees" ->
+        s"""SELECT $idExpr AS id, lang, sha256(content) AS sha256
+           |FROM $corpus ORDER BY id""".stripMargin,
+      "er_sha_invariant" ->
+        s"""SELECT count(*) AS n_rows, count(*) AS n_equal FROM $corpus""",
+      "er_pairs" ->
+        """SELECT idA, idB FROM read_parquet('{OUT}/er_scores/*.parquet')
+          |ORDER BY idA, idB""".stripMargin,
+      "er_matches" ->
+        """SELECT idA, idB FROM read_parquet('{OUT}/er_scores/*.parquet')
+          |WHERE isMatch ORDER BY idA, idB""".stripMargin,
+      "er_scores" ->
+        s"""SELECT idA, idB, dist, nA, nB,
+           |  CAST(dist AS DOUBLE) / greatest(nA + nB, 1) AS normDist,
+           |  CAST(dist AS DOUBLE) / greatest(nA + nB, 1) <= ${Pipeline.Config().tau} AS isMatch
+           |FROM read_parquet('{OUT}/er_ted_sql/*.parquet') ORDER BY idA, idB""".stripMargin,
+      "er_ted_sql" ->
+        """SELECT idA, idB, dist, nA, nB FROM read_parquet('{OUT}/er_scores/*.parquet')
+          |ORDER BY idA, idB""".stripMargin,
+      "er_cluster_sizes" ->
+        """WITH cs AS (
+          |  SELECT clusterId, count(*) AS size
+          |  FROM read_parquet('{OUT}/er_clusters/*.parquet') GROUP BY clusterId)
+          |SELECT size, count(*) AS n_clusters FROM cs GROUP BY size ORDER BY size""".stripMargin,
+      "er_clusters" ->
+        """WITH RECURSIVE
+          |  m AS (SELECT idA, idB FROM read_parquet('{OUT}/er_scores/*.parquet') WHERE isMatch),
+          |  e AS (SELECT idA AS a, idB AS b FROM m UNION ALL SELECT idB, idA FROM m),
+          |  nodes AS (SELECT id FROM read_parquet('{OUT}/er_trees/*.parquet')),
+          |  reach(id, r) AS (
+          |    SELECT id, id FROM nodes
+          |    UNION
+          |    SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
+          |SELECT id, min(r) AS clusterId FROM reach GROUP BY id ORDER BY id""".stripMargin,
+      "er_cluster_cohesion" ->
+        """WITH s AS (
+          |  SELECT * FROM read_parquet('{OUT}/er_scores/*.parquet') WHERE isMatch),
+          |cl AS (SELECT * FROM read_parquet('{OUT}/er_clusters/*.parquet')),
+          |e AS (
+          |  SELECT ca.clusterId AS clusterId, s.normDist
+          |  FROM s JOIN cl ca ON s.idA = ca.id JOIN cl cb ON s.idB = cb.id
+          |  WHERE ca.clusterId = cb.clusterId),
+          |sizes AS (SELECT clusterId, count(*) AS n_members FROM cl GROUP BY clusterId),
+          |agg AS (
+          |  SELECT clusterId, count(*) AS n_edges,
+          |    round(max(normDist), 6) AS max_norm_dist,
+          |    round(avg(normDist), 6) AS avg_norm_dist
+          |  FROM e GROUP BY clusterId)
+          |SELECT a.clusterId, a.n_edges, a.max_norm_dist, a.avg_norm_dist, z.n_members
+          |FROM agg a JOIN sizes z ON a.clusterId = z.clusterId ORDER BY a.clusterId""".stripMargin,
+      "er_f1" ->
+        s"""WITH labels AS (
+           |  SELECT $idExpr AS id, groupId FROM $corpus),
+           |lab AS (
+           |  SELECT s.isMatch, (a.groupId = b.groupId AND a.groupId >= 0) AS isDup
+           |  FROM read_parquet('{OUT}/er_scores/*.parquet') s
+           |  JOIN labels a ON s.idA = a.id
+           |  JOIN labels b ON s.idB = b.id),
+           |agg AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN isMatch AND isDup THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |    CAST(sum(CASE WHEN isMatch AND NOT isDup THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |    CAST(sum(CASE WHEN NOT isMatch AND isDup THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           |  FROM lab)
+           |SELECT tp, fp, fn,
+           |  tp / (tp + fp) AS "precision",
+           |  tp / (tp + fn) AS recall,
+           |  2.0 * tp / (2.0 * tp + fp + fn) AS f1
+           |FROM agg""".stripMargin,
+      "er_metrics" ->
+        """WITH d AS (
+          |  SELECT stage, partitionId, max(pairsScored) AS p, max(dpCells) AS c
+          |  FROM read_parquet('{OUT}/_aux/metrics_raw/*.parquet')
+          |  GROUP BY stage, partitionId)
+          |SELECT stage, count(*) AS n_partitions,
+          |  CAST(sum(p) AS BIGINT) AS pairs_scored,
+          |  CAST(sum(c) AS BIGINT) AS dp_cells
+          |FROM d GROUP BY stage""".stripMargin,
+      "er_block_histogram" ->
+        """SELECT lang, CAST(floor(n_tokens / 64) AS INT) AS size_bucket,
+          |  count(*) AS n_files
+          |FROM read_parquet('{OUT}/er_tree_stats/*.parquet')
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
 }

@@ -19,10 +19,15 @@ object SimQueries {
     df.where(col("vec_id") < n)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // exact brute-force cosine top-5 for the first 20 vectors
+    // exact brute-force cosine top-5 for the first 20 vectors; cosine is
+    // rounded to 6dp in the OUTPUT only (ranking runs on full precision)
+    // so the DuckDB oracle's independently computed cosines compare
+    // exactly — cross-engine float sums agree far beyond 1e-6
     "q_knn_brute" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteKnn(e, queriesOf(e, 20), k = 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -61,5 +66,31 @@ object SimQueries {
     })
   )
 
-  def oracleSql: Map[String, String] = Map.empty
+  /** DuckDB oracles: brute-force kNN is fully recomputed by the oracle
+    * engine (its own cross join + cosine + window rank); frame sampling
+    * is recomputed from the dumped features table ({OUT} = dump dir,
+    * substituted by Verify). LSH variants stay rows-only: their buckets
+    * are seeded engine-internal hashes. */
+  def oracleSql: Map[String, String] = Map(
+    "q_knn_brute" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    list_cosine_similarity(c.ce, q.qe) AS cosine
+        |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, vec_id, round(cosine, 6) AS cosine, CAST(rnk AS INT) AS "rank"
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_frame_samples" ->
+      """SELECT asset_id, frame_idx FROM (
+        |  SELECT asset_id, CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx
+        |  FROM read_parquet('{OUT}/q_multimodal_features/*.parquet')
+        |  WHERE mime LIKE 'video%')
+        |ORDER BY asset_id, frame_idx""".stripMargin)
 }

@@ -22,6 +22,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // auxiliary oracle inputs: the deterministic raw corpus + raw scoring
+    // metrics, so the DuckDB oracle can recompute ids/hashes/rollups from
+    // scratch (several er_* oracles read '{OUT}/...' paths)
+    try ErQueries.dumpAux(spark, sfDir, outDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] aux dump failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -34,8 +41,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // '{OUT}' in oracle SQL = the absolute dump dir (the oracle runs on
+    // the same host, so dumped stage tables are read back by path)
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
