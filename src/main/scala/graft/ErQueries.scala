@@ -30,6 +30,24 @@ object ErQueries {
       })
   }
 
+  /** Incremental-ER twin of [[Results]]: the final clustering after
+    * feeding the corpus through [[graft.streaming.StreamingEr]] in two
+    * deterministic arrival batches. */
+  private object StreamResults {
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    def cached(spark: SparkSession, sfDir: String): DataFrame =
+      cache.getOrElseUpdate((spark, sfDir), {
+        val files = CorpusGen.corpus(spark, sfDir)
+        def part(b: Int) = files.filter(f =>
+          math.floorMod(graft.util.Hashing.hashString(f.path), 2) == b)
+        var st: Option[graft.streaming.StreamingEr.ErState] = None
+        for (b <- 0 until 2)
+          st = Some(graft.streaming.StreamingEr.processBatch(spark, part(b), st))
+        st.get.clusters
+      })
+  }
+
   /** Force the shared pipeline's persisted stages once, so per-query
     * timings downstream measure the query, not the pipeline build. */
   def warm(spark: SparkSession, sfDir: String): Unit = {
@@ -163,6 +181,11 @@ object ErQueries {
           size(col("laA")).as("nA"), size(col("laB")).as("nB"))
         .orderBy(col("idA"), col("idB"))
     }),
+    // incremental (foreachBatch) ER over a 2-batch arrival split — the
+    // oracle asserts it lands on exactly the batch pipeline's clusters
+    "er_stream_clusters" -> ((s, dir) => {
+      StreamResults.cached(s, dir).orderBy(col("id"))
+    }),
     "er_sha_invariant" -> ((s, dir) => {
       // per-row invariant (input_hint): sha256 recomputed from the raw
       // corpus equals the value the parse stage carried through
@@ -227,6 +250,12 @@ object ErQueries {
       "er_ted_sql" ->
         """SELECT idA, idB, dist, nA, nB FROM read_parquet('{OUT}/er_scores/*.parquet')
           |ORDER BY idA, idB""".stripMargin,
+      // incremental == batch: the streaming path must land on exactly
+      // the clusters the batch pipeline (already CC-verified by its own
+      // recursive-CTE oracle) produced
+      "er_stream_clusters" ->
+        """SELECT id, clusterId FROM read_parquet('{OUT}/er_clusters/*.parquet')
+          |ORDER BY id""".stripMargin,
       "er_cluster_sizes" ->
         """WITH cs AS (
           |  SELECT clusterId, count(*) AS size

@@ -1,6 +1,5 @@
 package graft.zs
 
-import scala.collection.mutable.ArrayBuffer
 
 /** Edit-script variant of the kernel — the reference's
   * `return_operations=True` path (upstream master zss/compare.py anchor
@@ -11,8 +10,11 @@ import scala.collection.mutable.ArrayBuffer
   * Nodes are referenced by postorder index into the respective tree
   * (the reference passes Node objects; a flattened engine uses indices
   * — `labels(i)` recovers the label). Per-cell op chains are persistent
-  * (structurally shared) lists, so memory is O(cells), not O(cells ·
-  * script length).
+  * ropes (structurally shared binary concat trees): appending one op
+  * and splicing a whole memoized subtree script are both O(1), so the
+  * DP costs O(1) extra per cell and memory stays O(cells) — a naive
+  * list splice would re-materialize the subtree script per cell,
+  * O(cells · script length), which dominated wall time on big trees.
   */
 object TreeDistOps {
 
@@ -27,14 +29,30 @@ object TreeDistOps {
     * `bIdx` in B (or -1). */
   final case class Operation(op: Byte, aIdx: Int, bIdx: Int)
 
-  // persistent chain cell: prepend-only, shared tails
-  private final case class Chain(op: Operation, prev: Chain)
+  // persistent rope: ops in left-to-right order; null = empty
+  private sealed trait Chain
+  private final class One(val op: Operation) extends Chain
+  private final class Cat(val l: Chain, val r: Chain) extends Chain
+
+  private def append(c: Chain, op: Operation): Chain =
+    if (c == null) new One(op) else new Cat(c, new One(op))
+
+  private def concat(a: Chain, b: Chain): Chain =
+    if (a == null) b else if (b == null) a else new Cat(a, b)
 
   private def toList(c: Chain): List[Operation] = {
-    var out = List.empty[Operation]
-    var cur = c
-    while (cur != null) { out = cur.op :: out; cur = cur.prev }
-    out
+    if (c == null) return List.empty
+    val out = scala.collection.mutable.ListBuffer.empty[Operation]
+    var stack: List[Chain] = c :: Nil
+    while (stack.nonEmpty) {
+      val h = stack.head
+      stack = stack.tail
+      h match {
+        case o: One => out += o.op
+        case t: Cat => stack = t.l :: t.r :: stack
+      }
+    }
+    out.toList
   }
 
   /** Unit-cost distance + edit script transforming A into B. */
@@ -62,13 +80,13 @@ object TreeDistOps {
       var x = 1
       while (x < m) {
         fd(x)(0) = fd(x - 1)(0) + rem(x + ioff)
-        fdOps(x)(0) = Chain(Operation(Op.Remove, x + ioff, -1), fdOps(x - 1)(0))
+        fdOps(x)(0) = append(fdOps(x - 1)(0), Operation(Op.Remove, x + ioff, -1))
         x += 1
       }
       var y = 1
       while (y < n) {
         fd(0)(y) = fd(0)(y - 1) + ins(y + joff)
-        fdOps(0)(y) = Chain(Operation(Op.Insert, -1, y + joff), fdOps(0)(y - 1))
+        fdOps(0)(y) = append(fdOps(0)(y - 1), Operation(Op.Insert, -1, y + joff))
         y += 1
       }
       x = 1
@@ -84,14 +102,14 @@ object TreeDistOps {
             val dUpd = fd(x - 1)(y - 1) + c
             if (dUpd <= dRem && dUpd <= dIns) {
               fd(x)(y) = dUpd
-              fdOps(x)(y) = Chain(
-                Operation(if (c == 0) Op.Match else Op.Update, xa, yb), fdOps(x - 1)(y - 1))
+              fdOps(x)(y) = append(fdOps(x - 1)(y - 1),
+                Operation(if (c == 0) Op.Match else Op.Update, xa, yb))
             } else if (dRem <= dIns) {
               fd(x)(y) = dRem
-              fdOps(x)(y) = Chain(Operation(Op.Remove, xa, -1), fdOps(x - 1)(y))
+              fdOps(x)(y) = append(fdOps(x - 1)(y), Operation(Op.Remove, xa, -1))
             } else {
               fd(x)(y) = dIns
-              fdOps(x)(y) = Chain(Operation(Op.Insert, -1, yb), fdOps(x)(y - 1))
+              fdOps(x)(y) = append(fdOps(x)(y - 1), Operation(Op.Insert, -1, yb))
             }
             td(xa)(yb) = fd(x)(y)
             tdOps(xa)(yb) = fdOps(x)(y)
@@ -101,16 +119,15 @@ object TreeDistOps {
             val dSub = fd(p)(q) + td(xa)(yb)
             if (dSub <= dRem && dSub <= dIns) {
               fd(x)(y) = dSub
-              // splice the memoized subtree script onto the outer chain
-              var chain = fdOps(p)(q)
-              toList(tdOps(xa)(yb)).foreach(op => chain = Chain(op, chain))
-              fdOps(x)(y) = chain
+              // splice the memoized subtree script onto the outer chain:
+              // O(1) rope concat, no re-materialization
+              fdOps(x)(y) = concat(fdOps(p)(q), tdOps(xa)(yb))
             } else if (dRem <= dIns) {
               fd(x)(y) = dRem
-              fdOps(x)(y) = Chain(Operation(Op.Remove, xa, -1), fdOps(x - 1)(y))
+              fdOps(x)(y) = append(fdOps(x - 1)(y), Operation(Op.Remove, xa, -1))
             } else {
               fd(x)(y) = dIns
-              fdOps(x)(y) = Chain(Operation(Op.Insert, -1, yb), fdOps(x)(y - 1))
+              fdOps(x)(y) = append(fdOps(x)(y - 1), Operation(Op.Insert, -1, yb))
             }
           }
           y += 1

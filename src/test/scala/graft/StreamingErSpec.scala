@@ -1,0 +1,68 @@
+package graft
+
+import graft.model.FileRow
+import graft.sources.CorpusGen
+import graft.streaming.StreamingEr
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental ER must converge to the batch pipeline's clustering: the
+  * union of per-batch new-vs-bucket pair sets covers every batch-mode
+  * candidate pair (bucket sizes stay under the cap at this scale), and
+  * star-edge contraction preserves connectivity, so the final
+  * assignments are identical.
+  */
+class StreamingErSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def clustersOf(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+    df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+  test("incremental clusters over 3 batches == batch pipeline clusters") {
+    import spark.implicits._
+    val files = CorpusGen.corpus(spark, "/root/testdata/sf0.001").persist()
+    val batchClusters = clustersOf(Pipeline.run(spark, files).clusters)
+
+    // deterministic 3-way split; arrival order deliberately interleaves
+    // duplicate groups across batches
+    def part(b: Int) = files.filter((f: FileRow) =>
+      math.floorMod(graft.util.Hashing.hashString(f.path), 3) == b)
+    var state: Option[StreamingEr.ErState] = None
+    for (b <- 0 until 3)
+      state = Some(StreamingEr.processBatch(spark, part(b), state))
+
+    val incClusters = clustersOf(state.get.clusters)
+    assert(incClusters.map(_._1) == batchClusters.map(_._1), "node universes differ")
+    assert(incClusters == batchClusters, {
+      val onlyInc = incClusters -- batchClusters
+      val onlyBatch = batchClusters -- incClusters
+      s"incremental != batch: +${onlyInc.take(5)} -${onlyBatch.take(5)}"
+    })
+    files.unpersist()
+  }
+
+  test("foreachBatch wiring: MemoryStream drives the incremental pipeline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val files = CorpusGen.corpus(spark, "/root/testdata/sf0.001")
+      .filter((f: FileRow) => math.floorMod(graft.util.Hashing.hashString(f.path), 10) == 0)
+      .collect()
+    val (b1, b2) = files.splitAt(files.length / 2)
+
+    val stream = MemoryStream[FileRow]
+    @volatile var last: Option[StreamingEr.ErState] = None
+    val q = StreamingEr.start(spark, stream.toDS()) { st => last = Some(st) }
+    try {
+      stream.addData(b1.toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(last.isDefined, "no batch processed")
+    val incClusters = clustersOf(last.get.clusters)
+    val batchClusters = clustersOf(
+      Pipeline.run(spark, spark.createDataset(files.toSeq)).clusters)
+    assert(incClusters == batchClusters)
+  }
+}
