@@ -30,4 +30,39 @@ object SaltedJoin {
       explode(array((0 until salts).map(lit): _*)))
     sl.join(sr, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Adaptive variant: salt ONLY keys whose probe-side degree exceeds
+    * `hotThreshold`; the build side is replicated `salts`× for those
+    * keys alone and shipped once for everything else. Flat salting
+    * multiplies the entire build side's shuffle volume by `salts` even
+    * when no key is hot — at 10^12-row scale that is the dominant cost
+    * of the join, so pay the one cheap map-side-combinable degree count
+    * (narrow probe columns) instead and replicate surgically. The hot
+    * set is tiny by construction (≤ |probe| / hotThreshold keys), so it
+    * broadcasts. */
+  def adaptiveSaltedEquiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      salts: Int,
+      leftSaltBy: Column,
+      hotThreshold: Long = 2048L): DataFrame = {
+    require(salts > 0)
+    val hotKeys = left.groupBy(col(key)).agg(count(lit(1)).as("__deg"))
+      .where(col("__deg") > hotThreshold)
+      .select(col(key))
+    val sl = left
+      .join(broadcast(hotKeys.withColumn("__hot", lit(true))), Seq(key), "left")
+      .withColumn("__salt",
+        when(col("__hot").isNotNull, pmod(xxhash64(leftSaltBy), lit(salts)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("__hot")
+    val srCold = right
+      .join(broadcast(hotKeys), Seq(key), "left_anti")
+      .withColumn("__salt", lit(0))
+    val srHot = right
+      .join(broadcast(hotKeys), Seq(key), "left_semi")
+      .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    sl.join(srCold.unionByName(srHot), Seq(key, "__salt")).drop("__salt")
+  }
 }

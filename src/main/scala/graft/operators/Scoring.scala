@@ -29,9 +29,14 @@ object Scoring {
       laB: Array[Long], lmB: Array[Int], krB: Array[Int])
 
   /** Attach both trees to each candidate pair. Two equi-joins on id; the
-    * trees side is one row per key, so the explicit salted join bounds
-    * any single hot tree id (a file in many candidate pairs) while AQE
-    * handles residual shuffle skew.
+    * trees side is one row per key, and salting is ADAPTIVE: per-id pair
+    * degree is bounded by the blocking caps (~keysPerTree · blockCap, on
+    * the order of 10³), so in the normal configuration no key is hot and
+    * the wide tree rows ship exactly once — flat salting would multiply
+    * the build side's shuffle volume by `salts` for no benefit. If a
+    * config change (bigger caps, more bands) pushes some id's degree
+    * past the threshold, just those ids are salted; AQE skew-split
+    * remains on for residual shuffle skew.
     */
   def attachTrees(pairs: DataFrame, trees: Dataset[TreeRow], salts: Int = 8): Dataset[PairTrees] = {
     val spark = trees.sparkSession
@@ -41,13 +46,13 @@ object Scoring {
     // and cache bytes (labels stay on TreeRow for the SQL surface)
     val slim = trees.toDF().select($"id", $"labelsH".as("labels"), $"lmds", $"keyroots")
 
-    val withA = SaltedJoin.saltedEquiJoin(
+    val withA = SaltedJoin.adaptiveSaltedEquiJoin(
       pairs.withColumnRenamed("idA", "id"), slim, "id", salts, leftSaltBy = col("idB"))
       .withColumnRenamed("id", "idA")
       .withColumnRenamed("labels", "laA")
       .withColumnRenamed("lmds", "lmA")
       .withColumnRenamed("keyroots", "krA")
-    val withB = SaltedJoin.saltedEquiJoin(
+    val withB = SaltedJoin.adaptiveSaltedEquiJoin(
       withA.withColumnRenamed("idB", "id"), slim, "id", salts, leftSaltBy = col("idA"))
       .withColumnRenamed("id", "idB")
       .withColumnRenamed("labels", "laB")
