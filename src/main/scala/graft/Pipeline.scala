@@ -52,9 +52,12 @@ object Pipeline {
       ParseStage.parse(files, cfg.parse, cfg.blocking.mh).toDF()
     }.as[TreeRow].persist(StorageLevel.MEMORY_AND_DISK)
 
+    // persist: the scoring stage reads pairs more than once (hot-degree
+    // counts + the probe side of each tree-fetch join) — without it the
+    // blocking shuffle re-executes per read
     lazy val pairs: DataFrame = staged(spark, cfg, "pairs") {
       Blocking.candidatePairs(trees, cfg.blocking)
-    }
+    }.persist(StorageLevel.MEMORY_AND_DISK)
 
     // persist: matches, clusters, F1 and metrics all read scores — without
     // it every downstream action re-runs the (expensive) DP stage

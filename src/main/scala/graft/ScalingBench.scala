@@ -29,7 +29,7 @@ object ScalingBench {
     Pipeline.tune(spark)
     val files = CorpusGen.corpus(spark, sfDir, mult)
     val trees = ParseStage.parse(files).persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = Blocking.candidatePairs(trees)
+    val pairs = Blocking.candidatePairs(trees).persist(StorageLevel.MEMORY_AND_DISK)
     val pairTrees = Scoring.attachTrees(pairs, trees).persist(StorageLevel.MEMORY_AND_DISK)
     pairTrees.count() // materialize inputs outside the timed region
 

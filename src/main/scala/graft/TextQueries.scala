@@ -80,6 +80,19 @@ object TextQueries {
         .orderBy(col("decile"))
     }),
 
+    // the exactDedup OPERATOR itself (keep smallest id per content
+    // hash) — oracle-checked via QUALIFY in DuckDB
+    "q_dedup_keepers" -> ((s, dir) => {
+      Dedup.exactDedup(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // the exactDupGroups OPERATOR (duplicate groups by content hash)
+    "q_dup_groups" -> ((s, dir) => {
+      Dedup.exactDupGroups(docs(s, dir), "doc_id", "text")
+        .orderBy(col("content_hash"))
+    }),
+
     // MinHash LSH near-dup candidates on the code corpus (true dups
     // exist there) — verified by DedupSpec, rows-only for the driver
     "q_minhash_neardup" -> ((s, dir) => {
@@ -139,6 +152,14 @@ object TextQueries {
       """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
         |  count(*) - count(DISTINCT md5(text)) AS n_dup_rows
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_dedup_keepers" ->
+      """SELECT doc_id FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q_dup_groups" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+        |  min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
     "q_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS sum_tokens,

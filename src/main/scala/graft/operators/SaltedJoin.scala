@@ -46,11 +46,31 @@ object SaltedJoin {
       key: String,
       salts: Int,
       leftSaltBy: Column,
-      hotThreshold: Long = 2048L): DataFrame = {
-    require(salts > 0)
-    val hotKeys = left.groupBy(col(key)).agg(count(lit(1)).as("__deg"))
+      hotThreshold: Long = 2048L): DataFrame =
+    adaptiveSaltedEquiJoin(left, right, key, salts, leftSaltBy,
+      hotKeysOf(left, key, hotThreshold))
+
+  /** Probe-side keys whose degree exceeds the threshold — one narrow
+    * map-side-combinable aggregate. Compute this from the NARROW
+    * relation that carries the key (e.g. the raw pairs table) rather
+    * than a wide join output: the degree of a key is invariant under
+    * the upstream 1:1 enrichment joins, and counting on the wide plan
+    * would re-execute it. */
+  def hotKeysOf(probe: DataFrame, key: String, hotThreshold: Long): DataFrame =
+    probe.groupBy(col(key)).agg(count(lit(1)).as("__deg"))
       .where(col("__deg") > hotThreshold)
       .select(col(key))
+
+  /** As [[adaptiveSaltedEquiJoin]] but with a precomputed hot-key set
+    * (single column named `key`). */
+  def adaptiveSaltedEquiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      salts: Int,
+      leftSaltBy: Column,
+      hotKeys: DataFrame): DataFrame = {
+    require(salts > 0)
     val sl = left
       .join(broadcast(hotKeys.withColumn("__hot", lit(true))), Seq(key), "left")
       .withColumn("__salt",

@@ -46,14 +46,26 @@ object Scoring {
     // and cache bytes (labels stay on TreeRow for the SQL surface)
     val slim = trees.toDF().select($"id", $"labelsH".as("labels"), $"lmds", $"keyroots")
 
+    // hot sets for BOTH joins come from the narrow pairs table up front:
+    // a pair row matches exactly one (id, salt) build row, so idB
+    // multiplicity is unchanged by the first join — counting on the wide
+    // join output would re-execute it just to rediscover these degrees
+    val hotThreshold = 2048L
+    val hotA = SaltedJoin.hotKeysOf(
+      pairs.select(col("idA").as("id")), "id", hotThreshold)
+    val hotB = SaltedJoin.hotKeysOf(
+      pairs.select(col("idB").as("id")), "id", hotThreshold)
+
     val withA = SaltedJoin.adaptiveSaltedEquiJoin(
-      pairs.withColumnRenamed("idA", "id"), slim, "id", salts, leftSaltBy = col("idB"))
+      pairs.withColumnRenamed("idA", "id"), slim, "id", salts,
+      leftSaltBy = col("idB"), hotKeys = hotA)
       .withColumnRenamed("id", "idA")
       .withColumnRenamed("labels", "laA")
       .withColumnRenamed("lmds", "lmA")
       .withColumnRenamed("keyroots", "krA")
     val withB = SaltedJoin.adaptiveSaltedEquiJoin(
-      withA.withColumnRenamed("idB", "id"), slim, "id", salts, leftSaltBy = col("idA"))
+      withA.withColumnRenamed("idB", "id"), slim, "id", salts,
+      leftSaltBy = col("idA"), hotKeys = hotB)
       .withColumnRenamed("id", "idB")
       .withColumnRenamed("labels", "laB")
       .withColumnRenamed("lmds", "lmB")

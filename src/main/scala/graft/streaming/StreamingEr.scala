@@ -81,6 +81,7 @@ object StreamingEr {
       .where($"nid" =!= $"id")
       .select(least($"nid", $"id").as("idA"), greatest($"nid", $"id").as("idB"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // read 3×: hot-degrees + 2 joins
 
     val scores = Scoring.score(Scoring.attachTrees(cand, allTrees, cfg.salts), cfg.tau)
     val newEdges = Scoring.matches(scores)
@@ -96,6 +97,7 @@ object StreamingEr {
       .connectedComponents(edges, allTrees.toDF().select($"id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     clusters.count() // materialize before the next batch mutates inputs
+    cand.unpersist()
 
     prev.foreach { p =>
       p.clusters.unpersist()

@@ -22,8 +22,11 @@ object PlanAudit {
     val pairs = graft.operators.Blocking.candidatePairs(trees)
     println(pairs.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
-    println("===== ER: scoring input (salted joins + explicit repartition) =====")
-    val pt = graft.operators.Scoring.attachTrees(pairs, trees)
+    println("===== ER: scoring input (adaptive salted joins + explicit repartition) =====")
+    // mirror the pipeline: pairs are persisted (read 3x by the scoring
+    // stage: hot-degree counts + probe side), shown as InMemoryRelation
+    val cachedPairs = pairs.persist()
+    val pt = graft.operators.Scoring.attachTrees(cachedPairs, trees)
     println(pt.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
     println("===== corpus scan (docs column pruning) =====")
