@@ -4,7 +4,8 @@ import graft.zs.{PTree, Scorer}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, IntegerType}
@@ -15,14 +16,14 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   *
   * Mirrors the reference's `simple_distance` entry point
   * (zss/compare.py anchor `def simple_distance`) for SQL users; the
-  * pipeline's hot path stays in `mapPartitions` (SURVEY.md §5: a
-  * CodegenFallback expression evaluates per-row through the interpreted
-  * path — fine for the SQL convenience surface, not for the bulk
-  * scoring stage, and the per-thread Scorer still reuses scratch
-  * buffers between rows).
+  * pipeline's bulk path stays in `mapPartitions` per the north_star.
+  * The expression participates in whole-stage codegen (`doGenCode`
+  * emits a direct call into the kernel — no interpreted-eval fallback
+  * row path, no boxing of the six array children), and the per-thread
+  * Scorer reuses scratch buffers between rows.
   */
 case class TreeEditDistance(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+    extends Expression {
   require(children.length == 6,
     "tree_edit_distance(labelsA, lmdsA, keyrootsA, labelsB, lmdsB, keyrootsB)")
 
@@ -43,14 +44,39 @@ case class TreeEditDistance(children: Seq[Expression])
   }
   private def ints(a: ArrayData): Array[Int] = a.toIntArray()
 
+  /** Kernel entry shared by the interpreted and generated paths. */
+  def evalArrays(laA: ArrayData, lmA: ArrayData, krA: ArrayData,
+                 laB: ArrayData, lmB: ArrayData, krB: ArrayData): Int = {
+    val a = PTree(strings(laA), ints(lmA), ints(krA))
+    val b = PTree(strings(laB), ints(lmB), ints(krB))
+    scorer.get().dist(a, b)
+  }
+
   override def eval(input: InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.exists(_ == null)) return null
-    val a = PTree(strings(vs(0).asInstanceOf[ArrayData]),
-      ints(vs(1).asInstanceOf[ArrayData]), ints(vs(2).asInstanceOf[ArrayData]))
-    val b = PTree(strings(vs(3).asInstanceOf[ArrayData]),
-      ints(vs(4).asInstanceOf[ArrayData]), ints(vs(5).asInstanceOf[ArrayData]))
-    scorer.get().dist(a, b)
+    evalArrays(
+      vs(0).asInstanceOf[ArrayData], vs(1).asInstanceOf[ArrayData],
+      vs(2).asInstanceOf[ArrayData], vs(3).asInstanceOf[ArrayData],
+      vs(4).asInstanceOf[ArrayData], vs(5).asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ted", this, classOf[TreeEditDistance].getName)
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(_.isNull.toString).mkString(" || ")
+    val args = evs.map(_.value.toString).mkString(", ")
+    val childBlocks = evs.map(_.code)
+      .reduce((a, b) => code"$a\n$b")
+    ev.copy(code =
+      code"""
+         |$childBlocks
+         |boolean ${ev.isNull} = ($anyNull);
+         |int ${ev.value} = -1;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $ref.evalArrays($args);
+         |}
+       """.stripMargin)
   }
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =

@@ -36,9 +36,9 @@ object Clustering {
       .distinct()
       .localCheckpoint(true)
 
-    var converged = e.isEmpty
-    var iter = 0
     var sigPrev = signature(e)
+    var converged = sigPrev._1 == 0L
+    var iter = 0
     while (!converged && iter < maxIter) {
       // ---- large-star: for every node u, attach all strictly-larger
       // neighbors to m = min(N(u) ∪ {u})
@@ -81,12 +81,12 @@ object Clustering {
 
   /** Order-independent edge-set signature: (count, bit_xor of xxhash64).
     * xor (not sum) — ANSI mode makes a Long sum of hashes overflow; the
-    * edge set is distinct so xor-cancellation of duplicates is moot. */
+    * edge set is distinct so xor-cancellation of duplicates is moot.
+    * One aggregate job total (count doubles as the emptiness probe; the
+    * xor is null on empty input, coalesced). */
   private def signature(e: DataFrame): (Long, Long) = {
-    if (e.isEmpty) (0L, 0L)
-    else {
-      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    val r = e.agg(count(lit(1)),
+      expr("coalesce(bit_xor(xxhash64(src, dst)), 0L)")).head()
+    (r.getLong(0), r.getLong(1))
   }
 }
