@@ -107,10 +107,55 @@ object StreamingEr {
     ErState(allTrees, keyed = allKeyed, clusters = clusters)
   }
 
+  // ---- checkpointed state (kill-and-resume across processes) -----------
+
+  /** Process one batch with state checkpointed through [[TableIO]]: the
+    * cumulative (trees, keyed, clusters) state is written under
+    * batch-numbered table names after each batch, and `resumeState`
+    * reconstructs the latest COMPLETE batch on startup — a crash mid-
+    * write leaves the previous batch's `_SUCCESS`-gated dirs intact, so
+    * resume is atomic at batch granularity. With Iceberg the same hook
+    * becomes snapshot-append commits (delta rows only) instead of
+    * cumulative rewrites; TableIO isolates that swap. Reading state back
+    * from storage each batch also truncates lineage — the in-memory
+    * variant's unionByName chains grow per batch, this one's do not. */
+  def processBatchCheckpointed(
+      spark: SparkSession,
+      newFiles: Dataset[FileRow],
+      io: graft.sources.TableIO,
+      cfg: Pipeline.Config = Pipeline.Config()): ErState = {
+    val (prev, k) = resumeState(spark, io)
+    val next = processBatch(spark, newFiles, prev, cfg)
+    io.write(next.trees.toDF(), s"stream_trees_b$k")
+    io.write(next.keyed, s"stream_keyed_b$k")
+    io.write(next.clusters, s"stream_clusters_b$k")
+    next
+  }
+
+  /** Latest complete checkpointed state (all three tables `_SUCCESS`-
+    * gated) and the next batch id. */
+  def resumeState(spark: SparkSession, io: graft.sources.TableIO): (Option[ErState], Int) = {
+    import spark.implicits._
+    var k = 0
+    while (io.exists(spark, s"stream_trees_b$k") &&
+        io.exists(spark, s"stream_keyed_b$k") &&
+        io.exists(spark, s"stream_clusters_b$k")) k += 1
+    if (k == 0) (None, 0)
+    else {
+      val b = k - 1
+      val st = ErState(
+        trees = io.read(spark, s"stream_trees_b$b").as[TreeRow]
+          .persist(StorageLevel.MEMORY_AND_DISK),
+        keyed = io.read(spark, s"stream_keyed_b$b"),
+        clusters = io.read(spark, s"stream_clusters_b$b"))
+      (Some(st), k)
+    }
+  }
+
   /** Wire the incremental pipeline into a Structured Streaming query via
     * foreachBatch. `onBatch` observes each new state (tests read the
-    * clustering from it); production would instead persist state tables
-    * through TableIO inside the same hook. */
+    * clustering from it); production would instead call
+    * [[processBatchCheckpointed]] inside the same hook. */
   def start(
       spark: SparkSession,
       stream: Dataset[FileRow],

@@ -41,6 +41,29 @@ class StreamingErSpec extends AnyFunSuite {
     files.unpersist()
   }
 
+  test("checkpointed state survives a process kill between batches") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val io = new graft.sources.ParquetTableIO(root)
+    val files = CorpusGen.corpus(spark, "/root/testdata/sf0.001").persist()
+    def part(b: Int) = files.filter((f: FileRow) =>
+      math.floorMod(graft.util.Hashing.hashString(f.path), 2) == b)
+
+    // batch 0, then "crash": drop every in-memory handle
+    StreamingEr.processBatchCheckpointed(spark, part(0), io)
+    // fresh process: resume from storage alone and feed batch 1
+    val resumed = StreamingEr.processBatchCheckpointed(spark, part(1), io)
+
+    val batchClusters = clustersOf(Pipeline.run(spark, files).clusters)
+    assert(clustersOf(resumed.clusters) == batchClusters)
+
+    // resumeState reports the next batch id and a complete state
+    val (st, nextB) = StreamingEr.resumeState(spark, io)
+    assert(nextB == 2 && st.isDefined)
+    assert(st.get.trees.count() == files.count())
+    files.unpersist()
+  }
+
   test("foreachBatch wiring: MemoryStream drives the incremental pipeline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
