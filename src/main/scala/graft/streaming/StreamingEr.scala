@@ -40,7 +40,8 @@ object StreamingEr {
   final case class ErState(
       trees: Dataset[TreeRow],
       keyed: DataFrame, // (key: Long, id: String) block index
-      clusters: DataFrame) // (id, clusterId)
+      clusters: DataFrame, // (id, clusterId)
+      batchesSeen: Int = 1)
 
   private def keyedOf(trees: Dataset[TreeRow], cfg: Blocking.BlockingConfig): DataFrame = {
     import trees.sparkSession.implicits._
@@ -64,9 +65,18 @@ object StreamingEr {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val newKeyed = keyedOf(newTrees, cfg.blocking).persist(StorageLevel.MEMORY_AND_DISK)
 
-    val allTrees = prev.map(_.trees.unionByName(newTrees)).getOrElse(newTrees)
+    val batches = prev.map(_.batchesSeen + 1).getOrElse(1)
+    // the union chain grows the logical plan per batch; truncate lineage
+    // every 8th batch (the checkpointed variant truncates every batch by
+    // round-tripping through storage, so this guard is for the
+    // in-memory path on long streams)
+    def truncate[T](ds: Dataset[T]): Dataset[T] =
+      if (batches % 8 == 0) ds.localCheckpoint(true) else ds
+    val allTrees = truncate(
+      prev.map(_.trees.unionByName(newTrees)).getOrElse(newTrees))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val allKeyed = prev.map(_.keyed.unionByName(newKeyed)).getOrElse(newKeyed)
+    val allKeyed = truncate(
+      prev.map(_.keyed.unionByName(newKeyed)).getOrElse(newKeyed))
 
     // new-vs-bucket candidates: every pair with >= 1 new member, bucket
     // membership capped exactly like the batch path (keep lowest ids)
@@ -104,7 +114,7 @@ object StreamingEr {
       // p.trees / p.keyed stay persisted: allTrees/allKeyed reference them
     }
     newTrees.count()
-    ErState(allTrees, keyed = allKeyed, clusters = clusters)
+    ErState(allTrees, keyed = allKeyed, clusters = clusters, batchesSeen = batches)
   }
 
   // ---- checkpointed state (kill-and-resume across processes) -----------

@@ -41,6 +41,23 @@ class StreamingErSpec extends AnyFunSuite {
     files.unpersist()
   }
 
+  test("long stream (10 batches) crosses the lineage-truncation boundary") {
+    import spark.implicits._
+    // small subset so 10 scoring rounds stay cheap
+    val files = CorpusGen.corpus(spark, "/root/testdata/sf0.001")
+      .filter((f: FileRow) => math.floorMod(graft.util.Hashing.hashString(f.path), 5) == 0)
+      .persist()
+    val batchClusters = clustersOf(Pipeline.run(spark, files).clusters)
+    def part(b: Int) = files.filter((f: FileRow) =>
+      math.floorMod(graft.util.Hashing.hashString(f.repo + f.path), 10) == b)
+    var state: Option[StreamingEr.ErState] = None
+    for (b <- 0 until 10)
+      state = Some(StreamingEr.processBatch(spark, part(b), state))
+    assert(state.get.batchesSeen == 10)
+    assert(clustersOf(state.get.clusters) == batchClusters)
+    files.unpersist()
+  }
+
   test("checkpointed state survives a process kill between batches") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
