@@ -40,6 +40,14 @@ object SimQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-indexed approximate top-5 (k-means coarse quantizer over a
+    // bounded sample, nprobe-list probing) — the second ANN scale path
+    "q_knn_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfKnn(e, queriesOf(e, 20), k = 5, nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // embedding-cosine near-dup pairs; threshold calibrated to the
     // synthetic embeddings (top-1 neighbor cosine is ~0.32-0.48, so
     // 0.35 marks the "unusually close" tail — real corpora would use

@@ -115,6 +115,119 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  // ---- IVF (inverted-file) ANN -----------------------------------------
+
+  /** Deterministic Lloyd k-means over a bounded driver-side sample —
+    * the coarse quantizer of an IVF index. Training on a fixed-size
+    * sample is the standard IVF recipe (the index quality depends on
+    * centroid coverage, not on seeing every vector); the ONLY
+    * driver-side data is the sample (≤ `sampleCap` rows), never the
+    * corpus. Seeded: identical centroids on every run/executor. */
+  private[operators] def trainCentroids(
+      corpus: DataFrame, nlist: Int, iters: Int = 8, sampleCap: Int = 2048): Array[Array[Float]] = {
+    import corpus.sparkSession.implicits._
+    val total = corpus.count()
+    val step = math.max(1L, total / sampleCap)
+    val sample = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .where(pmod(col("vec_id"), lit(step)) === 0)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).map(_._2.toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    val k = math.min(nlist, sample.length)
+    // seeded init: spread starts across the sample
+    val cents = Array.tabulate(k)(c => sample((c.toLong * sample.length / k).toInt).clone())
+    val assign = new Array[Int](sample.length)
+    var it = 0
+    while (it < iters) {
+      var s = 0
+      while (s < sample.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          val cv = cents(c); val sv = sample(s)
+          while (i < dim) { val t = sv(i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(s) = best
+        s += 1
+      }
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Int](k)
+      s = 0
+      while (s < sample.length) {
+        val a = assign(s); counts(a) += 1
+        var i = 0
+        while (i < dim) { sums(a)(i) += sample(s)(i); i += 1 }
+        s += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { cents(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+        } // empty list keeps its previous centroid (deterministic)
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  private def nearestLists(v: Seq[Float], cents: Array[Array[Float]], nprobe: Int): Array[Int] = {
+    val ds = Array.tabulate(cents.length) { c =>
+      var d = 0.0; var i = 0
+      val cv = cents(c)
+      val n = math.min(v.length, cv.length)
+      while (i < n) { val t = v(i) - cv(i); d += t * t; i += 1 }
+      (d, c)
+    }
+    ds.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
+  }
+
+  /** IVF approximate top-k: corpus vectors are assigned to their nearest
+    * of `nlist` centroids (one narrow map — this IS the inverted file);
+    * each query probes its `nprobe` nearest lists and scores only those
+    * lists' members. Scale shape: the assignment is a pure map over the
+    * corpus (no shuffle), the join is an equi-join on list id with the
+    * tiny query side broadcast, and recall/cost trade via nprobe. The
+    * centroid table is trained once on a bounded sample and broadcast —
+    * at 100 TB the inverted file would be a bucketed/partitioned table
+    * so probes prune to nprobe partitions per query. */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             nlist: Int = 32, nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(corpus, nlist)
+    val bc = spark.sparkContext.broadcast(cents)
+
+    val corpusLists = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, emb) => (nearestLists(emb, bc.value, 1)(0), id) }
+      .toDF("list", "vec_id")
+    val queryLists = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, emb) =>
+        nearestLists(emb, bc.value, nprobe).iterator.map(l => (l, id))
+      }
+      .toDF("list", "query_id")
+
+    val cand = broadcast(queryLists).join(corpusLists, "list")
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val scored = cand
+      .join(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), "query_id")
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("cosine", cosineCol(col("embedding"), col("q_emb")))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (cosine ≥ minCosine) via the
     * same LSH bucketing — the "embedding near-dup" dedup mode. */
   def embeddingNearDupPairs(corpus: DataFrame, minCosine: Double,

@@ -101,6 +101,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(meanRecall >= 0.5, s"mean LSH recall@5 = $meanRecall")
   }
 
+  test("ivf knn: deterministic, and probing more lists raises recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.where($"vec_id" < 20)
+    val brute = Similarity.bruteKnn(emb, qs, k = 5).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    def recallAt(nprobe: Int): Double = {
+      val approx = Similarity.ivfKnn(emb, qs, k = 5, nlist = 16, nprobe = nprobe).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+      val rs = brute.keys.toSeq.map { q =>
+        brute(q).intersect(approx.getOrElse(q, Set.empty)).size.toDouble / brute(q).size
+      }
+      rs.sum / rs.size
+    }
+    val r4 = recallAt(4)
+    val r16 = recallAt(16) // probing every list == brute force
+    assert(r16 >= 0.999, s"full-probe recall $r16 should be exact")
+    assert(r4 >= 0.3, s"nprobe=4 recall $r4 too low")
+    assert(r16 >= r4)
+    // determinism: centroids are seeded, so results repeat exactly
+    val a = Similarity.ivfKnn(emb, qs, k = 5, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val b = Similarity.ivfKnn(emb, qs, k = 5, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(a == b)
+  }
+
   test("multimodal assets + stub features are deterministic and complete") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val feats = Multimodal.extractFeatures(Multimodal.assets(docs)).persist()
