@@ -32,3 +32,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // Optional extra JVM flags for benchmark experiments (e.g.
 // GRAFT_EXTRA_JVM="-XX:+UseParallelGC"); unset in normal runs.
 javaOptions ++= sys.env.get("GRAFT_EXTRA_JVM").map(_.split(" ").toSeq).getOrElse(Seq.empty)
+
+ThisBuild / scalacOptions += "-deprecation"

@@ -14,7 +14,7 @@ object DrivePipeline {
     val files = CorpusGen.corpus(spark, "/root/testdata/sf0.001")
     val r = Pipeline.run(spark, files)
     println(s"files=${files.count()} trees=${r.trees.count()} pairs=${r.pairs.count()} " +
-      s"matches=${r.matches.count()} clusters=${r.clusters.select("clusterId").distinct.count()}")
+      s"matches=${r.matches.count()} clusters=${r.clusters.select("clusterId").distinct().count()}")
     r.scores.toDF().describe("dist", "normDist").show()
     Pipeline.pairwiseF1(r.scores, r.trees).show(false)
     r.metrics.show(5, false)
