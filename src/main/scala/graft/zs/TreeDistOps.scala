@@ -29,30 +29,33 @@ object TreeDistOps {
     * `bIdx` in B (or -1). */
   final case class Operation(op: Byte, aIdx: Int, bIdx: Int)
 
-  // persistent rope: ops in left-to-right order; null = empty
+  // persistent rope: ops in left-to-right order; null = empty.
+  // Snoc = prev ++ [op] (ONE allocation per appended cell — the DP's
+  // common path); Cat is the O(1) splice of a memoized subtree script.
   private sealed trait Chain
-  private final class One(val op: Operation) extends Chain
+  private final class Snoc(val prev: Chain, val op: Operation) extends Chain
   private final class Cat(val l: Chain, val r: Chain) extends Chain
 
-  private def append(c: Chain, op: Operation): Chain =
-    if (c == null) new One(op) else new Cat(c, new One(op))
+  private def append(c: Chain, op: Operation): Chain = new Snoc(c, op)
 
   private def concat(a: Chain, b: Chain): Chain =
     if (a == null) b else if (b == null) a else new Cat(a, b)
 
   private def toList(c: Chain): List[Operation] = {
-    if (c == null) return List.empty
-    val out = scala.collection.mutable.ListBuffer.empty[Operation]
+    // walk rightmost-first, building by prepend, so the result is in
+    // left-to-right op order without recursion
+    var out = List.empty[Operation]
     var stack: List[Chain] = c :: Nil
     while (stack.nonEmpty) {
       val h = stack.head
       stack = stack.tail
       h match {
-        case o: One => out += o.op
-        case t: Cat => stack = t.l :: t.r :: stack
+        case null => ()
+        case s: Snoc => out = s.op :: out; stack = s.prev :: stack
+        case t: Cat => stack = t.r :: t.l :: stack
       }
     }
-    out.toList
+    out
   }
 
   /** Unit-cost distance + edit script transforming A into B. */
