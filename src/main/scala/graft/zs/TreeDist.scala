@@ -144,6 +144,9 @@ final class Scorer {
   // high core counts, so this directly buys multi-core scaling.
   private var td: Array[Char] = new Array[Char](0)
   private var fd: Array[Char] = new Array[Char](0)
+  // 8-bit twins for the byte-cell banded core (maxDist ≤ 126)
+  private var tdB: Array[Byte] = new Array[Byte](0)
+  private var fdB: Array[Byte] = new Array[Byte](0)
   private var la: Array[Int] = new Array[Int](0)
   private var lb: Array[Int] = new Array[Int](0)
   private var ra: Array[Int] = new Array[Int](0) // remove cost per A-node
@@ -269,6 +272,22 @@ final class Scorer {
     if (hasEmpty || maxDist >= na + nb)
       return math.min(distHashed(laA, al, kra, lbB, bl, krb, emptyHash), maxDist + 1)
 
+    // cell-width dispatch: most pairs have maxDist = τ·(nA+nB) ≤ 126, so
+    // 8-bit cells (values capped at maxDist+1 ≤ 127) halve the DP's
+    // memory footprint — the kernel is memory-bound at high core counts
+    // (BENCH.md control experiment), so narrower cells buy scaling
+    if (maxDist <= 126)
+      boundedCoreByte(laA, al, kra, lbB, bl, krb, maxDist)
+    else
+      boundedCoreChar(laA, al, kra, lbB, bl, krb, maxDist)
+  }
+
+  /** 16-bit-cell banded core (maxDist > 126). */
+  private[zs] def boundedCoreChar(laA: Array[Long], al: Array[Int], kra: Array[Int],
+                                  lbB: Array[Long], bl: Array[Int], krb: Array[Int],
+                                  maxDist: Int): Int = {
+    val na = laA.length
+    val nb = lbB.length
     require(na + nb < 65535, s"tree pair too large for 16-bit DP cells: $na + $nb")
     if (td.length < na * nb) td = new Array[Char](na * nb)
     if (fd.length < (na + 1) * (nb + 1)) fd = new Array[Char]((na + 1) * (nb + 1))
@@ -355,6 +374,106 @@ final class Scorer {
     else {
       val sz = math.abs(na - nb)
       if (sz > D) D + 1 else math.min(td((na - 1) * nb + (nb - 1)).toInt, D + 1)
+    }
+  }
+
+  /** 8-bit-cell banded core (maxDist ≤ 126): byte-for-byte the same
+    * algorithm as [[boundedCoreChar]] with half-width cells — every
+    * stored value is ≤ maxDist+1 ≤ 127, so a signed byte holds it with
+    * no masking. Kept as a literal twin (not generified) so both stay
+    * primitive-array tight; the banded≡full property test sweeps both
+    * cores. */
+  private[zs] def boundedCoreByte(laA: Array[Long], al: Array[Int], kra: Array[Int],
+                                  lbB: Array[Long], bl: Array[Int], krb: Array[Int],
+                                  maxDist: Int): Int = {
+    val na = laA.length
+    val nb = lbB.length
+
+    if (tdB.length < na * nb) tdB = new Array[Byte](na * nb)
+    if (fdB.length < (na + 1) * (nb + 1)) fdB = new Array[Byte]((na + 1) * (nb + 1))
+    val D = maxDist
+    val cap = (D + 1).toByte
+
+    var ki = 0
+    while (ki < kra.length) {
+      val i2 = kra(ki)
+      val ali = al(i2)
+      val m = i2 - ali + 2
+      val ioff = ali - 1
+      var kj = 0
+      while (kj < krb.length) {
+        val j = krb(kj)
+        val blj = bl(j)
+        val n = j - blj + 2
+        val joff = blj - 1
+        // boundary rows/cols inside the band (+ sentinel just outside)
+        val x0max = math.min(m - 1, D + 1)
+        var x = 0
+        while (x <= x0max) { fdB(x * n) = (if (x > D) D + 1 else x).toByte; x += 1 }
+        val y0max = math.min(n - 1, D + 1)
+        var y = 0
+        while (y <= y0max) { fdB(y) = (if (y > D) D + 1 else y).toByte; y += 1 }
+        x = 1
+        while (x < m) {
+          val ylo = math.max(1, x - D)
+          val yhi = math.min(n - 1, x + D)
+          if (ylo <= yhi) {
+            cellsTouched += (yhi - ylo + 1).toLong
+            val xa = x + ioff
+            val alxa = al(xa)
+            val laxa = laA(xa)
+            val row = x * n
+            val prow = row - n
+            val tdrow = xa * nb
+            val whole = ali == alxa
+            // per-row constants of the else branch, hoisted out of the
+            // y loop: p (fd row of the left-forest splice), its base
+            // offset, and the A-subtree size
+            val p = alxa - 1 - ioff
+            val pn = p * n
+            val szA = xa - alxa + 1
+            if (ylo >= 2) fdB(row + ylo - 1) = cap // left sentinel
+            y = ylo
+            while (y <= yhi) {
+              val yb = y + joff
+              val blyb = bl(yb)
+              var mn = fdB(prow + y) + 1 // remove cost 1 (no empty labels)
+              val d2 = fdB(row + y - 1) + 1
+              if (d2 < mn) mn = d2
+              if (whole && blj == blyb) {
+                val d3 = fdB(prow + y - 1) + (if (laxa == lbB(yb)) 0 else 1)
+                if (d3 < mn) mn = d3
+                if (mn > D) mn = D + 1
+                fdB(row + y) = mn.toByte
+                tdB(tdrow + yb) = mn.toByte
+              } else {
+                val q = blyb - 1 - joff
+                // guarded reads: out-of-band positions are ≥ cap by the
+                // band bound, and td entries for subtree pairs whose
+                // size gap exceeds D were never computed this pair
+                val fpq = if (math.abs(p - q) > D) cap.toInt else fdB(pn + q).toInt
+                val szB = yb - blyb + 1
+                val tdv = if (math.abs(szA - szB) > D) cap.toInt else tdB(tdrow + yb).toInt
+                val d3 = fpq + tdv
+                if (d3 < mn) mn = d3
+                if (mn > D) mn = D + 1
+                fdB(row + y) = mn.toByte
+              }
+              y += 1
+            }
+            if (yhi + 1 <= n - 1) fdB(row + yhi + 1) = cap // right sentinel
+          }
+          x += 1
+        }
+        kj += 1
+      }
+      ki += 1
+    }
+    pairsScored += 1
+    if (math.abs((na - 1) - (nb - 1)) > D) D + 1
+    else {
+      val sz = math.abs(na - nb)
+      if (sz > D) D + 1 else math.min(tdB((na - 1) * nb + (nb - 1)).toInt, D + 1)
     }
   }
 
