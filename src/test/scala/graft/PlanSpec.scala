@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.{Blocking, ParseStage, Scoring}
+import graft.sources.CorpusGen
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: lock in the scale-critical plan
+  * properties PLANS.md documents, so a refactor that silently loses
+  * pushdown, the map-side cap, or pair-cache reuse fails CI instead of
+  * surfacing as a 100×-scale regression.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def fmt(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("q1_agg: filters pushed to the scan, columns pruned") {
+    val s = fmt(SparkEntry.queries("q1_agg")(spark, dir))
+    assert(s.contains("PushedFilters: [IsNotNull"), "filter pushdown lost")
+    assert(!s.contains("l_comment"), "column pruning lost (reads l_comment)")
+  }
+
+  test("pair generation: two shuffles, map-side cap before the exchange") {
+    val trees = ParseStage.parse(CorpusGen.corpus(spark, dir))
+    val s = fmt(Blocking.candidatePairs(trees))
+    assert(s.linesIterator.count(_.matches(".*\\bExchange \\(\\d+\\)")) == 2,
+      s"pair generation must shuffle exactly twice\n$s")
+    // Catalyst's top-k pushdown: a Partial WindowGroupLimit runs
+    // map-side, before the block-key exchange
+    assert(s.contains("WindowGroupLimit"), "per-block cap lost")
+    assert(s.contains("Partial"), "map-side (Partial) WindowGroupLimit lost")
+    // the corpus scan reads only doc_id
+    assert(s.contains("ReadSchema: struct<doc_id:bigint>"), "scan reads extra columns")
+  }
+
+  test("scoring input: persisted pairs reused, not recomputed") {
+    val trees = ParseStage.parse(CorpusGen.corpus(spark, dir))
+    val pairs = Blocking.candidatePairs(trees).persist()
+    try {
+      val s = fmt(Scoring.attachTrees(pairs, trees).toDF())
+      // pairs feed the hot-degree counts and the probe side from cache:
+      // every read is an InMemoryTableScan of ONE InMemoryRelation
+      val scans = s.linesIterator.count(_.contains("InMemoryTableScan"))
+      assert(scans >= 3, s"expected >=3 cached pair reads, got $scans")
+      assert(s.contains("Exchange"), "final CPU-balancing repartition lost")
+    } finally pairs.unpersist()
+  }
+}
