@@ -49,8 +49,11 @@ object Pipeline {
     spark.sparkContext.register(metricsAcc, "graft.score.partMetrics")
 
     lazy val trees: Dataset[TreeRow] = staged(spark, cfg, "trees") {
-      ParseStage.parse(files, cfg.parse, cfg.blocking.mh).toDF()
+      parseStage()
     }.as[TreeRow].persist(StorageLevel.MEMORY_AND_DISK)
+
+    private def parseStage(): DataFrame =
+      ParseStage.parse(files, cfg.parse, cfg.blocking.mh, Some(metricsAcc)).toDF()
 
     // persist: the scoring stage reads pairs more than once (hot-degree
     // counts + the probe side of each tree-fetch join) — without it the
@@ -76,21 +79,26 @@ object Pipeline {
       Clustering.connectedComponents(matches, trees.toDF().select($"id"))
     }
 
-    /** Per-partition lineage/metrics. The accumulator fills when the
-      * score stage actually executes; on resume it stays empty and the
-      * persisted metrics table (written in the same run as the scores)
-      * is the record. If a crash landed between the scores write and the
-      * metrics write, the score stage is re-run purely to regenerate the
-      * metrics — never persist an empty metrics table, which would
-      * permanently record zero scoring metrics for the run. */
+    /** Per-partition lineage/metrics for the parse AND score stages. The
+      * accumulator fills when a stage actually executes; on resume it
+      * stays empty and the persisted metrics table (written in the same
+      * run as the stages) is the record. If a crash landed between the
+      * stage writes and the metrics write, the missing stages are re-run
+      * purely to regenerate their side-band metrics — never persist a
+      * partial metrics table, which would permanently under-record the
+      * run. */
     lazy val metrics: DataFrame = cfg.io match {
       case Some(io) if io.exists(spark, "metrics") => io.read(spark, "metrics")
       case other =>
-        scores.count() // force the stage so the accumulator fills
-        if (metricsAcc.value.isEmpty && other.isDefined) {
-          // scores resumed from checkpoint but metrics table missing:
-          // recompute the score stage for its side-band metrics only
-          scoreStage().count()
+        trees.count() // fills parse metrics when the parse stage executes
+        scores.count() // fills score metrics likewise
+        if (other.isDefined) {
+          val have = scala.jdk.CollectionConverters
+            .ListHasAsScala(metricsAcc.value).asScala.map(_.stage).toSet
+          // stages resumed from checkpoint never executed: re-run them
+          // for their side-band metrics only
+          if (!have.contains("score")) scoreStage().count()
+          if (!have.contains("parse")) parseStage().count()
         }
         val m = spark.createDataFrame(
           scala.jdk.CollectionConverters.ListHasAsScala(metricsAcc.value).asScala.toSeq)

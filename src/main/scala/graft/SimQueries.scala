@@ -48,6 +48,17 @@ object SimQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF with nprobe = nlist probes every inverted list, which must
+    // reproduce brute force EXACTLY — the driver oracle checks it
+    // against its own independent kNN recompute
+    "q_knn_ivf_full" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfKnn(e, queriesOf(e, 20), k = 5, nlist = 16, nprobe = 16)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // embedding-cosine near-dup pairs; threshold calibrated to the
     // synthetic embeddings (top-1 neighbor cosine is ~0.32-0.48, so
     // 0.35 marks the "unusually close" tail — real corpora would use
@@ -79,8 +90,7 @@ object SimQueries {
     * is recomputed from the dumped features table ({OUT} = dump dir,
     * substituted by Verify). LSH variants stay rows-only: their buckets
     * are seeded engine-internal hashes. */
-  def oracleSql: Map[String, String] = Map(
-    "q_knn_brute" ->
+  private val bruteKnnSql =
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
         |  FROM embeddings WHERE vec_id < 20),
@@ -94,7 +104,12 @@ object SimQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
         |  FROM scored)
         |SELECT query_id, vec_id, round(cosine, 6) AS cosine, CAST(rnk AS INT) AS "rank"
-        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_knn_brute" -> bruteKnnSql,
+    // full-probe IVF must equal brute force exactly
+    "q_knn_ivf_full" -> bruteKnnSql,
     "q_frame_samples" ->
       """SELECT asset_id, frame_idx FROM (
         |  SELECT asset_id, CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx

@@ -1,9 +1,11 @@
 package graft.operators
 
-import graft.model.{FileRow, TreeRow}
+import graft.model.{FileRow, PartMetrics, TreeRow}
 import graft.parse.CodeParser
 import graft.util.Hashing
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.Dataset
+import org.apache.spark.util.CollectionAccumulator
 
 /** Stage 1: content → flattened postorder tree + blocking features.
   *
@@ -64,9 +66,27 @@ object ParseStage {
 
   def parse(files: Dataset[FileRow],
             cfg: CodeParser.ParseConfig = CodeParser.defaultConfig,
-            mh: MinHashConfig = MinHashConfig()): Dataset[TreeRow] = {
+            mh: MinHashConfig = MinHashConfig(),
+            metricsAcc: Option[CollectionAccumulator[PartMetrics]] = None): Dataset[TreeRow] = {
     import files.sparkSession.implicits._
-    files.map { f =>
+    files.mapPartitions { it =>
+      val t0 = System.nanoTime()
+      var rows = 0L
+      metricsAcc.foreach { acc =>
+        val tc = TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          acc.add(PartMetrics(
+            stage = "parse",
+            partitionId = tc.partitionId(),
+            rowsIn = rows,
+            rowsOut = rows,
+            pairsScored = 0L,
+            dpCells = 0L,
+            wallNs = System.nanoTime() - t0))
+        }
+      }
+      it.map { f =>
+      rows += 1
       val p = CodeParser.parse(f.content, cfg)
       val toks = CodeParser.tokens(f.content, cfg)
       TreeRow(
@@ -85,6 +105,7 @@ object ParseStage {
         truncated = p.truncated,
         minhash = minHash(toks, mh),
         groupId = f.groupId)
+      }
     }
   }
 }

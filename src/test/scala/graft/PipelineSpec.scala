@@ -91,6 +91,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaTrees.join(raw, "id").where($"sha256" =!= $"sha_raw").count() == 0)
   }
 
+  test("per-partition lineage covers the parse AND score stages") {
+    import spark.implicits._
+    val stages = result.metrics.select($"stage").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(stages == Set("parse", "score"), s"got $stages")
+    // parse lineage accounts for every input file
+    val parsed = result.metrics.where($"stage" === "parse")
+      .agg(org.apache.spark.sql.functions.sum($"rowsIn")).head().getLong(0)
+    assert(parsed == result.trees.count())
+  }
+
   test("salted join is equivalent to a plain equi-join") {
     import spark.implicits._
     val left = (1 to 1000).map(i => (i.toLong % 7, i.toLong)).toDF("k", "v")
