@@ -5,10 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search and multimodal queries over `embeddings.parquet` /
-  * `documents.parquet`. Float cosine math is not stable across engines,
-  * so these are rows-only for the driver; SimilaritySpec asserts
-  * brute-force correctness against an independent in-memory
-  * implementation and LSH recall against brute force.
+  * `documents.parquet`. Brute-force kNN and full-probe IVF are
+  * DuckDB-oracle-checked (outputs rounded to 6dp so cross-engine float
+  * sums compare exactly; ranking runs on full precision in both
+  * engines); the seeded-hash LSH/IVF-pruned variants are rows-only with
+  * ScalaTest recall ladders against brute force instead.
   */
 object SimQueries {
 
