@@ -83,6 +83,43 @@ case class TreeEditDistance(children: Seq[Expression])
     copy(children = newChildren)
 }
 
+/** Generic-cost SQL surface — the reference's pluggable-cost `distance`
+  * entry (zss/compare.py anchor `def distance` with
+  * insert/remove/update cost params) with the Levenshtein label model:
+  * `tree_edit_distance_lev(labelsA, lmdsA, keyrootsA, labelsB, lmdsB,
+  * keyrootsB) → double`. Runs the generic Double kernel, so costs are
+  * per-character (insert/remove = label length, update = Levenshtein).
+  */
+case class TreeEditDistanceLev(children: Seq[Expression])
+    extends Expression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(children.length == 6,
+    "tree_edit_distance_lev(labelsA, lmdsA, keyrootsA, labelsB, lmdsB, keyrootsB)")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+
+  private def strings(a: ArrayData): Array[String] = {
+    val n = a.numElements()
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) { out(i) = a.getUTF8String(i).toString; i += 1 }
+    out
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val a = PTree(strings(vs(0).asInstanceOf[ArrayData]),
+      vs(1).asInstanceOf[ArrayData].toIntArray(), vs(2).asInstanceOf[ArrayData].toIntArray())
+    val b = PTree(strings(vs(3).asInstanceOf[ArrayData]),
+      vs(4).asInstanceOf[ArrayData].toIntArray(), vs(5).asInstanceOf[ArrayData].toIntArray())
+    graft.zs.TreeDist.distance(a, b, graft.zs.LevenshteinCost)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
 object TreeEditDistance {
 
   /** Column-API form (requires [[register]] on the active session — the
@@ -92,8 +129,13 @@ object TreeEditDistance {
     call_function("tree_edit_distance",
       labelsA, lmdsA, keyrootsA, labelsB, lmdsB, keyrootsB)
 
-  /** Register `tree_edit_distance` for spark.sql(...) use. */
-  def register(spark: SparkSession): Unit =
+  /** Register `tree_edit_distance` (unit cost, int) and
+    * `tree_edit_distance_lev` (Levenshtein label costs, double) for
+    * spark.sql(...) use. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tree_edit_distance", exprs => TreeEditDistance(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tree_edit_distance_lev", exprs => TreeEditDistanceLev(exprs), "scala_udf")
+  }
 }

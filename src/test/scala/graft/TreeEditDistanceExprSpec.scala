@@ -66,4 +66,23 @@ class TreeEditDistanceExprSpec extends AnyFunSuite {
         $"laA", $"lmA", $"krA", $"laB", $"lmB", $"krB"))
     assert(d.where($"d" =!= $"expected").isEmpty)
   }
+
+  test("tree_edit_distance_lev agrees with the generic Levenshtein kernel") {
+    TreeEditDistance.register(spark)
+    val gen = new scala.util.Random(11) // test-only randomness, fixed seed
+    def randTree(depth: Int): graft.zs.TNode = {
+      val n = new graft.zs.TNode("lbl" + gen.nextInt(8))
+      if (depth > 0) (0 until gen.nextInt(3)).foreach(_ => n.addkid(randTree(depth - 1)))
+      n
+    }
+    val pts = (1 to 20).map(_ => Tree.annotate(randTree(3)))
+    val rows = pts.zip(pts.reverse).map { case (a, b) =>
+      (a.labels, a.lmds, a.keyroots, b.labels, b.lmds, b.keyroots,
+        TreeDist.distance(a, b, graft.zs.LevenshteinCost))
+    }
+    val d = rows.toDF("laA", "lmA", "krA", "laB", "lmB", "krB", "expected")
+      .withColumn("d", org.apache.spark.sql.functions.expr(
+        "tree_edit_distance_lev(laA, lmA, krA, laB, lmB, krB)"))
+    assert(d.where($"d" =!= $"expected").isEmpty)
+  }
 }
