@@ -162,10 +162,28 @@ object StreamingEr {
     }
   }
 
+  /** Checkpointed foreachBatch wiring: every micro-batch resumes from
+    * the latest complete state in `io` and writes the next one, so the
+    * QUERY ITSELF can be stopped and restarted (or crash) and the next
+    * incarnation continues where the tables left off — the streaming
+    * twin of Pipeline's stage-checkpoint resume. */
+  def startCheckpointed(
+      spark: SparkSession,
+      stream: Dataset[FileRow],
+      io: graft.sources.TableIO,
+      cfg: Pipeline.Config = Pipeline.Config())(
+      onBatch: ErState => Unit): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[FileRow], _: Long) =>
+        onBatch(processBatchCheckpointed(spark, batch, io, cfg))
+      }
+      .start()
+
   /** Wire the incremental pipeline into a Structured Streaming query via
-    * foreachBatch. `onBatch` observes each new state (tests read the
-    * clustering from it); production would instead call
-    * [[processBatchCheckpointed]] inside the same hook. */
+    * foreachBatch with in-memory state. `onBatch` observes each new
+    * state (tests read the clustering from it); production uses
+    * [[startCheckpointed]]. */
   def start(
       spark: SparkSession,
       stream: Dataset[FileRow],

@@ -81,6 +81,33 @@ class StreamingErSpec extends AnyFunSuite {
     files.unpersist()
   }
 
+  test("checkpointed query restart: a NEW streaming query continues from storage") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
+    val io = new graft.sources.ParquetTableIO(root)
+    val files = CorpusGen.corpus(spark, "/root/testdata/sf0.001")
+      .filter((f: FileRow) => math.floorMod(graft.util.Hashing.hashString(f.path), 10) == 1)
+      .collect()
+    val (b1, b2) = files.splitAt(files.length / 2)
+
+    // first query incarnation processes batch 1, then is STOPPED
+    val s1 = MemoryStream[FileRow]
+    val q1 = StreamingEr.startCheckpointed(spark, s1.toDS(), io) { _ => () }
+    try { s1.addData(b1.toSeq); q1.processAllAvailable() } finally q1.stop()
+
+    // second incarnation: fresh query, fresh source — resumes from io
+    val s2 = MemoryStream[FileRow]
+    @volatile var last: Option[StreamingEr.ErState] = None
+    val q2 = StreamingEr.startCheckpointed(spark, s2.toDS(), io) { st => last = Some(st) }
+    try { s2.addData(b2.toSeq); q2.processAllAvailable() } finally q2.stop()
+
+    val batchClusters = clustersOf(
+      Pipeline.run(spark, spark.createDataset(files.toSeq)).clusters)
+    assert(last.isDefined)
+    assert(clustersOf(last.get.clusters) == batchClusters)
+  }
+
   test("foreachBatch wiring: MemoryStream drives the incremental pipeline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
