@@ -88,7 +88,12 @@ object Pipeline {
       * partial metrics table, which would permanently under-record the
       * run. */
     lazy val metrics: DataFrame = cfg.io match {
-      case Some(io) if io.exists(spark, "metrics") => io.read(spark, "metrics")
+      // the persisted table is only the record when NO stage executed this
+      // run (acc empty); if stages re-ran (stage tables deleted, config
+      // change under the same io root) the accumulator holds the truth and
+      // the table must be regenerated, not returned stale
+      case Some(io) if io.exists(spark, "metrics") && metricsAcc.value.isEmpty =>
+        io.read(spark, "metrics")
       case other =>
         trees.count() // fills parse metrics when the parse stage executes
         scores.count() // fills score metrics likewise

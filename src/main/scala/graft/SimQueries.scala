@@ -5,11 +5,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search and multimodal queries over `embeddings.parquet` /
-  * `documents.parquet`. Brute-force kNN and full-probe IVF are
-  * DuckDB-oracle-checked (outputs rounded to 6dp so cross-engine float
-  * sums compare exactly; ranking runs on full precision in both
-  * engines); the seeded-hash LSH/IVF-pruned variants are rows-only with
-  * ScalaTest recall ladders against brute force instead.
+  * `documents.parquet`. Every kNN variant is DuckDB-oracle-checked:
+  * brute force and full-probe IVF are recomputed from scratch by the
+  * oracle engine, and the seeded-hash LSH / pruned-IVF variants are
+  * recomputed from their dumped stage tables (bucket / inverted-file
+  * assignments), with the cap + join + cosine + rank redone in SQL.
+  * Outputs round cosine to 6dp so cross-engine float sums compare
+  * exactly; ranking runs on full precision in both engines. ScalaTest
+  * recall ladders against brute force cover approximation quality.
   */
 object SimQueries {
 
@@ -34,18 +37,25 @@ object SimQueries {
 
     // LSH-bucketed approximate top-5 for the same queries; few plane
     // bits because these embeddings are weakly correlated (top-1 cosine
-    // ~0.4 ⇒ P(bit agree) ~0.62) — more bits would empty the buckets
+    // ~0.4 ⇒ P(bit agree) ~0.62) — more bits would empty the buckets.
+    // Oracle-checked from the dumped bucket tables (cosine rounded to
+    // 6dp in the OUTPUT only, like q_knn_brute)
     "q_knn_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.lshKnn(e, queriesOf(e, 20), k = 5, planeBits = 4, tables = 8)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
     // IVF-indexed approximate top-5 (k-means coarse quantizer over a
-    // bounded sample, nprobe-list probing) — the second ANN scale path
+    // bounded sample, nprobe-list probing) — the second ANN scale path.
+    // Oracle-checked from the dumped inverted-file assignment tables
     "q_knn_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfKnn(e, queriesOf(e, 20), k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -66,6 +76,7 @@ object SimQueries {
     // ~0.9 on normalized text embeddings)
     "q_embed_neardup" -> ((s, dir) => {
       Similarity.embeddingNearDupPairs(emb(s, dir), minCosine = 0.35)
+        .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("idA"), col("idB"))
     }),
 
@@ -86,11 +97,59 @@ object SimQueries {
     })
   )
 
+  /** Auxiliary stage-table dumps for the DuckDB oracle: the sign-LSH
+    * bucket tables (q_knn_lsh / q_embed_neardup params) and the IVF
+    * inverted-file assignment tables (q_knn_ivf params). The seeded
+    * hashes/centroids are engine-internal, but once the stage tables are
+    * dumped the verification halves — cap, probe join, cosine, rank —
+    * are redone independently by DuckDB. Params must match the query
+    * entries above exactly; both call the same operator functions. */
+  def dumpAux(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val e = emb(spark, sfDir)
+    def dump(df: DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/$name")
+    dump(Similarity.lshBuckets(e, planeBits = 4, tables = 8), "lsh_corpus_buckets")
+    dump(Similarity.lshBuckets(queriesOf(e, 20), planeBits = 4, tables = 8),
+      "lsh_query_buckets")
+    dump(Similarity.lshBuckets(e, planeBits = 12, tables = 8)
+      .withColumnRenamed("bucket", "key"), "embed_keys")
+    val (cl, ql) = Similarity.ivfAssignments(e, queriesOf(e, 20), nlist = 16, nprobe = 4)
+    dump(cl, "ivf_corpus_lists")
+    dump(ql, "ivf_query_lists")
+    // per-asset stub-decode seed hash: the q_multimodal_features oracle
+    // recomputes width/height/n_frames from it with independent
+    // unsigned-shift/mod arithmetic
+    locally {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val ad = Multimodal.assets(docs)
+        .map(a => (a.asset_id, a.mime, Multimodal.decodeHash(a.n_bytes, a.mime)))
+        .toDF("asset_id", "mime", "h")
+      dump(ad, "asset_decode")
+    }
+  }
+
+  /** Cosine + per-query top-5 rank over a `cand(query_id, vec_id)` CTE —
+    * the shared verification tail of the ANN oracles. */
+  private def knnScoreSql: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |scored AS (
+      |  SELECT cand.query_id, cand.vec_id,
+      |    list_cosine_similarity(ec.emb, eq.emb) AS cosine
+      |  FROM cand JOIN e eq ON cand.query_id = eq.vec_id
+      |            JOIN e ec ON cand.vec_id = ec.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+      |  FROM scored)
+      |SELECT query_id, vec_id, round(cosine, 6) AS cosine, CAST(rnk AS INT) AS "rank"
+      |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   /** DuckDB oracles: brute-force kNN is fully recomputed by the oracle
-    * engine (its own cross join + cosine + window rank); frame sampling
-    * is recomputed from the dumped features table ({OUT} = dump dir,
-    * substituted by Verify). LSH variants stay rows-only: their buckets
-    * are seeded engine-internal hashes. */
+    * engine (its own cross join + cosine + window rank); the LSH / IVF
+    * variants are recomputed from their dumped stage tables; frame
+    * sampling is recomputed from the dumped features table ({OUT} = dump
+    * dir, substituted by Verify). */
   private val bruteKnnSql =
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
@@ -111,6 +170,61 @@ object SimQueries {
     "q_knn_brute" -> bruteKnnSql,
     // full-probe IVF must equal brute force exactly
     "q_knn_ivf_full" -> bruteKnnSql,
+    // LSH kNN: cap (keep lowest ids) + bucket join + distinct redone
+    // from the dumped bucket tables, then the shared cosine+rank tail
+    "q_knn_lsh" ->
+      s"""WITH cb AS (
+         |  SELECT bucket, id FROM read_parquet('{OUT}/_aux/lsh_corpus_buckets/*.parquet')
+         |  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY id) <= 256),
+         |qb AS (SELECT bucket, id AS query_id
+         |       FROM read_parquet('{OUT}/_aux/lsh_query_buckets/*.parquet')),
+         |cand AS (
+         |  SELECT DISTINCT qb.query_id, cb.id AS vec_id
+         |  FROM qb JOIN cb ON qb.bucket = cb.bucket
+         |  WHERE qb.query_id <> cb.id),
+         |$knnScoreSql""".stripMargin,
+    // IVF kNN: probe join over the dumped inverted-file assignments
+    "q_knn_ivf" ->
+      s"""WITH cl AS (SELECT list, vec_id
+         |            FROM read_parquet('{OUT}/_aux/ivf_corpus_lists/*.parquet')),
+         |ql AS (SELECT list, query_id
+         |       FROM read_parquet('{OUT}/_aux/ivf_query_lists/*.parquet')),
+         |cand AS (
+         |  SELECT DISTINCT ql.query_id, cl.vec_id
+         |  FROM ql JOIN cl ON ql.list = cl.list
+         |  WHERE ql.query_id <> cl.vec_id),
+         |$knnScoreSql""".stripMargin,
+    // embedding near-dup: capped pairs from the dumped LSH key table,
+    // cosine recomputed by DuckDB, threshold on the 6dp-rounded value
+    // (exactly the engine's predicate)
+    "q_embed_neardup" ->
+      """WITH k AS (
+        |  SELECT key, id FROM read_parquet('{OUT}/_aux/embed_keys/*.parquet')
+        |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY id) <= 128),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS idA, b.id AS idB
+        |  FROM k a JOIN k b ON a.key = b.key AND a.id < b.id),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+        |SELECT c.idA, c.idB,
+        |  round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cosine
+        |FROM cand c JOIN e ea ON c.idA = ea.vec_id JOIN e eb ON c.idB = eb.vec_id
+        |WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= 0.35
+        |ORDER BY idA, idB""".stripMargin,
+    // stub-decode feature math recomputed from the dumped seed hashes:
+    // Scala's (h >>> s) % m on an unsigned-interpreted 64-bit value is
+    // redone as HUGEINT // 2^s % m after adding 2^64 to negative h
+    "q_multimodal_features" ->
+      """WITH a AS (
+        |  SELECT asset_id, mime, h,
+        |    h::HUGEINT + CASE WHEN h < 0
+        |      THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS u
+        |  FROM read_parquet('{OUT}/_aux/asset_decode/*.parquet'))
+        |SELECT asset_id, mime,
+        |  CAST(64 + (u // 256) % 192 AS INT) AS width,
+        |  CAST(64 + (u // 65536) % 192 AS INT) AS height,
+        |  CAST(CASE WHEN mime LIKE 'video%'
+        |    THEN 1 + (u // 16777216) % 120 ELSE 1 END AS INT) AS n_frames
+        |FROM a ORDER BY asset_id""".stripMargin,
     "q_frame_samples" ->
       """SELECT asset_id, frame_idx FROM (
         |  SELECT asset_id, CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx

@@ -6,9 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + dedup queries. Document-table queries are DuckDB-
-  * oracle-checked (same regex/lambda logic in both dialects); queries on
-  * the generated code corpus (where true near-dups exist) are rows-only
-  * and covered by ScalaTest assertions instead.
+  * oracle-checked directly (same regex/lambda logic in both dialects);
+  * the near-dup queries on the generated code corpus are oracle-checked
+  * from dumped stage tables (band keys / signatures / shingles), with
+  * the cap + pair algebra + hamming + Jaccard verification redone
+  * independently by DuckDB. ScalaTest covers the hash internals.
   */
 object TextQueries {
 
@@ -140,7 +142,89 @@ object TextQueries {
     })
   )
 
+  /** Auxiliary stage-table dumps for the DuckDB oracle: the MinHash band
+    * keys, SimHash signatures + chunk keys, and shingle sets over the
+    * code corpus — the seeded hashes themselves are engine-internal, but
+    * once dumped, the *verification halves* (cap + pair algebra, hamming
+    * via bit_count(xor), Jaccard set algebra) are redone independently
+    * by DuckDB. Built through the exact operator entry points the
+    * queries use, so any drift in params/seeds breaks the oracle. */
+  def dumpAux(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val c = corpusDf(spark, sfDir)
+    def dump(df: DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/$name")
+    dump(Dedup.minHashKeyed(c, "doc_id", "text"), "minhash_keys")
+    val sigs = Dedup.simHashSigs(c, "doc_id", "text")
+    dump(sigs, "simhash_sigs")
+    dump(Dedup.simHashKeyed(sigs, maxHamming = 3), "simhash_keys")
+    dump(Dedup.shingleSets(c, "doc_id", "text"), "shingles")
+    // per-position k-gram hashes over the documents table: the
+    // q_fingerprints oracle redoes the winnowing window-minimum+dedupe
+    locally {
+      import spark.implicits._
+      val kg = docs(spark, sfDir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+          if (toks.isEmpty) Iterator.empty
+          else TextAnalysis.kgramHashes(toks).iterator.zipWithIndex
+            .map { case (h, pos) => (id, pos, h) }
+        }
+        .toDF("doc_id", "pos", "h")
+      dump(kg, "kgrams")
+    }
+  }
+
+  // capped block membership + intra-block pair emission, exactly
+  // CandidateGen.pairsFromKeys' algebra redone in SQL (cap 64 = the
+  // MinHashParams/simHashPairs default)
+  private def pairsFromKeysSql(keysTable: String): String =
+    s"""WITH k AS (
+       |  SELECT key, id FROM read_parquet('{OUT}/_aux/$keysTable/*.parquet')
+       |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY id) <= 64),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS idA, b.id AS idB
+       |  FROM k a JOIN k b ON a.key = b.key AND a.id < b.id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_minhash_neardup" ->
+      s"""${pairsFromKeysSql("minhash_keys")}
+         |SELECT idA, idB FROM cand ORDER BY idA, idB""".stripMargin,
+    "q_simhash_neardup" ->
+      s"""${pairsFromKeysSql("simhash_keys")},
+         |s AS (SELECT id, simhash FROM read_parquet('{OUT}/_aux/simhash_sigs/*.parquet'))
+         |SELECT c.idA, c.idB,
+         |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+         |FROM cand c JOIN s sa ON c.idA = sa.id JOIN s sb ON c.idB = sb.id
+         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+         |ORDER BY idA, idB""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""${pairsFromKeysSql("minhash_keys")},
+         |sh AS (SELECT id, shingles FROM read_parquet('{OUT}/_aux/shingles/*.parquet'))
+         |SELECT c.idA, c.idB,
+         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |    / greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1) AS jaccard
+         |FROM cand c JOIN sh sa ON c.idA = sa.id JOIN sh sb ON c.idB = sb.id
+         |ORDER BY idA, idB""".stripMargin,
+    // winnowing (k=5, w=4) redone in SQL over the dumped k-gram hash
+    // sequence: per-window minimum via a frame of 4, windows end at
+    // n−w, fingerprint count = distinct minima (the Scala LinkedHashSet
+    // dedupes by value; only the count is surfaced here)
+    "q_fingerprints" ->
+      """WITH kg AS (SELECT doc_id, pos, h FROM read_parquet('{OUT}/_aux/kgrams/*.parquet')),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM kg GROUP BY doc_id),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+        |  FROM kg),
+        |f AS (
+        |  SELECT m.doc_id, count(DISTINCT m.mn) AS nf
+        |  FROM m JOIN cnt ON m.doc_id = cnt.doc_id
+        |  WHERE m.pos <= greatest(0, cnt.n - 4)
+        |  GROUP BY m.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(f.nf, 0) AS INT) AS n_fingerprints
+        |FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // DuckDB sum(int) is HUGEINT (float64 through pandas) — cast to BIGINT
     // so the driver's type-sensitive hash matches Spark's int64 sums
     "q_doc_stats" ->

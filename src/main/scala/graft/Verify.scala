@@ -22,12 +22,18 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // auxiliary oracle inputs: the deterministic raw corpus + raw scoring
-    // metrics, so the DuckDB oracle can recompute ids/hashes/rollups from
-    // scratch (several er_* oracles read '{OUT}/...' paths)
-    try ErQueries.dumpAux(spark, sfDir, outDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] aux dump failed: ${e.getMessage}")
+    // auxiliary oracle inputs: the deterministic raw corpus, raw scoring
+    // metrics, streaming match edges, and the dedup/ANN stage tables
+    // (signatures, block keys, buckets, inverted-file assignments) — the
+    // DuckDB oracle recomputes ids/hashes/rollups/pair-algebra/cosines
+    // from these independently (many oracles read '{OUT}/...' paths)
+    Seq[(String, (SparkSession, String, String) => Unit)](
+      ("er", ErQueries.dumpAux), ("text", TextQueries.dumpAux),
+      ("sim", SimQueries.dumpAux)).foreach { case (tag, dump) =>
+      try dump(spark, sfDir, outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $tag aux dump failed: ${e.getMessage}")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

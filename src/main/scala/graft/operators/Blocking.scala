@@ -71,17 +71,21 @@ object Blocking {
     * keys. Exact content duplicates (same sha256) are paired by a cheap
     * dedicated key as well, so identical files never rely on MinHash.
     */
-  def candidatePairs(trees: Dataset[TreeRow], cfg: BlockingConfig = BlockingConfig()): DataFrame = {
-    val spark = trees.sparkSession
-    import spark.implicits._
+  def candidatePairs(trees: Dataset[TreeRow], cfg: BlockingConfig = BlockingConfig()): DataFrame =
+    CandidateGen.pairsFromKeys(keyedIds(trees, cfg), cfg.maxBlockSize)
 
-    val keyed: Dataset[(Long, String)] = trees.flatMap { t =>
+  /** `(key, id)` block-index rows for every tree: the MinHash-band keys
+    * plus a dedicated sha256 key (identical files never rely on MinHash).
+    * THE single definition of key derivation — the batch pair generator
+    * and the streaming block index both call it, so any change to keying
+    * reaches both paths (the stream==batch oracle depends on that). */
+  def keyedIds(trees: Dataset[TreeRow], cfg: BlockingConfig): DataFrame = {
+    import trees.sparkSession.implicits._
+    trees.flatMap { t =>
       val ks = keysFor(t.lang, t.nTokens, t.minhash, cfg)
       val shaKey = Hashing.hashString(t.sha256, 0xabcdefL)
       (ks :+ shaKey).map(k => (k, t.id))
-    }
-
-    CandidateGen.pairsFromKeys(keyed.toDF("key", "id"), cfg.maxBlockSize)
+    }.toDF("key", "id")
   }
 
   /** Diagnostics: block-size histogram (oracle-checkable on the simple

@@ -20,18 +20,27 @@ object CandidateGen {
     * is pure codegen'd array algebra (transform/slice/explode), no typed
     * lambda, so the generic id costs nothing.
     */
-  def pairsFromKeys(keyed: DataFrame, cap: Int): DataFrame = {
-    // Cap BEFORE materializing the block: row_number streams through a
-    // sort within the key's partition, so a degenerate hot key (10^9
-    // members at corpus scale) never has to fit in one collect_list
-    // buffer — at most `cap` rows per key survive to the aggregation.
-    // The window and the groupBy share the same hash partitioning, so
-    // Catalyst plans a single exchange for both.
+  /** Capped block membership: keep the `cap` smallest ids per key,
+    * deterministic. THE single definition of cap semantics — batch pair
+    * generation and the streaming new-vs-bucket join both use it, so the
+    * two paths can never drift. row_number streams through a sort within
+    * the key's partition, so a degenerate hot key (10^9 members at
+    * corpus scale) never has to fit in one buffer. */
+  def capByKey(keyed: DataFrame, cap: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key")).orderBy(col("id"))
     keyed
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
+  def pairsFromKeys(keyed: DataFrame, cap: Int): DataFrame = {
+    // Cap BEFORE materializing the block — at most `cap` rows per key
+    // survive to the aggregation. The window and the groupBy share the
+    // same hash partitioning, so Catalyst plans a single exchange for
+    // both.
+    capByKey(keyed, cap)
       .groupBy(col("key"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) >= 2)

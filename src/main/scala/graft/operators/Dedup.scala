@@ -44,12 +44,14 @@ object Dedup {
     ParseStage.minHash(words, ParseStage.MinHashConfig(p.numHashes, p.bands, p.shingleWords))
   }
 
-  /** Near-duplicate candidate pairs on a text column via banded MinHash. */
-  def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
+  /** `(key, id)` banded-MinHash block index — the stage table the
+    * candidate join runs on. Public so Verify can dump it for the DuckDB
+    * oracle, which redoes the cap + pair algebra independently. */
+  def minHashKeyed(docs: DataFrame, idCol: String, textCol: String,
                    p: MinHashParams = MinHashParams()): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val keyed = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
         val sig = wordMinHash(text, p)
         val rows = p.rows
@@ -59,9 +61,13 @@ object Dedup {
           while (r < rows) { h = Hashing.mix64(h ^ sig(band * rows + r)); r += 1 }
           (h, id)
         }
-      }
-    CandidateGen.pairsFromKeys(keyed.toDF("key", "id"), p.cap)
+      }.toDF("key", "id")
   }
+
+  /** Near-duplicate candidate pairs on a text column via banded MinHash. */
+  def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   p: MinHashParams = MinHashParams()): DataFrame =
+    CandidateGen.pairsFromKeys(minHashKeyed(docs, idCol, textCol, p), p.cap)
 
   // --- SimHash near-dup ---------------------------------------------------
 
@@ -87,37 +93,50 @@ object Dedup {
     sig
   }
 
+  /** `(id, simhash)` signature table. Public for oracle dumps: DuckDB
+    * redoes the hamming verification with its own bit_count(xor). */
+  def simHashSigs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) => (id, simHash64(text)) }
+      .toDF("id", "simhash")
+  }
+
+  /** `(key, id)` pigeonhole chunk index over the signatures. */
+  def simHashKeyed(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val nChunks = maxHamming + 1
+    val chunkBits = 64 / nChunks
+    sigs.select(col("id"), col("simhash")).as[(Long, Long)]
+      .flatMap { case (id, sig) =>
+        (0 until nChunks).iterator.map { c =>
+          val chunk = (sig >>> (c * chunkBits)) & ((1L << chunkBits) - 1)
+          (Hashing.mix64(Hashing.hashLong(c.toLong, 55L) ^ chunk), id)
+        }
+      }.toDF("key", "id")
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     * Candidate generation by the pigeonhole principle: the 64-bit
     * signature splits into `maxHamming + 1` chunks, and any pair within
     * the Hamming budget must agree on at least one whole chunk — block
-    * on (chunkIdx, chunkValue), then verify with bit_count(xor). */
+    * on (chunkIdx, chunkValue), then verify with bit_count(xor).
+    * The signature map is recomputed per read (3×: keys + two verify
+    * joins) instead of persisted — a long-lived session calling this per
+    * corpus would otherwise leak cache entries, and the map is a narrow
+    * codegen'd stage that costs far less than the shuffle it feeds. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, cap: Int = 64): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val nChunks = maxHamming + 1
-    val chunkBits = 64 / nChunks
-
-    val sigs = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-      .map { case (id, text) => (id, simHash64(text)) }
-      .toDF("id", "simhash")
-      .persist()
-
-    val keyed = sigs.as[(Long, Long)].flatMap { case (id, sig) =>
-      (0 until nChunks).iterator.map { c =>
-        val chunk = (sig >>> (c * chunkBits)) & ((1L << chunkBits) - 1)
-        (Hashing.mix64(Hashing.hashLong(c.toLong, 55L) ^ chunk), id)
-      }
-    }
-    val cand = CandidateGen.pairsFromKeys(keyed.toDF("key", "id"), cap)
-    val out = cand
+    val sigs = simHashSigs(docs, idCol, textCol)
+    val cand = CandidateGen.pairsFromKeys(simHashKeyed(sigs, maxHamming), cap)
+    cand
       .join(sigs.withColumnRenamed("id", "idA").withColumnRenamed("simhash", "shA"), "idA")
       .join(sigs.withColumnRenamed("id", "idB").withColumnRenamed("simhash", "shB"), "idB")
       .withColumn("hamming", bit_count(col("shA").bitwiseXOR(col("shB"))))
       .where(col("hamming") <= maxHamming)
       .select(col("idA"), col("idB"), col("hamming"))
-    out
   }
 
   // --- n-gram Jaccard verification ---------------------------------------
@@ -125,11 +144,13 @@ object Dedup {
   /** Exact token n-gram Jaccard for candidate pairs — the verify step
     * after LSH recall stages. Shingle sets are built once per doc in a
     * narrow map; the set algebra runs on codegen'd array functions. */
-  def ngramJaccard(candidates: DataFrame, docs: DataFrame, idCol: String,
-                   textCol: String, n: Int = 3): DataFrame = {
+  /** `(id, shingles)` distinct hashed word-n-gram sets, one narrow map
+    * per doc. Public for oracle dumps: DuckDB redoes the Jaccard set
+    * algebra over the dumped arrays. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val shingled = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .map { case (id, text) =>
         val words = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
         val sh = (0 until math.max(1, words.length - n + 1)).map { i =>
@@ -141,7 +162,11 @@ object Dedup {
         (id, sh)
       }
       .toDF("id", "shingles")
+  }
 
+  def ngramJaccard(candidates: DataFrame, docs: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3): DataFrame = {
+    val shingled = shingleSets(docs, idCol, textCol, n)
     candidates
       .join(shingled.withColumnRenamed("id", "idA").withColumnRenamed("shingles", "shA"), "idA")
       .join(shingled.withColumnRenamed("id", "idB").withColumnRenamed("shingles", "shB"), "idB")

@@ -48,11 +48,17 @@ object Multimodal {
       }
   }
 
+  /** The stub decode's seed hash. Public so Verify can dump it per
+    * asset — the DuckDB oracle recomputes width/height/n_frames from
+    * the dumped hash with its own unsigned-shift/mod arithmetic. */
+  def decodeHash(payloadLen: Long, mime: String): Long =
+    Hashing.mix64(payloadLen ^ Hashing.hashString(mime))
+
   /** STUB DECODE — deterministic fake media decode.
     * Replace with the real codec (e.g. javax.imageio / ffmpeg bindings)
     * in production; signature and batch shape stay identical. */
   private def stubDecode(payload: Array[Byte], mime: String): (Int, Int, Int) = {
-    val h = Hashing.mix64(payload.length.toLong ^ Hashing.hashString(mime))
+    val h = decodeHash(payload.length.toLong, mime)
     val width = 64 + ((h >>> 8) % 192).toInt
     val height = 64 + ((h >>> 16) % 192).toInt
     val frames = if (mime.startsWith("video")) 1 + ((h >>> 24) % 120).toInt else 1

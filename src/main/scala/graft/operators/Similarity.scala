@@ -75,30 +75,34 @@ object Similarity {
     * each bucket is capped at `cap` (keep the `cap` smallest ids,
     * deterministic) BEFORE the join, so one hot bucket can never emit
     * more than #queries·cap candidates. */
-  def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-             planeBits: Int = 12, tables: Int = 8, cap: Int = 256): DataFrame = {
-    val spark = corpus.sparkSession
+  /** `(bucket, id)` sign-LSH bucket table — one row per (table, vector).
+    * Buckets depend only on (dim, planeBits, tables) and the fixed
+    * seeds, so corpus and query sides bucketed separately still land in
+    * the same space. Public so Verify can dump the stage tables for the
+    * DuckDB oracle, which redoes the cap + join + cosine + rank. */
+  def lshBuckets(df: DataFrame, planeBits: Int, tables: Int): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    val dim = corpus.select(col("embedding")).head().getSeq[Float](0).length
+    val dim = df.select(col("embedding")).head().getSeq[Float](0).length
     val ps = planes(dim, planeBits, tables)
     val bps = spark.sparkContext.broadcast(ps)
-
-    def buckets(df: DataFrame): DataFrame =
-      df.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Seq[Float])]
-        .flatMap { case (id, emb) =>
-          val local = bps.value
-          (0 until local.length).iterator.map { t =>
-            (Hashing.mix64(Hashing.hashLong(t.toLong, 991L) ^ sigFor(emb, local(t))), id)
-          }
+    df.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Seq[Float])]
+      .flatMap { case (id, emb) =>
+        val local = bps.value
+        (0 until local.length).iterator.map { t =>
+          (Hashing.mix64(Hashing.hashLong(t.toLong, 991L) ^ sigFor(emb, local(t))), id)
         }
-        .toDF("bucket", "id")
+      }
+      .toDF("bucket", "id")
+  }
 
-    val qb = buckets(queries).withColumnRenamed("id", "query_id")
-    val wb = Window.partitionBy(col("bucket")).orderBy(col("id"))
-    val cb = buckets(corpus)
-      .withColumn("__rn", row_number().over(wb))
-      .where(col("__rn") <= cap)
-      .drop("__rn")
+  def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             planeBits: Int = 12, tables: Int = 8, cap: Int = 256): DataFrame = {
+    val qb = lshBuckets(queries, planeBits, tables).withColumnRenamed("id", "query_id")
+    // cap through CandidateGen's one definition (keep lowest ids)
+    val cb = CandidateGen.capByKey(
+        lshBuckets(corpus, planeBits, tables).withColumnRenamed("bucket", "key"), cap)
+      .withColumnRenamed("key", "bucket")
     val cand = qb.join(cb, "bucket")
       .where(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id"))
@@ -128,9 +132,20 @@ object Similarity {
     import corpus.sparkSession.implicits._
     val total = corpus.count()
     val step = math.max(1L, total / sampleCap)
-    val sample = corpus.select(col("vec_id").cast("long"), col("embedding"))
-      .where(pmod(col("vec_id"), lit(step)) === 0)
-      .as[(Long, Seq[Float])].collect().sortBy(_._1).map(_._2.toArray)
+    // sample on a hash of the id, not the id itself: strided/sparse id
+    // spaces would skew a modulo-of-id sample (or select nothing); the
+    // hash is uniform regardless of id density. Hard-cap after the
+    // deterministic sort so the driver-side bound holds exactly.
+    val sample0 = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .where(pmod(xxhash64(col("vec_id")), lit(step)) === 0)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).take(sampleCap).map(_._2.toArray)
+    // hash sampling selecting zero rows from a tiny corpus is possible in
+    // principle — fall back to the first `sampleCap` ids
+    val sample =
+      if (sample0.nonEmpty) sample0
+      else corpus.select(col("vec_id").cast("long"), col("embedding"))
+        .orderBy(col("vec_id")).limit(sampleCap)
+        .as[(Long, Seq[Float])].collect().sortBy(_._1).map(_._2.toArray)
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
     val k = math.min(nlist, sample.length)
@@ -195,8 +210,15 @@ object Similarity {
     * centroid table is trained once on a bounded sample and broadcast —
     * at 100 TB the inverted file would be a bucketed/partitioned table
     * so probes prune to nprobe partitions per query. */
-  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-             nlist: Int = 32, nprobe: Int = 4): DataFrame = {
+  /** The inverted-file assignment tables: `(list, vec_id)` for the
+    * corpus (each vector in its nearest list — this IS the inverted
+    * file) and `(list, query_id)` for the queries (each probing its
+    * `nprobe` nearest lists). Public so Verify can dump them for the
+    * DuckDB oracle, which redoes the probe join + cosine + rank.
+    * Deterministic: the quantizer is seeded, so separate calls with the
+    * same inputs yield identical assignments. */
+  def ivfAssignments(corpus: DataFrame, queries: DataFrame,
+                     nlist: Int, nprobe: Int): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = trainCentroids(corpus, nlist)
@@ -212,7 +234,12 @@ object Similarity {
         nearestLists(emb, bc.value, nprobe).iterator.map(l => (l, id))
       }
       .toDF("list", "query_id")
+    (corpusLists, queryLists)
+  }
 
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             nlist: Int = 32, nprobe: Int = 4): DataFrame = {
+    val (corpusLists, queryLists) = ivfAssignments(corpus, queries, nlist, nprobe)
     val cand = broadcast(queryLists).join(corpusLists, "list")
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"))
@@ -229,28 +256,21 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (cosine ≥ minCosine) via the
-    * same LSH bucketing — the "embedding near-dup" dedup mode. */
+    * same LSH bucketing — the "embedding near-dup" dedup mode. The
+    * threshold compares the cosine ROUNDED to 6 decimals: semantically a
+    * no-op for a dedup threshold, and it makes the predicate
+    * reproducible across engines (cross-engine double folds agree to
+    * well beyond 1e-6 but not to the last ulp — an unrounded compare at
+    * the exact boundary could flip between the engine and a verifier). */
   def embeddingNearDupPairs(corpus: DataFrame, minCosine: Double,
                             planeBits: Int = 12, tables: Int = 8, cap: Int = 128): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val dim = corpus.select(col("embedding")).head().getSeq[Float](0).length
-    val ps = planes(dim, planeBits, tables)
-    val bps = spark.sparkContext.broadcast(ps)
-
-    val keyed = corpus.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Seq[Float])]
-      .flatMap { case (id, emb) =>
-        val local = bps.value
-        (0 until local.length).iterator.map { t =>
-          (Hashing.mix64(Hashing.hashLong(t.toLong, 991L) ^ sigFor(emb, local(t))), id)
-        }
-      }
-    val cand = CandidateGen.pairsFromKeys(keyed.toDF("key", "id"), cap)
+    val keyed = lshBuckets(corpus, planeBits, tables).withColumnRenamed("bucket", "key")
+    val cand = CandidateGen.pairsFromKeys(keyed, cap)
     cand
       .join(corpus.select(col("vec_id").as("idA"), col("embedding").as("embA")), "idA")
       .join(corpus.select(col("vec_id").as("idB"), col("embedding").as("embB")), "idB")
       .withColumn("cosine", cosineCol(col("embA"), col("embB")))
-      .where(col("cosine") >= minCosine)
+      .where(round(col("cosine"), 6) >= minCosine)
       .select(col("idA"), col("idB"), col("cosine"))
   }
 }

@@ -69,8 +69,12 @@ object TextAnalysis {
     * public algorithm): hash all k-gram token shingles, slide a window
     * of `w`, keep each window's minimum (rightmost on ties), dedupe.
     * Used for document fingerprint indexes / containment detection. */
-  def winnow(tokens: Array[String], k: Int = 5, w: Int = 4): Array[Long] = {
-    if (tokens.length == 0) return Array.empty
+  /** Rolling k-gram hash sequence (position i = hash of tokens
+    * [i, i+k)): the input to winnowing. Public so Verify can dump it —
+    * the DuckDB oracle redoes the window-minimum + dedupe over the
+    * dumped sequence independently. For 0 < len < k there is one hash
+    * over the whole (short) token list, matching the winnow loop. */
+  def kgramHashes(tokens: Array[String], k: Int = 5): Array[Long] = {
     val n = math.max(1, tokens.length - k + 1)
     val hs = new Array[Long](n)
     var i = 0
@@ -81,8 +85,15 @@ object TextAnalysis {
       hs(i) = h
       i += 1
     }
+    hs
+  }
+
+  def winnow(tokens: Array[String], k: Int = 5, w: Int = 4): Array[Long] = {
+    if (tokens.length == 0) return Array.empty
+    val hs = kgramHashes(tokens, k)
+    val n = hs.length
     val out = scala.collection.mutable.LinkedHashSet.empty[Long]
-    i = 0
+    var i = 0
     val last = math.max(0, n - w)
     while (i <= last) {
       var mn = hs(i)

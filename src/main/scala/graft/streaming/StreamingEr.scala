@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.Pipeline
 import graft.model.{FileRow, TreeRow}
-import graft.operators.{Blocking, ParseStage, Scoring, Clustering}
+import graft.operators.{Blocking, CandidateGen, ParseStage, Scoring, Clustering}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -24,10 +24,17 @@ import org.apache.spark.storage.StorageLevel
   *    in this sandbox state is carried as persisted Datasets, which is
   *    the same dataflow without the storage pruning.
   *  - The per-bucket cap bounds batch cost exactly like the batch path:
-  *    a new id scores against at most `maxBlockSize` retained members
-  *    per key. When a bucket exceeds the cap, the incremental path may
-  *    score a few pairs the batch path would have dropped (members seen
-  *    before the cap filled) — strictly extra recall, never less.
+  *    BOTH sides of the new-vs-bucket join are capped (the new side is
+  *    semi-joined against the capped set), so a new id landing beyond a
+  *    bucket's cap emits no pairs and per-batch cost is bounded by
+  *    |new ∩ capped| · maxBlockSize per key. Cap displacement over time
+  *    (a later, smaller id evicting an earlier member) can still leave
+  *    the stream with pairs scored before the eviction — matches are
+  *    never retracted, so stream recall is ≥ batch recall; clusters are
+  *    a coarsening of batch clusters in that corner. The driver oracle
+  *    therefore checks the stream's OWN invariant (clusters ==
+  *    connected components of the cumulative match set, recomputed
+  *    independently) rather than corpus-dependent batch equality.
   *  - Star-edge contraction keeps each batch's CC input proportional to
   *    the delta, not history: components converge in O(log n) rounds on
   *    an edge set that is (previous assignment) ∪ (new matches).
@@ -36,21 +43,16 @@ object StreamingEr {
 
   /** Running state after processing a batch. All members are
     * materialized (persisted + counted) so foreachBatch state handoff
-    * is stable across micro-batches. */
+    * is stable across micro-batches. `matches` is the cumulative match
+    * edge set — the clusters are provably CC(matches) (star contraction
+    * preserves connectivity), which is what the driver oracle recomputes
+    * independently. */
   final case class ErState(
       trees: Dataset[TreeRow],
       keyed: DataFrame, // (key: Long, id: String) block index
       clusters: DataFrame, // (id, clusterId)
+      matches: DataFrame, // cumulative (idA, idB) match edges
       batchesSeen: Int = 1)
-
-  private def keyedOf(trees: Dataset[TreeRow], cfg: Blocking.BlockingConfig): DataFrame = {
-    import trees.sparkSession.implicits._
-    trees.flatMap { t =>
-      val ks = Blocking.keysFor(t.lang, t.nTokens, t.minhash, cfg)
-      val shaKey = graft.util.Hashing.hashString(t.sha256, 0xabcdefL)
-      (ks :+ shaKey).map(k => (k, t.id))
-    }.toDF("key", "id")
-  }
 
   /** Process one micro-batch of new files against the previous state. */
   def processBatch(
@@ -63,7 +65,9 @@ object StreamingEr {
 
     val newTrees = ParseStage.parse(newFiles, cfg.parse, cfg.blocking.mh)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val newKeyed = keyedOf(newTrees, cfg.blocking).persist(StorageLevel.MEMORY_AND_DISK)
+    // key derivation is Blocking's — ONE definition for batch and stream
+    val newKeyed = Blocking.keyedIds(newTrees, cfg.blocking)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val batches = prev.map(_.batchesSeen + 1).getOrElse(1)
     // the union chain grows the logical plan per batch; truncate lineage
@@ -79,14 +83,17 @@ object StreamingEr {
       prev.map(_.keyed.unionByName(newKeyed)).getOrElse(newKeyed))
 
     // new-vs-bucket candidates: every pair with >= 1 new member, bucket
-    // membership capped exactly like the batch path (keep lowest ids)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"key").orderBy($"id")
-    val capped = allKeyed
-      .withColumn("__rn", row_number().over(w))
-      .where($"__rn" <= cfg.blocking.maxBlockSize)
-      .drop("__rn")
-    val cand = newKeyed.select($"key", $"id".as("nid"))
+    // membership capped through CandidateGen's ONE cap definition (keep
+    // lowest ids). BOTH sides of the pairing are capped: the new side is
+    // semi-joined against the capped set, so a new id landing beyond a
+    // bucket's cap emits no pairs — exactly like the batch path, where an
+    // over-cap member never reaches pair emission. Without this, a hot
+    // bucket would pair every over-cap new arrival (unbounded per-batch
+    // cost) and the stream's pair set would silently exceed batch's.
+    val capped = CandidateGen.capByKey(allKeyed, cfg.blocking.maxBlockSize)
+      .persist(StorageLevel.MEMORY_AND_DISK) // read 2×: new side + bucket side
+    val newCapped = capped.join(newKeyed, Seq("key", "id"), "left_semi")
+    val cand = newCapped.select($"key", $"id".as("nid"))
       .join(capped, "key")
       .where($"nid" =!= $"id")
       .select(least($"nid", $"id").as("idA"), greatest($"nid", $"id").as("idB"))
@@ -94,7 +101,7 @@ object StreamingEr {
       .persist(StorageLevel.MEMORY_AND_DISK) // read 3×: hot-degrees + 2 joins
 
     val scores = Scoring.score(Scoring.attachTrees(cand, allTrees, cfg.salts), cfg.tau)
-    val newEdges = Scoring.matches(scores)
+    val newEdges = Scoring.matches(scores).persist(StorageLevel.MEMORY_AND_DISK)
 
     // previous components contracted to star edges — CC input stays
     // proportional to the delta, never the full match history
@@ -107,14 +114,25 @@ object StreamingEr {
       .connectedComponents(edges, allTrees.toDF().select($"id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     clusters.count() // materialize before the next batch mutates inputs
+
+    // cumulative match edges (small: one row per accepted match) — the
+    // oracle-visible artifact: clusters == CC(matches) by construction
+    val allMatches = truncate(
+      prev.map(_.matches.unionByName(newEdges)).getOrElse(newEdges))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    allMatches.count() // materialize before cand/newEdges unpersist below
+    newEdges.unpersist()
     cand.unpersist()
+    capped.unpersist()
 
     prev.foreach { p =>
       p.clusters.unpersist()
-      // p.trees / p.keyed stay persisted: allTrees/allKeyed reference them
+      // p.trees / p.keyed / p.matches stay persisted: the cumulative
+      // unions reference them
     }
     newTrees.count()
-    ErState(allTrees, keyed = allKeyed, clusters = clusters, batchesSeen = batches)
+    ErState(allTrees, keyed = allKeyed, clusters = clusters,
+      matches = allMatches, batchesSeen = batches)
   }
 
   // ---- checkpointed state (kill-and-resume across processes) -----------
@@ -139,17 +157,19 @@ object StreamingEr {
     io.write(next.trees.toDF(), s"stream_trees_b$k")
     io.write(next.keyed, s"stream_keyed_b$k")
     io.write(next.clusters, s"stream_clusters_b$k")
+    io.write(next.matches, s"stream_matches_b$k")
     next
   }
 
-  /** Latest complete checkpointed state (all three tables `_SUCCESS`-
+  /** Latest complete checkpointed state (all four tables `_SUCCESS`-
     * gated) and the next batch id. */
   def resumeState(spark: SparkSession, io: graft.sources.TableIO): (Option[ErState], Int) = {
     import spark.implicits._
     var k = 0
     while (io.exists(spark, s"stream_trees_b$k") &&
         io.exists(spark, s"stream_keyed_b$k") &&
-        io.exists(spark, s"stream_clusters_b$k")) k += 1
+        io.exists(spark, s"stream_clusters_b$k") &&
+        io.exists(spark, s"stream_matches_b$k")) k += 1
     if (k == 0) (None, 0)
     else {
       val b = k - 1
@@ -157,7 +177,8 @@ object StreamingEr {
         trees = io.read(spark, s"stream_trees_b$b").as[TreeRow]
           .persist(StorageLevel.MEMORY_AND_DISK),
         keyed = io.read(spark, s"stream_keyed_b$b"),
-        clusters = io.read(spark, s"stream_clusters_b$b"))
+        clusters = io.read(spark, s"stream_clusters_b$b"),
+        matches = io.read(spark, s"stream_matches_b$b"))
       (Some(st), k)
     }
   }

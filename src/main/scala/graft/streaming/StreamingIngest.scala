@@ -40,6 +40,23 @@ object StreamingIngest {
         unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Append-mode variant over an arbitrary streaming DataFrame (same
+    * schema as `eventSchema`'s ts/event_type/value columns): only
+    * FINALIZED windows are emitted — each window exactly once, after
+    * the watermark (max event time − 10 min) passes the window end —
+    * and closed-window state is evicted. This is the production shape
+    * (bounded state, exactly-once window emission); the complete-mode
+    * memory sink below is the test/demo surface. StreamingSpec drives
+    * it through a MemoryStream and asserts the exactly-once emission
+    * and late-event drop. */
+  def startAppendMemoryStream(events: DataFrame, sinkName: String): StreamingQuery =
+    windowedAgg(events)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+
   /** Start a streaming query over the events parquet directory into an
     * in-memory sink (complete mode: emit every window each trigger). */
   def startMemoryStream(spark: SparkSession, sfDir: String, sinkName: String): StreamingQuery = {

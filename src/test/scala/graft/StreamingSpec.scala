@@ -25,6 +25,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("append mode emits each finalized window exactly once after watermark passage") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int, sec: Int = 0): java.sql.Timestamp =
+      new java.sql.Timestamp((min * 60L + sec) * 1000L)
+    val src = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = src.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingIngest.startAppendMemoryStream(events, "ev_append")
+    def sink() = spark.table("ev_append")
+    try {
+      // batch 1: two events in window [0,5) and one in [5,10); the
+      // watermark (max ts − 10 min) is still before every window end, so
+      // append emits NOTHING yet
+      src.addData((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(6), "a", 4.0))
+      q.processAllAvailable()
+      assert(sink().count() == 0)
+
+      // batch 2: event at 16 min → watermark 6 min > window [0,5) end →
+      // that window (and only it) is finalized and emitted, exactly once
+      src.addData((ts(16), "a", 8.0))
+      q.processAllAvailable()
+      val afterB2 = sink().select($"win_start".cast("long"), $"event_type", $"n", $"sum_value")
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(afterB2 == Set((0L, "a", 2L, 3.0)))
+
+      // batch 3: event at 31 min → watermark 21 min → windows [5,10) and
+      // [15,20) finalize. A LATE event for [0,5) arrives behind the
+      // watermark in the same batch: dropped, no re-emission of [0,5).
+      src.addData((ts(31), "a", 16.0), (ts(3), "a", 99.0))
+      q.processAllAvailable()
+      val afterB3 = sink().select($"win_start".cast("long"), $"event_type", $"n", $"sum_value")
+        .as[(Long, String, Long, Double)].collect().toSeq
+      assert(afterB3.toSet == Set(
+        (0L, "a", 2L, 3.0), (300L, "a", 1L, 4.0), (900L, "a", 1L, 8.0)))
+      // exactly-once: no window ever appears twice in the append stream
+      assert(afterB3.size == afterB3.toSet.size)
+      // the still-open window [30,35) is not emitted
+      assert(!afterB3.exists(_._1 == 1800L))
+    } finally q.stop()
+  }
+
   test("stateful stream: per-user running counts via mapGroupsWithState semantics") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
