@@ -36,6 +36,20 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("ReadSchema: struct<doc_id:bigint>"), "scan reads extra columns")
   }
 
+  test("ANN paths: map-side bucket cap retained, IVF probe join broadcasts queries") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.where(col("vec_id") < 20)
+    // the corpus-side bucket cap must stay a map-side (Partial)
+    // WindowGroupLimit — the skew guard that bounds any hot bucket
+    val lsh = fmt(graft.operators.Similarity.lshKnn(e, q, k = 5, planeBits = 4, tables = 8))
+    assert(lsh.contains("WindowGroupLimit"), "corpus bucket cap lost")
+    assert(lsh.contains("Partial"), "map-side (Partial) bucket cap lost")
+    // the tiny query probe side must broadcast, never shuffle the corpus
+    val ivf = fmt(graft.operators.Similarity.ivfKnn(e, q, k = 5, nlist = 16, nprobe = 4))
+    assert(ivf.contains("BroadcastExchange"), "IVF probe join must broadcast the query side")
+  }
+
   test("scoring input: persisted pairs reused, not recomputed") {
     val trees = ParseStage.parse(CorpusGen.corpus(spark, dir))
     val pairs = Blocking.candidatePairs(trees).persist()

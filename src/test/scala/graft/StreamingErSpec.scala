@@ -41,6 +41,50 @@ class StreamingErSpec extends AnyFunSuite {
     files.unpersist()
   }
 
+  test("cap overflow: stream matches ⊇ batch matches, clusters coarsen, CC invariant holds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // maxBlockSize=2 forces block-cap overflow everywhere — the corner
+    // where stream and batch may legitimately diverge. The PROVABLE
+    // invariants (given the capped semi-join on the new side):
+    //  1. every full-batch pair is emitted in the batch where its later
+    //     member arrives (cap membership is subset-monotone), so stream
+    //     matches ⊇ batch matches;
+    //  2. hence stream clusters COARSEN batch clusters (each batch
+    //     cluster lands inside exactly one stream cluster);
+    //  3. the stream's own oracle invariant: clusters (built from
+    //     star-contracted per-batch CC) == CC(cumulative match set).
+    val files = CorpusGen.corpus(spark, "/root/testdata/sf0.001").persist()
+    val tinyCap = Pipeline.Config(blocking =
+      graft.operators.Blocking.BlockingConfig(maxBlockSize = 2))
+    val batch = Pipeline.run(spark, files, tinyCap)
+    val batchMatches = batch.matches.collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+    def part(b: Int) = files.filter((f: FileRow) =>
+      math.floorMod(graft.util.Hashing.hashString(f.path), 3) == b)
+    var state: Option[StreamingEr.ErState] = None
+    for (b <- 0 until 3)
+      state = Some(StreamingEr.processBatch(spark, part(b), state, tinyCap))
+    val st = state.get
+    val streamMatches = st.matches.collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+    assert(batchMatches.subsetOf(streamMatches),
+      s"batch matches missing from stream: ${(batchMatches -- streamMatches).take(5)}")
+
+    // refinement: no batch cluster is split across stream clusters
+    val bc = batch.clusters.withColumnRenamed("clusterId", "bCl")
+    val sc = st.clusters.withColumnRenamed("clusterId", "sCl")
+    val split = bc.join(sc, "id").groupBy(col("bCl"))
+      .agg(countDistinct(col("sCl")).as("n")).where(col("n") > 1).count()
+    assert(split == 0, "a batch cluster is split across stream clusters")
+
+    // clusters == CC(cumulative matches), recomputed directly
+    val direct = graft.operators.Clustering
+      .connectedComponents(st.matches, st.trees.toDF().select(col("id")))
+    assert(clustersOf(st.clusters) == clustersOf(direct))
+    files.unpersist()
+  }
+
   test("long stream (10 batches) crosses the lineage-truncation boundary") {
     import spark.implicits._
     // small subset so 10 scoring rounds stay cheap
