@@ -57,6 +57,7 @@ object ScalingBench {
     }
     val out = iters.minBy(_.wallSec)
     trees.unpersist()
+    pairs.unpersist()
     pairTrees.unpersist()
     out
   }
