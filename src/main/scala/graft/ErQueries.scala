@@ -202,8 +202,19 @@ object ErQueries {
 
   /** Edit scripts for the first 50 matched pairs (by id order), one row
     * per operation — shared by er_edit_scripts (the dump) and
-    * er_edit_cost (the oracle-checked rollup over the dump). */
-  private def editScripts(s: SparkSession, dir: String): DataFrame = {
+    * er_edit_cost (the oracle-checked rollup over the dump). Memoized
+    * per (session, sfDir) like [[Results]] so the two queries run the
+    * ops DP once between them. */
+  private val editScriptsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def editScripts(s: SparkSession, dir: String): DataFrame =
+    editScriptsCache.getOrElseUpdate((s, dir), {
+      buildEditScripts(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private def buildEditScripts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val r = pipeline(s, dir)
     val slim = r.trees.toDF().select(col("id"), col("labels"), col("lmds"), col("keyroots"))
