@@ -29,6 +29,13 @@ object PlanAudit {
     val pt = graft.operators.Scoring.attachTrees(cachedPairs, trees)
     println(pt.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
+    println("===== ANN: LSH kNN (capped buckets) and IVF kNN (broadcast probe) =====")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qv = e.where(org.apache.spark.sql.functions.col("vec_id") < 20)
+    println(graft.operators.Similarity.lshKnn(e, qv, k = 5, planeBits = 4, tables = 8)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+    println(graft.operators.Similarity.ivfKnn(e, qv, k = 5, nlist = 16, nprobe = 4)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
     println("===== corpus scan (docs column pruning) =====")
     graft.sources.CorpusGen.corpus(spark, dir).queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode).linesIterator
