@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed persistent state: the co-located-join storage layout for
+  * state that is repeatedly joined on the same key across runs or
+  * micro-batches (the streaming block index `(key, id)`, the IVF
+  * inverted file `(list, vec_id)`, tree rows keyed by id).
+  *
+  * A plain parquet table re-shuffles on every join; a table written
+  * with `bucketBy(n, key)` carries its hash-partitioning in the
+  * catalog, so joins and aggregations on the bucket column read it
+  * ALREADY distributed — zero exchange on the state side
+  * (BucketedStateSpec locks the shuffle-free plans). At deployment
+  * scale the same layout is an Iceberg bucket-partitioned table and
+  * the incremental new-vs-bucket join additionally prunes to the
+  * buckets touched by the batch; locally the catalog is
+  * session-scoped, which demonstrates the identical plan shape.
+  * Complements [[TableIO]] (resume atomicity) — this is the layout
+  * axis, that is the lifecycle axis.
+  */
+object BucketedState {
+
+  /** Write `df` as a bucketed external table at `path`. The bucket
+    * column should be the (single) join/aggregation key; `numBuckets`
+    * sets the fixed parallelism of future shuffle-free reads, so size
+    * it like a shuffle-partition count for the table's full-scale
+    * volume, not the current one. */
+  def write(df: DataFrame, table: String, path: String,
+            numBuckets: Int, bucketCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  def exists(spark: SparkSession, table: String): Boolean =
+    spark.catalog.tableExists(table)
+}
