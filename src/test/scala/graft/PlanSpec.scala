@@ -48,6 +48,14 @@ class PlanSpec extends AnyFunSuite {
     // the tiny query probe side must broadcast, never shuffle the corpus
     val ivf = fmt(graft.operators.Similarity.ivfKnn(e, q, k = 5, nlist = 16, nprobe = 4))
     assert(ivf.contains("BroadcastExchange"), "IVF probe join must broadcast the query side")
+    // brute-force kNN: the corpus side must broadcast-join the queries
+    // (no corpus shuffle) and the final top-k must keep only k rows per
+    // query map-side (Partial WindowGroupLimit) — without it the whole
+    // corpus×queries scored set would ship through the rank exchange
+    val brute = fmt(graft.operators.Similarity.bruteKnn(e, q, k = 5))
+    assert(brute.contains("BroadcastExchange"), "bruteKnn must broadcast the query side")
+    assert(brute.contains("WindowGroupLimit") && brute.contains("Partial"),
+      "bruteKnn top-k must be limited map-side before the rank exchange")
   }
 
   test("scoring input: persisted pairs reused, not recomputed") {
