@@ -254,6 +254,20 @@ object ErQueries {
     // oracle recomputes connected components over these independently
     StreamResults.cached(spark, sfDir).matches
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/stream_matches")
+    // uncapped lexer event stream per file: the er_tree_stats oracle
+    // recomputes n / n_tokens / truncated from it (the cap bookkeeping
+    // formula — see CodeParser.lexEvents)
+    locally {
+      import spark.implicits._
+      CorpusGen.corpus(spark, sfDir)
+        .flatMap { f =>
+          val id = graft.util.Hashing.rowId128Hex(f.repo, f.path, f.commit)
+          graft.parse.CodeParser.lexEvents(f.content).iterator.zipWithIndex
+            .map { case (k, pos) => (id, pos, k.toString) }
+        }
+        .toDF("id", "pos", "kind")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/lex_events")
+    }
   }
 
   /** DuckDB oracle SQL. `{OUT}` is substituted by Verify with the
@@ -279,6 +293,30 @@ object ErQueries {
            |FROM $corpus ORDER BY id""".stripMargin,
       "er_sha_invariant" ->
         s"""SELECT count(*) AS n_rows, count(*) AS n_equal FROM $corpus""",
+      // parse counts recomputed from the dumped uncapped lexer event
+      // stream: every 'O'/'L' event increments the node count by one
+      // while below the cap (root starts the count at 1), tokens are the
+      // 'L' events among the first maxNodes−1, truncation = any event
+      // beyond — the exact bookkeeping of CodeParser.parse, redone in SQL
+      "er_tree_stats" -> {
+        val mx = graft.parse.CodeParser.defaultConfig.maxNodes
+        s"""WITH ev AS (
+           |  SELECT id, pos, kind FROM read_parquet('{OUT}/_aux/lex_events/*.parquet')),
+           |inc AS (
+           |  SELECT id, kind, row_number() OVER (PARTITION BY id ORDER BY pos) AS rn
+           |  FROM ev),
+           |agg AS (
+           |  SELECT id, count(*) AS total,
+           |    sum(CASE WHEN kind = 'L' AND rn <= ${mx - 1} THEN 1 ELSE 0 END) AS n_tok
+           |  FROM inc GROUP BY id),
+           |c AS (SELECT $idExpr AS id, lang FROM $corpus)
+           |SELECT c.id, c.lang,
+           |  CAST(least(1 + COALESCE(a.total, 0), $mx) AS INT) AS n,
+           |  CAST(COALESCE(a.n_tok, 0) AS INT) AS n_tokens,
+           |  COALESCE(a.total, 0) > ${mx - 1} AS truncated
+           |FROM c LEFT JOIN agg a ON c.id = a.id
+           |ORDER BY c.id""".stripMargin
+      },
       "er_pairs" ->
         """SELECT idA, idB FROM read_parquet('{OUT}/er_scores/*.parquet')
           |ORDER BY idA, idB""".stripMargin,

@@ -120,6 +120,55 @@ object CodeParser {
     p
   }
 
+  /** Uncapped lexer EVENT stream: one entry per node-creating event in
+    * source order — 'O' for a scope opener, 'L' for a leaf token;
+    * closers create no node and are not emitted. `parse()`'s count
+    * bookkeeping is an exact function of this stream and the cap:
+    *   n         = min(1 + #events, maxNodes)
+    *   nTokens   = #{'L' among the first maxNodes−1 events}
+    *   truncated = #events > maxNodes − 1
+    * (each event increments nodeCount by one while nodeCount < maxNodes,
+    * nodeCount starts at 1 for the synthetic root, and the parse loop
+    * stops at the first event past the cap). ParserAndSkewSpec
+    * property-tests this equivalence against `parse` across the corpus
+    * and adversarial inputs; Verify dumps the stream so the
+    * er_tree_stats oracle recomputes n / n_tokens / truncated in SQL. */
+  def lexEvents(content: String): Array[Char] = {
+    val out = new ArrayBuffer[Char]()
+    val s = content
+    val len = s.length
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '/' && i + 1 < len && s.charAt(i + 1) == '/') {
+        val nl = s.indexOf('\n', i); i = if (nl < 0) len else nl + 1
+      } else if (c == '/' && i + 1 < len && s.charAt(i + 1) == '*') {
+        val e = s.indexOf("*/", i + 2); i = if (e < 0) len else e + 2
+      } else if (c == '#') {
+        val nl = s.indexOf('\n', i); i = if (nl < 0) len else nl + 1
+      } else if (c == '"' || c == '\'') {
+        val q = c; var j = i + 1
+        while (j < len && s.charAt(j) != q) { if (s.charAt(j) == '\\' && j + 1 < len) j += 2 else j += 1 }
+        out += 'L'
+        i = math.min(j + 1, len)
+      } else if (c == '(' || c == '{' || c == '[') {
+        out += 'O'; i += 1
+      } else if (c == ')' || c == '}' || c == ']') {
+        i += 1 // pops a scope in parse(); creates no node
+      } else if (c.isLetter || c == '_') {
+        var j = i + 1
+        while (j < len && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
+        out += 'L'; i = j
+      } else if (c.isDigit) {
+        var j = i + 1
+        while (j < len && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '.')) j += 1
+        out += 'L'; i = j
+      } else { out += 'L'; i += 1 }
+    }
+    out.toArray
+  }
+
   private def parseTokensOnly(content: String, cfg: ParseConfig): Array[String] = {
     // Reuse the full parser for one-pass simplicity; leaf labels in
     // postorder minus structural nodes = token stream in source order is

@@ -40,6 +40,30 @@ class ParserAndSkewSpec extends AnyFunSuite {
     assert(big.truncated && big.tree.n <= 128)
   }
 
+  test("lexEvents: parse's count bookkeeping is the exact cap formula over the event stream") {
+    // the formula the er_tree_stats DuckDB oracle applies to the dumped
+    // event stream — any drift between lexEvents and parse fails here
+    def check(content: String, maxNodes: Int): Unit = {
+      val p = CodeParser.parse(content, CodeParser.ParseConfig(maxNodes = maxNodes))
+      val ev = CodeParser.lexEvents(content)
+      assert(p.tree.labels.length == math.min(1 + ev.length, maxNodes),
+        s"n mismatch for ${content.take(40)}... at cap $maxNodes")
+      assert(p.nTokens == ev.take(maxNodes - 1).count(_ == 'L'),
+        s"nTokens mismatch for ${content.take(40)}... at cap $maxNodes")
+      assert(p.truncated == (ev.length > maxNodes - 1),
+        s"truncated mismatch for ${content.take(40)}... at cap $maxNodes")
+    }
+    val nasty = Seq(
+      "", "   \n\t ", "// only a comment", "/* unterminated block",
+      "# hash\ncode()", "\"unterminated string", "'a' \"b\" 'c\\'d'",
+      "a(b{c[d]e}f)g", ")}] unbalanced closers first (x)",
+      "x = \"s\\\"t\"; y = 3.14ab_c", "(((((((((((((((((((",
+      "id0 id1 id2 id3 id4 id5 id6 id7 id8 id9")
+    val corpus = graft.sources.CorpusGen.corpus(spark, "/root/testdata/sf0.001")
+      .collect().map(_.content).take(200)
+    for (c <- nasty ++ corpus; mx <- Seq(4, 10, 2048)) check(c, mx)
+  }
+
   test("size-bucket dual emission: neighbors within slack always share a bucket") {
     val cfg = Blocking.BlockingConfig()
     val mh = Array.fill(cfg.mh.numHashes)(7L)
