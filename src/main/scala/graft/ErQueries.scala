@@ -172,17 +172,25 @@ object ErQueries {
     "er_stream_clusters" -> ((s, dir) => {
       StreamResults.cached(s, dir).clusters.orderBy(col("id"))
     }),
-    // edit-script cost consistency: for each sampled matched pair, the
+    // edit-script consistency: for each sampled matched pair, (a) the
     // ops-surface DP cost and the count of non-match ops (unit costs)
-    // must both equal the banded scoring kernel's distance — the oracle
-    // joins the dumped edit scripts against er_scores to check all three
-    // agree (R11 cross-engine coverage)
+    // must both equal the banded scoring kernel's distance, and (b) the
+    // script must account for every node of each tree exactly once —
+    // ops touching A (remove/update/match) must count to nA, ops
+    // touching B (insert/update/match) to nB. The oracle takes cost/
+    // n_a_ops/n_b_ops from the INDEPENDENT er_scores kernel columns and
+    // only the op rollup from the dump, so agreement proves the script
+    // is cost-exact AND complete (R11 cross-engine coverage).
     "er_edit_cost" -> ((s, dir) => {
+      val ins = graft.zs.TreeDistOps.Op.Insert.toInt
+      val rem = graft.zs.TreeDistOps.Op.Remove.toInt
       editScripts(s, dir)
         .groupBy(col("idA"), col("idB"))
         .agg(max(col("cost")).as("cost"),
           sum(when(col("op") =!= lit(graft.zs.TreeDistOps.Op.Match.toInt), 1L)
-            .otherwise(0L)).as("op_cost_sum"))
+            .otherwise(0L)).as("op_cost_sum"),
+          sum(when(col("op") =!= lit(ins), 1).otherwise(0)).cast("int").as("n_a_ops"),
+          sum(when(col("op") =!= lit(rem), 1).otherwise(0)).cast("int").as("n_b_ops"))
         .orderBy(col("idA"), col("idB"))
     }),
     "er_sha_invariant" -> ((s, dir) => {
@@ -349,12 +357,16 @@ object ErQueries {
           |SELECT id, min(r) AS clusterId FROM reach GROUP BY id ORDER BY id""".stripMargin,
       // edit-script cost consistency: op-cost sums from the dumped edit
       // scripts must equal the independent banded kernel's er_scores.dist
+      // cost and tree-size columns come from the independent banded
+      // kernel (er_scores); only the op-cost rollup reads the dump —
+      // equality proves the script is cost-exact and covers every node
       "er_edit_cost" ->
         """WITH o AS (
           |  SELECT idA, idB,
           |    CAST(sum(CASE WHEN op <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS op_cost_sum
           |  FROM read_parquet('{OUT}/er_edit_scripts/*.parquet') GROUP BY idA, idB)
-          |SELECT o.idA, o.idB, s.dist AS cost, o.op_cost_sum
+          |SELECT o.idA, o.idB, s.dist AS cost, o.op_cost_sum,
+          |  s.nA AS n_a_ops, s.nB AS n_b_ops
           |FROM o JOIN read_parquet('{OUT}/er_scores/*.parquet') s
           |  ON o.idA = s.idA AND o.idB = s.idB
           |ORDER BY o.idA, o.idB""".stripMargin,
