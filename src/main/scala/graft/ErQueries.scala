@@ -6,11 +6,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Record-linkage pipeline queries (the engine's own operators). The
-  * corpus is generated in Scala (deterministic, seed 42) so these are
-  * rows-only checks for the driver; correctness is enforced by the
-  * golden + property ScalaTest suites and the F1/cluster fixtures.
-  * DuckDB-oracle-checkable queries over the driver's own parquet tables
-  * live in [[RelQueries]] / [[TextQueries]].
+  * corpus is generated in Scala (deterministic, seed 42), and every
+  * query except the raw edit-script op-sequence dump is DuckDB-oracle-
+  * checked: `dumpAux` writes the raw corpus plus each hash-internal
+  * stage table under `{OUT}/_aux`, and the oracle SQL below redoes the
+  * SQL-expressible derivations independently (sha256/id recomputation,
+  * recursive-CTE connected components, cap bookkeeping, rollups). The
+  * ZSS DP itself stays oracle-exempt and is covered by the golden +
+  * property + brute-force-differential suites; its cost and node
+  * coverage are cross-checked via er_edit_cost ⇄ er_scores. Queries
+  * over the driver's own parquet tables live in [[RelQueries]] /
+  * [[TextQueries]] / [[SimQueries]].
   */
 object ErQueries {
 
