@@ -38,6 +38,12 @@ object Bench {
       try { ErQueries.warmStream(spark, sfDir); true } catch { case _: Throwable => false }
     val streamSec = (System.nanoTime() - tStream) / 1e9
 
+    // same attribution rule for the bucketed-state twin
+    val tBStream = System.nanoTime()
+    val bstreamOk =
+      try { ErQueries.warmStreamBucketed(spark, sfDir); true } catch { case _: Throwable => false }
+    val bstreamSec = (System.nanoTime() - tBStream) / 1e9
+
     // A failed query reports elapsed -1 so breakage is visible in the
     // JSON instead of silently polluting the totals.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -56,7 +62,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
         s""","cpus":$cpus,"bench_mult":$mult,"pipeline_build_sec":$warmSec""" +
         s""","pipeline_build_ok":$warmOk,"stream_build_sec":$streamSec""" +
-        s""","stream_build_ok":$streamOk,"failed":${failed.mkString("[", ",", "]")}""" +
+        s""","stream_build_ok":$streamOk,"bstream_build_sec":$bstreamSec""" +
+        s""","bstream_build_ok":$bstreamOk,"failed":${failed.mkString("[", ",", "]")}""" +
         s""","pairs_scored":${scoring.pairs}""" +
         s""","score_wall_sec":${scoring.wallSec},"pairs_per_sec":${scoring.pairsPerSec}""" +
         s""","dp_cells_per_sec":${scoring.cellsPerSec}}""")

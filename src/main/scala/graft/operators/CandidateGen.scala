@@ -35,6 +35,56 @@ object CandidateGen {
       .drop("__rn")
   }
 
+  /** Incremental form of [[capByKey]] over an aggregated block index:
+    * merge a persisted capped index `(key, members: sorted array)` with a
+    * micro-batch's new `(key, id)` rows and re-cap. Correct because the
+    * cap keeps the LOWEST ids per key, which is subset-monotone:
+    * cap(old ∪ new) = cap(cap(old) ∪ new) — an id once evicted can only
+    * rank further out as ids accumulate, so capped-only state loses
+    * nothing. This is what lets streaming state live as a bucketed table
+    * (hash-distributed by key): the state side of the merge join reads
+    * pre-distributed with ZERO exchange, and only the delta shuffles.
+    *
+    * Returns `(key, members, new_members)` where `members` is the
+    * re-capped sorted membership and `new_members` this batch's arrivals
+    * for the key (uncapped; intersect with `members` for "new AND kept").
+    */
+  def mergeCappedMembers(oldIdx: Option[DataFrame], newKeyed: DataFrame, cap: Int): DataFrame = {
+    // one small shuffle: the delta aggregates to (key, sorted new ids)
+    val newAgg = newKeyed.groupBy(col("key"))
+      .agg(sort_array(collect_set(col("id"))).as("new_members"))
+    oldIdx match {
+      case None =>
+        newAgg.select(col("key"),
+          slice(col("new_members"), 1, cap).as("members"),
+          col("new_members"))
+      case Some(old) =>
+        val empty = array().cast("array<string>")
+        old.join(newAgg, Seq("key"), "full_outer")
+          .select(col("key"),
+            slice(array_sort(array_union(
+              coalesce(col("members"), empty),
+              coalesce(col("new_members"), empty))), 1, cap).as("members"),
+            coalesce(col("new_members"), empty).as("new_members"))
+    }
+  }
+
+  /** Pairs touching at least one NEW member, from a merged index row
+    * (see [[mergeCappedMembers]]): each new id that survived the cap is
+    * paired with every other kept member — the streaming new-vs-bucket
+    * candidate set, as pure codegen'd array algebra (no join: the block's
+    * membership is already colocated in the row). Equals the batch pair
+    * set restricted to pairs whose later member arrived this batch. */
+  def pairsWithNewMember(merged: DataFrame): DataFrame =
+    merged
+      .where(size(col("members")) >= 2 && size(col("new_members")) >= 1)
+      .select(explode(flatten(transform(
+        array_intersect(col("new_members"), col("members")), n =>
+          transform(filter(col("members"), m => m =!= n), m =>
+            struct(least(n, m).as("idA"), greatest(n, m).as("idB")))))).as("p"))
+      .select(col("p.idA"), col("p.idB"))
+      .distinct()
+
   def pairsFromKeys(keyed: DataFrame, cap: Int): DataFrame = {
     // Cap BEFORE materializing the block — at most `cap` rows per key
     // survive to the aggregation. The window and the groupBy share the

@@ -183,6 +183,124 @@ object StreamingEr {
     }
   }
 
+  // ---- bucketed state (shuffle-free block-index merge) -----------------
+
+  /** Process one micro-batch with the block index persisted as a BUCKETED
+    * capped table (`(key, members)`, hash-distributed by key via
+    * [[graft.sources.BucketedState]]) instead of raw `(key, id)` rows.
+    *
+    * Why: the in-memory/checkpointed paths re-cap the FULL cumulative
+    * block index every batch — `capByKey` re-shuffles corpus-sized state
+    * per micro-batch, which is the dominant incremental cost at 10^12
+    * files. Here the state is stored already capped AND already
+    * distributed by key, so each batch does ONE small exchange (the
+    * delta's groupBy) and merges against the state side with zero
+    * exchange; pair emission needs no join at all (block membership is
+    * colocated in the row). Correctness rests on cap subset-monotonicity:
+    * cap(old ∪ new) = cap(cap(old) ∪ new) — see
+    * [[graft.operators.CandidateGen.mergeCappedMembers]] — so the pair,
+    * match, and cluster sets are IDENTICAL to the other two paths
+    * (BucketedStreamSpec asserts both the equality and the plan shape).
+    * At deployment scale the bucketed table is an Iceberg bucket
+    * partition spec and the merge additionally prunes to buckets touched
+    * by the batch.
+    *
+    * The call is self-resuming: state round-trips through storage every
+    * batch (which also truncates lineage), gated on `_SUCCESS` under
+    * `bucketRoot`/`io` — a crash between batches resumes at the last
+    * complete batch, and after a process restart the index falls back to
+    * a plain parquet read of the same files (the session catalog that
+    * carries the bucket layout is session-scoped; correctness is
+    * unaffected, only the zero-exchange read is).
+    *
+    * `numBuckets` fixes the state side's partitioning for all future
+    * merges — size it like a shuffle-partition count for the full-scale
+    * index, ideally equal to `spark.sql.shuffle.partitions` so the
+    * delta's aggregation exchange is reused as-is by the merge join. */
+  def processBatchBucketed(
+      spark: SparkSession,
+      newFiles: Dataset[FileRow],
+      io: graft.sources.TableIO,
+      bucketRoot: String,
+      numBuckets: Int,
+      cfg: Pipeline.Config = Pipeline.Config(),
+      prefix: String = "bstream"): ErState = {
+    import spark.implicits._
+    import graft.sources.BucketedState
+    Pipeline.tune(spark)
+
+    // table names are tagged with the root so a reused session catalog
+    // never resolves a same-named table from an older root
+    val tag = java.lang.Long.toHexString(
+      graft.util.Hashing.hashString(bucketRoot) & 0xffffffffL)
+    def idxTable(b: Int) = s"${prefix}_${tag}_index_b$b"
+    def idxPath(b: Int) = s"$bucketRoot/${prefix}_index_b$b"
+    def idxExists(b: Int): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(idxPath(b), "_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+
+    var k = 0
+    while (io.exists(spark, s"${prefix}_trees_b$k") && idxExists(k) &&
+        io.exists(spark, s"${prefix}_clusters_b$k") &&
+        io.exists(spark, s"${prefix}_matches_b$k")) k += 1
+    val b = k - 1
+    val prevTrees =
+      if (k == 0) None else Some(io.read(spark, s"${prefix}_trees_b$b").as[TreeRow])
+    val prevIdx =
+      if (k == 0) None
+      else if (BucketedState.exists(spark, idxTable(b)))
+        Some(BucketedState.read(spark, idxTable(b))) // zero-exchange side
+      else Some(spark.read.parquet(idxPath(b))) // post-restart fallback
+    val prevClusters =
+      if (k == 0) None else Some(io.read(spark, s"${prefix}_clusters_b$b"))
+    val prevMatches =
+      if (k == 0) None else Some(io.read(spark, s"${prefix}_matches_b$b"))
+
+    val newTrees = ParseStage.parse(newFiles, cfg.parse, cfg.blocking.mh)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newKeyed = Blocking.keyedIds(newTrees, cfg.blocking)
+    val allTrees = prevTrees.map(_.unionByName(newTrees)).getOrElse(newTrees)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val merged = CandidateGen
+      .mergeCappedMembers(prevIdx, newKeyed, cfg.blocking.maxBlockSize)
+      .persist(StorageLevel.MEMORY_AND_DISK) // read 2×: pairs + state write
+    val cand = CandidateGen.pairsWithNewMember(merged)
+      .persist(StorageLevel.MEMORY_AND_DISK) // read 3×: hot-degrees + 2 joins
+    val scores = Scoring.score(Scoring.attachTrees(cand, allTrees, cfg.salts), cfg.tau)
+    val newEdges = Scoring.matches(scores).persist(StorageLevel.MEMORY_AND_DISK)
+
+    val prevStar = prevClusters.map(_
+      .where($"id" =!= $"clusterId")
+      .select($"id".as("idA"), $"clusterId".as("idB")))
+    val edges = prevStar.map(newEdges.unionByName(_)).getOrElse(newEdges)
+    val clusters = Clustering
+      .connectedComponents(edges, allTrees.toDF().select($"id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val allMatches = prevMatches.map(newEdges.unionByName(_)).getOrElse(newEdges)
+
+    io.write(allTrees.toDF(), s"${prefix}_trees_b$k")
+    BucketedState.write(merged.select($"key", $"members"),
+      idxTable(k), idxPath(k), numBuckets, "key")
+    io.write(clusters, s"${prefix}_clusters_b$k")
+    io.write(allMatches, s"${prefix}_matches_b$k")
+
+    newEdges.unpersist(); cand.unpersist(); merged.unpersist()
+    newTrees.unpersist(); allTrees.unpersist(); clusters.unpersist()
+
+    // hand back storage read-backs (checkpoint truth, truncated lineage);
+    // keyed is the capped index exploded to (key, id) — feeding it onward
+    // is equivalent by cap subset-monotonicity
+    ErState(
+      trees = io.read(spark, s"${prefix}_trees_b$k").as[TreeRow],
+      keyed = BucketedState.read(spark, idxTable(k))
+        .select($"key", explode($"members").as("id")),
+      clusters = io.read(spark, s"${prefix}_clusters_b$k"),
+      matches = io.read(spark, s"${prefix}_matches_b$k"),
+      batchesSeen = k + 1)
+  }
+
   /** Checkpointed foreachBatch wiring: every micro-batch resumes from
     * the latest complete state in `io` and writes the next one, so the
     * QUERY ITSELF can be stopped and restarted (or crash) and the next

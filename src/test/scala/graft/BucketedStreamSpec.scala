@@ -1,0 +1,107 @@
+package graft
+
+import graft.model.FileRow
+import graft.operators.{Blocking, CandidateGen, ParseStage}
+import graft.sources.{BucketedState, CorpusGen, ParquetTableIO}
+import graft.streaming.StreamingEr
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bucketed streaming path must deliver BOTH halves of its claim:
+  *
+  *  1. Semantics: capped-array state merged per batch produces exactly
+  *     the in-memory stream's clusters and match set (cap
+  *     subset-monotonicity: cap(old ∪ new) = cap(cap(old) ∪ new)), and
+  *     the path is self-resuming from storage alone.
+  *  2. Plan: the state side of the merge reads pre-distributed — the
+  *     batch's only exchange is the delta's aggregation, strictly fewer
+  *     exchanges than the same merge over plain-parquet state. This is
+  *     the local demonstration of the 10^12-file incremental shape:
+  *     per-batch shuffle volume proportional to the DELTA, never the
+  *     cumulative index.
+  */
+class BucketedStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def fmt(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  private def exchanges(s: String): Int =
+    s.linesIterator.count(_.matches(".*\\bExchange \\(\\d+\\).*"))
+
+  private def setOf(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+    df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+  test("bucketed-state stream == in-memory stream (clusters AND matches), resumes from storage") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_bstream").toString
+    val io = new ParquetTableIO(root)
+    val files = CorpusGen.corpus(spark, "/root/testdata/sf0.001").persist()
+    def part(b: Int) = files.filter((f: FileRow) =>
+      math.floorMod(graft.util.Hashing.hashString(f.path), 3) == b)
+
+    var mem: Option[StreamingEr.ErState] = None
+    var buck: StreamingEr.ErState = null
+    for (b <- 0 until 3) {
+      mem = Some(StreamingEr.processBatch(spark, part(b), mem))
+      // no prev handle passed: every call resumes from storage, so the
+      // "kill between batches" case is exercised by construction
+      buck = StreamingEr.processBatchBucketed(spark, part(b), io, root, numBuckets = 4)
+    }
+    assert(buck.batchesSeen == 3)
+    assert(setOf(buck.matches) == setOf(mem.get.matches), "match edge sets differ")
+    assert(setOf(buck.clusters) == setOf(mem.get.clusters), "cluster assignments differ")
+    // and both equal the batch pipeline on this corpus (blocks under cap)
+    assert(setOf(buck.clusters) == setOf(Pipeline.run(spark, files).clusters))
+    files.unpersist()
+  }
+
+  test("merge over bucketed state: only the delta shuffles") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_bstream_plan").toString
+    val cfg = Blocking.BlockingConfig()
+    val files = CorpusGen.corpus(spark, "/root/testdata/sf0.001").persist()
+    def part(b: Int) = files.filter((f: FileRow) =>
+      math.floorMod(graft.util.Hashing.hashString(f.path), 3) == b)
+
+    // batch-0 state, written both ways: bucketed and plain parquet
+    val keyed0 = Blocking.keyedIds(ParseStage.parse(part(0)), cfg)
+    val idx0 = CandidateGen.mergeCappedMembers(None, keyed0, cfg.maxBlockSize)
+      .select($"key", $"members")
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    BucketedState.write(idx0, "bstream_spec_idx", s"$root/idx_bucketed", nBuckets, "key")
+    idx0.write.parquet(s"$root/idx_plain")
+
+    val newKeyed = Blocking.keyedIds(ParseStage.parse(part(1)), cfg)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val overBucketed = fmt(CandidateGen.mergeCappedMembers(
+        Some(BucketedState.read(spark, "bstream_spec_idx")), newKeyed, cfg.maxBlockSize))
+      val overPlain = fmt(CandidateGen.mergeCappedMembers(
+        Some(spark.read.parquet(s"$root/idx_plain")), newKeyed, cfg.maxBlockSize))
+      // plain state re-shuffles the cumulative index every batch; the
+      // bucketed state contributes zero exchanges — with numBuckets ==
+      // shuffle partitions the delta's aggregation exchange is the ONLY
+      // one in the whole merge
+      assert(exchanges(overBucketed) < exchanges(overPlain),
+        s"bucketed merge must shuffle strictly less\n--- bucketed:\n$overBucketed\n--- plain:\n$overPlain")
+      assert(exchanges(overBucketed) == 1,
+        s"expected the delta aggregation to be the only exchange\n$overBucketed")
+      // pair emission from the merged index is pure array algebra: the
+      // whole candidate plan holds exactly ONE join (the state merge) and
+      // exactly TWO exchanges (delta aggregation + the distinct)
+      val pairs = fmt(CandidateGen.pairsWithNewMember(CandidateGen.mergeCappedMembers(
+        Some(BucketedState.read(spark, "bstream_spec_idx")), newKeyed, cfg.maxBlockSize)))
+      val joins = pairs.linesIterator.count(_.matches(".*Join .*\\(\\d+\\).*"))
+      assert(joins == 1, s"pair emission must not add joins (found $joins)\n$pairs")
+      assert(exchanges(pairs) == 2,
+        s"expected delta-agg + distinct to be the only exchanges\n$pairs")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bstream_spec_idx")
+      files.unpersist()
+    }
+  }
+}
