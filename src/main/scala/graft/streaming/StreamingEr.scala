@@ -52,7 +52,13 @@ object StreamingEr {
       keyed: DataFrame, // (key: Long, id: String) block index
       clusters: DataFrame, // (id, clusterId)
       matches: DataFrame, // cumulative (idA, idB) match edges
-      batchesSeen: Int = 1)
+      batchesSeen: Int = 1,
+      // still-persisted ancestors the cumulative unions reference; they
+      // become unreachable (and are unpersisted) at the next lineage-
+      // truncation batch, once the eager checkpoint decouples the state
+      // from them — this bounds cached storage on unbounded streams to
+      // one truncation cycle instead of the whole history
+      retained: List[Dataset[_]] = Nil)
 
   /** Process one micro-batch of new files against the previous state. */
   def processBatch(
@@ -125,14 +131,26 @@ object StreamingEr {
     cand.unpersist()
     capped.unpersist()
 
-    prev.foreach { p =>
-      p.clusters.unpersist()
-      // p.trees / p.keyed / p.matches stay persisted: the cumulative
-      // unions reference them
-    }
+    prev.foreach(_.clusters.unpersist())
     newTrees.count()
+    // Persist lifecycle: between truncations, ancestors stay cached (the
+    // cumulative unions reference them) and are carried in `retained`; at
+    // a truncation batch the eager checkpoints above have decoupled this
+    // batch's state from ALL ancestors, so the whole previous cycle is
+    // released — cached storage on an unbounded stream is bounded by one
+    // truncation cycle, not the history.
+    val retained: List[Dataset[_]] =
+      if (batches % 8 == 0) {
+        prev.foreach(p =>
+          (p.trees :: p.keyed :: p.matches :: p.retained).foreach(_.unpersist()))
+        newTrees.unpersist()
+        newKeyed.unpersist()
+        Nil
+      } else
+        prev.map(p => List[Dataset[_]](p.trees, p.keyed, p.matches) ::: p.retained)
+          .getOrElse(Nil) ::: List[Dataset[_]](newTrees, newKeyed)
     ErState(allTrees, keyed = allKeyed, clusters = clusters,
-      matches = allMatches, batchesSeen = batches)
+      matches = allMatches, batchesSeen = batches, retained = retained)
   }
 
   // ---- checkpointed state (kill-and-resume across processes) -----------

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.CandidateGen
 import graft.util.Hashing
+import org.apache.spark.sql.functions.explode
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Direct unit coverage for the generic (id-type-agnostic) pair
@@ -38,6 +39,32 @@ class CandidateGenSpec extends AnyFunSuite {
     val gotLong = CandidateGen.pairsFromKeys(longKeyed, cap = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotLong == Set((10L, 20L), (10L, 30L), (20L, 30L)))
+  }
+
+  test("property: incremental capped merge == batch capByKey over any arrival order") {
+    import spark.implicits._
+    // the identity the bucketed streaming path rests on:
+    // cap(old ∪ new) = cap(cap(old) ∪ new), for every split into batches
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 8) {
+      val cap = 1 + rnd.nextInt(6)
+      val rows = (0 until 40 + rnd.nextInt(80)).map { _ =>
+        (rnd.nextInt(7).toLong, f"id${rnd.nextInt(60)}%03d")
+      }.distinct
+      val nBatches = 1 + rnd.nextInt(4)
+      val batches = rows.groupBy(_ => rnd.nextInt(nBatches)).values.toSeq
+
+      var idx: Option[org.apache.spark.sql.DataFrame] = None
+      for (b <- batches) {
+        val merged = CandidateGen.mergeCappedMembers(idx, b.toDF("key", "id"), cap)
+        idx = Some(merged.select($"key", $"members").localCheckpoint(true))
+      }
+      val inc = idx.get.select($"key", explode($"members").as("id"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = CandidateGen.capByKey(rows.toDF("key", "id"), cap)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(inc == batch, s"trial $trial (cap=$cap, ${batches.size} batches)")
+    }
   }
 
   test("rowId128Hex: 32 lowercase hex chars, stable, component-sensitive") {

@@ -95,10 +95,22 @@ class StreamingErSpec extends AnyFunSuite {
     def part(b: Int) = files.filter((f: FileRow) =>
       math.floorMod(graft.util.Hashing.hashString(f.repo + f.path), 10) == b)
     var state: Option[StreamingEr.ErState] = None
-    for (b <- 0 until 10)
+    var at7: StreamingEr.ErState = null
+    var at8: StreamingEr.ErState = null
+    for (b <- 0 until 10) {
       state = Some(StreamingEr.processBatch(spark, part(b), state))
+      if (state.get.batchesSeen == 7) at7 = state.get
+      if (state.get.batchesSeen == 8) at8 = state.get
+    }
     assert(state.get.batchesSeen == 10)
     assert(clustersOf(state.get.clusters) == batchClusters)
+    // the truncation batch (8) released the previous cycle's cache: the
+    // batch-7 state's handles are unpersisted and nothing is carried
+    assert(at8.retained.isEmpty, "truncation batch must release all ancestors")
+    assert(at7.trees.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "pre-truncation state must be unpersisted after the checkpoint decouples it")
+    // between truncations the carried set grows only with the cycle
+    assert(state.get.retained.nonEmpty && state.get.retained.size <= 10)
     files.unpersist()
   }
 
