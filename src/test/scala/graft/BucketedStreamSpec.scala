@@ -57,6 +57,34 @@ class BucketedStreamSpec extends AnyFunSuite {
     files.unpersist()
   }
 
+  test("cap overflow: bucketed stream == in-memory stream under heavy eviction") {
+    import spark.implicits._
+    // maxBlockSize=2 forces evictions in every block — the corner where
+    // capped-array state could diverge from full-index state if the
+    // merge identity were wrong. Both streams see the same arrivals, so
+    // their pair/match/cluster sets must be EXACTLY equal.
+    val root = java.nio.file.Files.createTempDirectory("graft_bstream_cap").toString
+    val io = new ParquetTableIO(root)
+    val tinyCap = Pipeline.Config(blocking =
+      Blocking.BlockingConfig(maxBlockSize = 2))
+    val files = CorpusGen.corpus(spark, "/root/testdata/sf0.001").persist()
+    def part(b: Int) = files.filter((f: FileRow) =>
+      math.floorMod(graft.util.Hashing.hashString(f.path), 3) == b)
+
+    var mem: Option[StreamingEr.ErState] = None
+    var buck: StreamingEr.ErState = null
+    for (b <- 0 until 3) {
+      mem = Some(StreamingEr.processBatch(spark, part(b), mem, tinyCap))
+      buck = StreamingEr.processBatchBucketed(spark, part(b), io, root,
+        numBuckets = 4, cfg = tinyCap)
+    }
+    assert(setOf(buck.matches) == setOf(mem.get.matches),
+      "match sets diverge under cap eviction")
+    assert(setOf(buck.clusters) == setOf(mem.get.clusters),
+      "clusters diverge under cap eviction")
+    files.unpersist()
+  }
+
   test("merge over bucketed state: only the delta shuffles") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_bstream_plan").toString
