@@ -319,6 +319,26 @@ object StreamingEr {
       batchesSeen = k + 1)
   }
 
+  /** foreachBatch wiring for the bucketed-state path: like
+    * [[startCheckpointed]] (stop/restart/crash-safe — every micro-batch
+    * resumes from the latest complete state), with the block index kept
+    * as a key-bucketed capped table so each batch's merge shuffles only
+    * the delta. */
+  def startCheckpointedBucketed(
+      spark: SparkSession,
+      stream: Dataset[FileRow],
+      io: graft.sources.TableIO,
+      bucketRoot: String,
+      numBuckets: Int,
+      cfg: Pipeline.Config = Pipeline.Config())(
+      onBatch: ErState => Unit): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[FileRow], _: Long) =>
+        onBatch(processBatchBucketed(spark, batch, io, bucketRoot, numBuckets, cfg))
+      }
+      .start()
+
   /** Checkpointed foreachBatch wiring: every micro-batch resumes from
     * the latest complete state in `io` and writes the next one, so the
     * QUERY ITSELF can be stopped and restarted (or crash) and the next

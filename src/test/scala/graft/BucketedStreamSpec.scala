@@ -85,6 +85,31 @@ class BucketedStreamSpec extends AnyFunSuite {
     files.unpersist()
   }
 
+  test("bucketed query restart: a NEW streaming query continues from storage") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_bstream_rq").toString
+    val io = new ParquetTableIO(root)
+    val files = CorpusGen.corpus(spark, "/root/testdata/sf0.001")
+      .filter((f: FileRow) => math.floorMod(graft.util.Hashing.hashString(f.path), 10) == 2)
+      .collect()
+    val (b1, b2) = files.splitAt(files.length / 2)
+
+    val s1 = MemoryStream[FileRow]
+    val q1 = StreamingEr.startCheckpointedBucketed(spark, s1.toDS(), io, root, 4) { _ => () }
+    try { s1.addData(b1.toSeq); q1.processAllAvailable() } finally q1.stop()
+
+    val s2 = MemoryStream[FileRow]
+    @volatile var last: Option[StreamingEr.ErState] = None
+    val q2 = StreamingEr.startCheckpointedBucketed(spark, s2.toDS(), io, root, 4) { st => last = Some(st) }
+    try { s2.addData(b2.toSeq); q2.processAllAvailable() } finally q2.stop()
+
+    assert(last.isDefined && last.get.batchesSeen == 2)
+    val batchClusters = setOf(Pipeline.run(spark, spark.createDataset(files.toSeq)).clusters)
+    assert(setOf(last.get.clusters) == batchClusters)
+  }
+
   test("merge over bucketed state: only the delta shuffles") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_bstream_plan").toString
