@@ -129,6 +129,20 @@ object ErQueries {
         .orderBy(col("idA"), col("idB"))
     }),
     "er_matches" -> ((s, dir) => pipeline(s, dir).matches.orderBy(col("idA"), col("idB"))),
+    // threshold-sensitivity curve: matched-pair count at each candidate τ
+    // — the threshold-drift monitor a 100 TB deployment would watch (a
+    // knee shift between corpus snapshots means the score distribution
+    // moved). One narrow pass over the persisted scores, no re-scoring.
+    // The oracle recomputes normalized distances from the INDEPENDENT
+    // er_ted_sql kernel dump, so agreement cross-checks the whole curve.
+    "er_threshold_curve" -> ((s, dir) => {
+      val taus = Seq(0.0, 0.02, 0.04, 0.06, 0.08, 0.1, 0.12, 0.14, 0.16)
+      pipeline(s, dir).scores.toDF()
+        .select(explode(array(taus.map(lit): _*)).as("tau"), col("normDist"))
+        .groupBy(col("tau"))
+        .agg(count(when(col("normDist") <= col("tau"), 1)).as("n_matches"))
+        .orderBy(col("tau"))
+    }),
     "er_clusters" -> ((s, dir) => pipeline(s, dir).clusters.orderBy(col("id"))),
     "er_cluster_sizes" -> ((s, dir) => {
       pipeline(s, dir).clusters
@@ -401,6 +415,14 @@ object ErQueries {
           |    UNION
           |    SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
           |SELECT id, min(r) AS clusterId FROM reach GROUP BY id ORDER BY id""".stripMargin,
+      // threshold curve recomputed from the independent Catalyst-kernel
+      // distances (er_ted_sql), not the mapPartitions scorer's output
+      "er_threshold_curve" ->
+        """WITH g AS (SELECT unnest([0.0,0.02,0.04,0.06,0.08,0.1,0.12,0.14,0.16]) AS tau),
+          |s AS (SELECT CAST(dist AS DOUBLE)/greatest(nA+nB,1) AS nd
+          |      FROM read_parquet('{OUT}/er_ted_sql/*.parquet'))
+          |SELECT g.tau, count(*) FILTER (WHERE s.nd <= g.tau) AS n_matches
+          |FROM g CROSS JOIN s GROUP BY g.tau ORDER BY g.tau""".stripMargin,
       // bucketed-state twin: identical invariant (clusters == CC of the
       // cumulative matches), recomputed over ITS OWN dumped edge set
       "er_stream_bucketed" ->
