@@ -133,10 +133,16 @@ object ErQueries {
     // — the threshold-drift monitor a 100 TB deployment would watch (a
     // knee shift between corpus snapshots means the score distribution
     // moved). One narrow pass over the persisted scores, no re-scoring.
-    // The oracle recomputes normalized distances from the INDEPENDENT
-    // er_ted_sql kernel dump, so agreement cross-checks the whole curve.
+    // The grid stays WITHIN the scoring band (τ ≤ cfg.tau = 0.08): the
+    // banded kernel is exact there, while beyond the band distances are
+    // censored at maxDist+1 (normDist ≈ 0.08+ε), so curve points above
+    // the band would count censored far pairs as matches — an artifact,
+    // not a signal. Raising the monitored range means re-scoring with a
+    // wider band, not widening this grid. The oracle recomputes the
+    // curve from the independent er_ted_sql kernel dump (byte-identical
+    // censoring), cross-checking every in-band point.
     "er_threshold_curve" -> ((s, dir) => {
-      val taus = Seq(0.0, 0.02, 0.04, 0.06, 0.08, 0.1, 0.12, 0.14, 0.16)
+      val taus = Seq(0.0, 0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08)
       pipeline(s, dir).scores.toDF()
         .select(explode(array(taus.map(lit): _*)).as("tau"), col("normDist"))
         .groupBy(col("tau"))
@@ -418,7 +424,7 @@ object ErQueries {
       // threshold curve recomputed from the independent Catalyst-kernel
       // distances (er_ted_sql), not the mapPartitions scorer's output
       "er_threshold_curve" ->
-        """WITH g AS (SELECT unnest([0.0,0.02,0.04,0.06,0.08,0.1,0.12,0.14,0.16]) AS tau),
+        """WITH g AS (SELECT unnest([0.0,0.01,0.02,0.03,0.04,0.05,0.06,0.07,0.08]) AS tau),
           |s AS (SELECT CAST(dist AS DOUBLE)/greatest(nA+nB,1) AS nd
           |      FROM read_parquet('{OUT}/er_ted_sql/*.parquet'))
           |SELECT g.tau, count(*) FILTER (WHERE s.nd <= g.tau) AS n_matches

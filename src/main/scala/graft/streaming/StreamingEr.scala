@@ -60,6 +60,32 @@ object StreamingEr {
       // one truncation cycle instead of the whole history
       retained: List[Dataset[_]] = Nil)
 
+  /** Exactly-once delta against at-least-once delivery: drop rows whose
+    * id is already in state (a crash after the state write but before the
+    * source offset commit re-delivers the whole batch) and in-batch
+    * duplicates. Without this, replayed ids enter the cumulative
+    * trees/index twice — duplicate rows distort the block cap (a dup
+    * occupies two of the cap's slots in the row-level path) and the
+    * pair/cluster sets silently drift from batch semantics. Ids are
+    * content-deterministic (sha256 prefix of the identity triple), so
+    * "same id" == "same row" and dropping is always safe. The anti-join
+    * probes the delta against cumulative state ids — at deployment scale
+    * the trees table is id-bucketed Iceberg and the probe prunes/avoids
+    * shuffling state; a replayed batch reduces to an EMPTY delta, making
+    * the whole call a no-op that rewrites identical state. */
+  private def freshTrees(
+      spark: SparkSession,
+      parsed: Dataset[TreeRow],
+      prevTrees: Option[Dataset[TreeRow]]): Dataset[TreeRow] = {
+    import spark.implicits._
+    val deduped = parsed.dropDuplicates("id")
+    prevTrees match {
+      case Some(p) =>
+        deduped.toDF().join(p.toDF().select($"id"), Seq("id"), "left_anti").as[TreeRow]
+      case None => deduped
+    }
+  }
+
   /** Process one micro-batch of new files against the previous state. */
   def processBatch(
       spark: SparkSession,
@@ -69,8 +95,15 @@ object StreamingEr {
     import spark.implicits._
     Pipeline.tune(spark)
 
-    val newTrees = ParseStage.parse(newFiles, cfg.parse, cfg.blocking.mh)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // The replay guard's anti-join embeds prev.trees in the delta's plan;
+    // the cumulative union would then reference the previous state TWICE
+    // per batch — exponential logical-plan growth. The eager
+    // localCheckpoint truncates the delta's lineage (and stores its rows,
+    // so no separate persist/count is needed).
+    val newTrees = freshTrees(spark,
+      ParseStage.parse(newFiles, cfg.parse, cfg.blocking.mh),
+      prev.map(_.trees))
+      .localCheckpoint(true)
     // key derivation is Blocking's — ONE definition for batch and stream
     val newKeyed = Blocking.keyedIds(newTrees, cfg.blocking)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -132,7 +165,6 @@ object StreamingEr {
     capped.unpersist()
 
     prev.foreach(_.clusters.unpersist())
-    newTrees.count()
     // Persist lifecycle: between truncations, ancestors stay cached (the
     // cumulative unions reference them) and are carried in `retained`; at
     // a truncation batch the eager checkpoints above have decoupled this
@@ -170,13 +202,28 @@ object StreamingEr {
       newFiles: Dataset[FileRow],
       io: graft.sources.TableIO,
       cfg: Pipeline.Config = Pipeline.Config()): ErState = {
+    import spark.implicits._
     val (prev, k) = resumeState(spark, io)
     val next = processBatch(spark, newFiles, prev, cfg)
     io.write(next.trees.toDF(), s"stream_trees_b$k")
     io.write(next.keyed, s"stream_keyed_b$k")
     io.write(next.clusters, s"stream_clusters_b$k")
     io.write(next.matches, s"stream_matches_b$k")
-    next
+    // state is durable now — release EVERY in-memory handle this batch
+    // (and its resume) created, so the checkpointed path's cache is
+    // bounded per batch, not per stream (the in-memory path's
+    // truncation-cycle bound never fires here: each call starts from a
+    // fresh storage read)
+    (next.trees :: next.keyed :: next.clusters :: next.matches :: next.retained)
+      .foreach(_.unpersist())
+    prev.foreach(p =>
+      (p.trees :: p.keyed :: p.clusters :: p.matches :: p.retained).foreach(_.unpersist()))
+    ErState(
+      trees = io.read(spark, s"stream_trees_b$k").as[TreeRow],
+      keyed = io.read(spark, s"stream_keyed_b$k"),
+      clusters = io.read(spark, s"stream_clusters_b$k"),
+      matches = io.read(spark, s"stream_matches_b$k"),
+      batchesSeen = k + 1)
   }
 
   /** Latest complete checkpointed state (all four tables `_SUCCESS`-
@@ -196,7 +243,8 @@ object StreamingEr {
           .persist(StorageLevel.MEMORY_AND_DISK),
         keyed = io.read(spark, s"stream_keyed_b$b"),
         clusters = io.read(spark, s"stream_clusters_b$b"),
-        matches = io.read(spark, s"stream_matches_b$b"))
+        matches = io.read(spark, s"stream_matches_b$b"),
+        batchesSeen = k) // the true count — downstream `batches` math sees it
       (Some(st), k)
     }
   }
@@ -226,10 +274,12 @@ object StreamingEr {
     * The call is self-resuming: state round-trips through storage every
     * batch (which also truncates lineage), gated on `_SUCCESS` under
     * `bucketRoot`/`io` — a crash between batches resumes at the last
-    * complete batch, and after a process restart the index falls back to
-    * a plain parquet read of the same files (the session catalog that
-    * carries the bucket layout is session-scoped; correctness is
-    * unaffected, only the zero-exchange read is).
+    * complete batch, and after a process restart the bucketed tables
+    * (trees by id, index by key) fall back to plain parquet reads of the
+    * same files (the session catalog that carries the bucket layout is
+    * session-scoped; correctness is unaffected, only the zero-exchange
+    * read is). Trees are bucketed by id so the at-least-once replay
+    * guard's anti-join probes state without re-shuffling it.
     *
     * `numBuckets` fixes the state side's partitioning for all future
     * merges — size it like a shuffle-partition count for the full-scale
@@ -251,31 +301,38 @@ object StreamingEr {
     // never resolves a same-named table from an older root
     val tag = java.lang.Long.toHexString(
       graft.util.Hashing.hashString(bucketRoot) & 0xffffffffL)
-    def idxTable(b: Int) = s"${prefix}_${tag}_index_b$b"
-    def idxPath(b: Int) = s"$bucketRoot/${prefix}_index_b$b"
-    def idxExists(b: Int): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(idxPath(b), "_SUCCESS")
+    def tbl(kind: String, b: Int) = s"${prefix}_${tag}_${kind}_b$b"
+    def path(kind: String, b: Int) = s"$bucketRoot/${prefix}_${kind}_b$b"
+    def bucketedExists(kind: String, b: Int): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path(kind, b), "_SUCCESS")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
+    // catalog read when the session still has the table (pre-distributed,
+    // zero-exchange state side); plain parquet fallback after a process
+    // restart (correct, loses only the layout)
+    def bucketedRead(kind: String, b: Int): org.apache.spark.sql.DataFrame =
+      if (BucketedState.exists(spark, tbl(kind, b))) BucketedState.read(spark, tbl(kind, b))
+      else spark.read.parquet(path(kind, b))
+    def idxTable(b: Int) = tbl("index", b)
+    def idxPath(b: Int) = path("index", b)
 
     var k = 0
-    while (io.exists(spark, s"${prefix}_trees_b$k") && idxExists(k) &&
+    while (bucketedExists("trees", k) && bucketedExists("index", k) &&
         io.exists(spark, s"${prefix}_clusters_b$k") &&
         io.exists(spark, s"${prefix}_matches_b$k")) k += 1
     val b = k - 1
+    // trees state is bucketed by id: the replay guard's anti-join and any
+    // id-probe read it pre-distributed — only the delta shuffles
     val prevTrees =
-      if (k == 0) None else Some(io.read(spark, s"${prefix}_trees_b$b").as[TreeRow])
-    val prevIdx =
-      if (k == 0) None
-      else if (BucketedState.exists(spark, idxTable(b)))
-        Some(BucketedState.read(spark, idxTable(b))) // zero-exchange side
-      else Some(spark.read.parquet(idxPath(b))) // post-restart fallback
+      if (k == 0) None else Some(bucketedRead("trees", b).as[TreeRow])
+    val prevIdx = if (k == 0) None else Some(bucketedRead("index", b))
     val prevClusters =
       if (k == 0) None else Some(io.read(spark, s"${prefix}_clusters_b$b"))
     val prevMatches =
       if (k == 0) None else Some(io.read(spark, s"${prefix}_matches_b$b"))
 
-    val newTrees = ParseStage.parse(newFiles, cfg.parse, cfg.blocking.mh)
+    val newTrees = freshTrees(spark,
+      ParseStage.parse(newFiles, cfg.parse, cfg.blocking.mh), prevTrees)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val newKeyed = Blocking.keyedIds(newTrees, cfg.blocking)
     val allTrees = prevTrees.map(_.unionByName(newTrees)).getOrElse(newTrees)
@@ -298,7 +355,8 @@ object StreamingEr {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val allMatches = prevMatches.map(newEdges.unionByName(_)).getOrElse(newEdges)
 
-    io.write(allTrees.toDF(), s"${prefix}_trees_b$k")
+    BucketedState.write(allTrees.toDF(), tbl("trees", k), path("trees", k),
+      numBuckets, "id")
     BucketedState.write(merged.select($"key", $"members"),
       idxTable(k), idxPath(k), numBuckets, "key")
     io.write(clusters, s"${prefix}_clusters_b$k")
@@ -311,8 +369,8 @@ object StreamingEr {
     // keyed is the capped index exploded to (key, id) — feeding it onward
     // is equivalent by cap subset-monotonicity
     ErState(
-      trees = io.read(spark, s"${prefix}_trees_b$k").as[TreeRow],
-      keyed = BucketedState.read(spark, idxTable(k))
+      trees = bucketedRead("trees", k).as[TreeRow],
+      keyed = bucketedRead("index", k)
         .select($"key", explode($"members").as("id")),
       clusters = io.read(spark, s"${prefix}_clusters_b$k"),
       matches = io.read(spark, s"${prefix}_matches_b$k"),

@@ -45,7 +45,15 @@ object DriveStreamScale {
       val w = (System.nanoTime() - t0) / 1e9
       println(f"""{"path":"memory","batch":$b,"wall_sec":$w%.3f}""")
     }
-    val memClusters = st.get.clusters.count()
+    val memClusters = st.get.clusters.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // release the memory arm's entire cached state before timing the
+    // bucketed arm — resident blocks would otherwise pressure the block
+    // manager during phase 2 and bias the comparison
+    st.foreach { p =>
+      (p.trees :: p.keyed :: p.clusters :: p.matches :: p.retained)
+        .foreach(_.unpersist(true))
+    }
 
     // bucketed (delta-merge) path — fresh storage root
     val root = java.nio.file.Files.createTempDirectory("graft_stream_scale").toString
@@ -58,7 +66,11 @@ object DriveStreamScale {
       val w = (System.nanoTime() - t0) / 1e9
       println(f"""{"path":"bucketed","batch":$b,"wall_sec":$w%.3f}""")
     }
-    println(s"""{"mem_clusters":$memClusters,"bucketed_clusters":${bst.clusters.count()},"equal_required":true}""")
+    val buckClusters = bst.clusters.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val equal = memClusters == buckClusters
+    println(s"""{"mem_clusters":${memClusters.size},"bucketed_clusters":${buckClusters.size},"clusters_equal":$equal}""")
+    require(equal, "state layouts diverged: in-memory and bucketed cluster sets differ")
     spark.stop()
   }
 }

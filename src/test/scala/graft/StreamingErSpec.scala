@@ -114,6 +114,53 @@ class StreamingErSpec extends AnyFunSuite {
     files.unpersist()
   }
 
+  test("at-least-once delivery: a replayed batch is a state no-op in both paths") {
+    import spark.implicits._
+    // crash-after-state-write-before-offset-commit re-delivers the whole
+    // batch; the id guard must reduce it to an empty delta so state
+    // (trees, matches, clusters) is unchanged — in the in-memory, the
+    // checkpointed, AND the bucketed path
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_replay").toString
+    val io = new graft.sources.ParquetTableIO(root)
+    val files = CorpusGen.corpus(spark, "/root/testdata/sf0.001").persist()
+    def part(b: Int) = files.filter((f: FileRow) =>
+      math.floorMod(graft.util.Hashing.hashString(f.path), 2) == b)
+
+    // in-memory: batch 0, batch 1, then batch 1 REPLAYED
+    var st: Option[StreamingEr.ErState] = None
+    for (b <- Seq(0, 1)) st = Some(StreamingEr.processBatch(spark, part(b), st))
+    val before = (st.get.trees.count(), clustersOf(st.get.clusters),
+      st.get.matches.count())
+    st = Some(StreamingEr.processBatch(spark, part(1), st))
+    assert(st.get.trees.count() == before._1, "replay duplicated tree rows")
+    assert(clustersOf(st.get.clusters) == before._2, "replay changed clusters")
+    assert(st.get.matches.count() == before._3, "replay changed the match set")
+
+    // a batch with internal duplicates is deduped to one row per id
+    val dup = part(0).unionByName(part(0))
+    val solo = StreamingEr.processBatch(spark, dup, None)
+    assert(solo.trees.count() == part(0).count(), "in-batch duplicates survived")
+
+    // checkpointed: same replay through the storage round-trip
+    StreamingEr.processBatchCheckpointed(spark, part(0), io)
+    val c1 = StreamingEr.processBatchCheckpointed(spark, part(1), io)
+    val c1Clusters = clustersOf(c1.clusters)
+    val c2 = StreamingEr.processBatchCheckpointed(spark, part(1), io) // replay
+    assert(c2.trees.count() == c1.trees.count())
+    assert(clustersOf(c2.clusters) == c1Clusters)
+
+    // bucketed: replayed batch is a no-op there too
+    val broot = java.nio.file.Files.createTempDirectory("graft_bstream_replay").toString
+    val bio = new graft.sources.ParquetTableIO(broot)
+    StreamingEr.processBatchBucketed(spark, part(0), bio, broot, 4)
+    val b1 = StreamingEr.processBatchBucketed(spark, part(1), bio, broot, 4)
+    val b1Clusters = clustersOf(b1.clusters)
+    val b2 = StreamingEr.processBatchBucketed(spark, part(1), bio, broot, 4) // replay
+    assert(b2.trees.count() == b1.trees.count())
+    assert(clustersOf(b2.clusters) == b1Clusters)
+    files.unpersist()
+  }
+
   test("checkpointed state survives a process kill between batches") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
