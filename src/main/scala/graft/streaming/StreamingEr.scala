@@ -58,7 +58,12 @@ object StreamingEr {
       // truncation batch, once the eager checkpoint decouples the state
       // from them — this bounds cached storage on unbounded streams to
       // one truncation cycle instead of the whole history
-      retained: List[Dataset[_]] = Nil)
+      retained: List[Dataset[_]] = Nil) {
+    /** End-of-stream teardown: unpersist every handle this state holds
+      * (safe on storage-backed states — unpersist is a no-op there). */
+    def release(): Unit =
+      (trees :: keyed :: clusters :: matches :: retained).foreach(_.unpersist())
+  }
 
   /** Exactly-once delta against at-least-once delivery: drop rows whose
     * id is already in state (a crash after the state write but before the

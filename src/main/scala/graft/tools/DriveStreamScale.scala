@@ -50,10 +50,7 @@ object DriveStreamScale {
     // release the memory arm's entire cached state before timing the
     // bucketed arm — resident blocks would otherwise pressure the block
     // manager during phase 2 and bias the comparison
-    st.foreach { p =>
-      (p.trees :: p.keyed :: p.clusters :: p.matches :: p.retained)
-        .foreach(_.unpersist(true))
-    }
+    st.foreach(_.release())
 
     // bucketed (delta-merge) path — fresh storage root
     val root = java.nio.file.Files.createTempDirectory("graft_stream_scale").toString
