@@ -44,6 +44,13 @@ object Bench {
       try { ErQueries.warmStreamBucketed(spark, sfDir); true } catch { case _: Throwable => false }
     val bstreamSec = (System.nanoTime() - tBStream) / 1e9
 
+    // and for the memoized edit-script dump shared by er_edit_cost /
+    // er_edit_scripts: build it here so both sweep lines time cache reads
+    val tOps = System.nanoTime()
+    val opsOk =
+      try { ErQueries.warmEditScripts(spark, sfDir); true } catch { case _: Throwable => false }
+    val opsSec = (System.nanoTime() - tOps) / 1e9
+
     // A failed query reports elapsed -1 so breakage is visible in the
     // JSON instead of silently polluting the totals.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -63,7 +70,8 @@ object Bench {
         s""","cpus":$cpus,"bench_mult":$mult,"pipeline_build_sec":$warmSec""" +
         s""","pipeline_build_ok":$warmOk,"stream_build_sec":$streamSec""" +
         s""","stream_build_ok":$streamOk,"bstream_build_sec":$bstreamSec""" +
-        s""","bstream_build_ok":$bstreamOk,"failed":${failed.mkString("[", ",", "]")}""" +
+        s""","bstream_build_ok":$bstreamOk,"edit_scripts_build_sec":$opsSec""" +
+        s""","edit_scripts_build_ok":$opsOk,"failed":${failed.mkString("[", ",", "]")}""" +
         s""","pairs_scored":${scoring.pairs}""" +
         s""","score_wall_sec":${scoring.wallSec},"pairs_per_sec":${scoring.pairsPerSec}""" +
         s""","dp_cells_per_sec":${scoring.cellsPerSec}}""")

@@ -23,6 +23,18 @@ object ErQueries {
   private def pipeline(spark: SparkSession, sfDir: String): Pipeline.Result =
     Results.cached(spark, sfDir)
 
+  /** τ grid for er_threshold_curve: 0.01 steps from 0 up to (and
+    * including) the scoring band edge `Pipeline.Config().tau` — the ONE
+    * definition both the Scala query and the DuckDB oracle interpolate,
+    * so a tau/band change moves both grids together (and the grid can
+    * never silently extend past the band, where censored distances
+    * would be counted as matches). Values are exact k/100 doubles whose
+    * toString round-trips identically in Scala and DuckDB. */
+  private[graft] val tauGrid: Seq[Double] = {
+    val tau = Pipeline.Config().tau
+    (0 to math.round(tau * 100).toInt).map(_ / 100.0)
+  }
+
   /** Cache pipeline results per (session, sfDir) so Verify/Bench running
     * many queries do not re-run the whole DAG per query. Keyed by the
     * session too: a cached Dataset is bound to the session that built it,
@@ -104,6 +116,15 @@ object ErQueries {
     ()
   }
 
+  /** Force the memoized 50-pair edit-script build (its own Bench line,
+    * `edit_scripts_build_sec`) — otherwise whichever of er_edit_cost /
+    * er_edit_scripts runs first in the sweep silently absorbs the ops
+    * DP + persist and times a build, not a query (round-3 VERDICT #1). */
+  def warmEditScripts(spark: SparkSession, sfDir: String): Unit = {
+    editScripts(spark, sfDir).count()
+    ()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // identity columns only — every one is independently recomputable by
     // the DuckDB oracle from the dumped raw corpus (id = sha256 prefix of
@@ -142,9 +163,8 @@ object ErQueries {
     // curve from the independent er_ted_sql kernel dump (byte-identical
     // censoring), cross-checking every in-band point.
     "er_threshold_curve" -> ((s, dir) => {
-      val taus = Seq(0.0, 0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08)
       pipeline(s, dir).scores.toDF()
-        .select(explode(array(taus.map(lit): _*)).as("tau"), col("normDist"))
+        .select(explode(array(tauGrid.map(lit): _*)).as("tau"), col("normDist"))
         .groupBy(col("tau"))
         .agg(count(when(col("normDist") <= col("tau"), 1)).as("n_matches"))
         .orderBy(col("tau"))
@@ -424,11 +444,11 @@ object ErQueries {
       // threshold curve recomputed from the independent Catalyst-kernel
       // distances (er_ted_sql), not the mapPartitions scorer's output
       "er_threshold_curve" ->
-        """WITH g AS (SELECT unnest([0.0,0.01,0.02,0.03,0.04,0.05,0.06,0.07,0.08]) AS tau),
-          |s AS (SELECT CAST(dist AS DOUBLE)/greatest(nA+nB,1) AS nd
-          |      FROM read_parquet('{OUT}/er_ted_sql/*.parquet'))
-          |SELECT g.tau, count(*) FILTER (WHERE s.nd <= g.tau) AS n_matches
-          |FROM g CROSS JOIN s GROUP BY g.tau ORDER BY g.tau""".stripMargin,
+        s"""WITH g AS (SELECT unnest([${tauGrid.mkString(",")}]) AS tau),
+           |s AS (SELECT CAST(dist AS DOUBLE)/greatest(nA+nB,1) AS nd
+           |      FROM read_parquet('{OUT}/er_ted_sql/*.parquet'))
+           |SELECT g.tau, count(*) FILTER (WHERE s.nd <= g.tau) AS n_matches
+           |FROM g CROSS JOIN s GROUP BY g.tau ORDER BY g.tau""".stripMargin,
       // bucketed-state twin: identical invariant (clusters == CC of the
       // cumulative matches), recomputed over ITS OWN dumped edge set
       "er_stream_bucketed" ->

@@ -175,12 +175,17 @@ object TextQueries {
   }
 
   // capped block membership + intra-block pair emission, exactly
-  // CandidateGen.pairsFromKeys' algebra redone in SQL (cap 64 = the
-  // MinHashParams/simHashPairs default)
+  // CandidateGen.pairsFromKeys' algebra redone in SQL. The cap is
+  // interpolated from Dedup.DefaultBlockCap (the MinHashParams /
+  // simHashPairs default) so query and oracle track one definition; the
+  // DISTINCT subquery before the rank mirrors capByKey's set-semantic
+  // cap (dense_rank over rows ≡ row_number over distinct rows).
   private def pairsFromKeysSql(keysTable: String): String =
-    s"""WITH k AS (
-       |  SELECT key, id FROM read_parquet('{OUT}/_aux/$keysTable/*.parquet')
-       |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY id) <= 64),
+    s"""WITH kd AS (
+       |  SELECT DISTINCT key, id FROM read_parquet('{OUT}/_aux/$keysTable/*.parquet')),
+       |k AS (
+       |  SELECT key, id FROM kd
+       |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY id) <= ${Dedup.DefaultBlockCap}),
        |cand AS (
        |  SELECT DISTINCT a.id AS idA, b.id AS idB
        |  FROM k a JOIN k b ON a.key = b.key AND a.id < b.id)""".stripMargin

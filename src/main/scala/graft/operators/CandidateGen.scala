@@ -30,7 +30,14 @@ object CandidateGen {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key")).orderBy(col("id"))
     keyed
-      .withColumn("__rn", row_number().over(w))
+      // dense_rank, not row_number: a duplicate (key,id) row (e.g. a
+      // 64-bit band-key collision inside one doc) must not consume a cap
+      // slot here while mergeCappedMembers' collect_set/array_union path
+      // dedups — both cap definitions must see set semantics. dense_rank
+      // gives exactly that (ties share a rank) within the SAME single
+      // (key)-partitioned exchange; surviving duplicate copies of a kept
+      // id are collapsed by pairsFromKeys' collect_set below.
+      .withColumn("__rn", dense_rank().over(w))
       .where(col("__rn") <= cap)
       .drop("__rn")
   }
@@ -92,7 +99,10 @@ object CandidateGen {
     // both.
     capByKey(keyed, cap)
       .groupBy(col("key"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      // collect_set: a duplicate (key,id) row that survived the set-
+      // semantic cap must not enter the block twice (a duplicated value
+      // in `ids` would pair with itself below)
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")) >= 2)
       // all (i < j) pairs of the sorted block, emitted as one nested
       // transform: element i pairs with every element after it

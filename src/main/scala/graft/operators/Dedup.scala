@@ -31,7 +31,13 @@ object Dedup {
 
   // --- MinHash near-dup ---------------------------------------------------
 
-  final case class MinHashParams(numHashes: Int = 12, bands: Int = 6, shingleWords: Int = 3, cap: Int = 64) {
+  /** Single definition of the per-block member cap shared by every
+    * dedup candidate generator AND the DuckDB oracle SQL
+    * (TextQueries.pairsFromKeysSql interpolates it) — changing it here
+    * changes both sides together, so query and oracle cannot desync. */
+  val DefaultBlockCap: Int = 64
+
+  final case class MinHashParams(numHashes: Int = 12, bands: Int = 6, shingleWords: Int = 3, cap: Int = DefaultBlockCap) {
     require(numHashes % bands == 0)
     def rows: Int = numHashes / bands
   }
@@ -128,7 +134,7 @@ object Dedup {
     * corpus would otherwise leak cache entries, and the map is a narrow
     * codegen'd stage that costs far less than the shuffle it feeds. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, cap: Int = 64): DataFrame = {
+                   maxHamming: Int = 3, cap: Int = DefaultBlockCap): DataFrame = {
     val sigs = simHashSigs(docs, idCol, textCol)
     val cand = CandidateGen.pairsFromKeys(simHashKeyed(sigs, maxHamming), cap)
     cand

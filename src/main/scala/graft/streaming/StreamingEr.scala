@@ -306,6 +306,10 @@ object StreamingEr {
     // never resolves a same-named table from an older root
     val tag = java.lang.Long.toHexString(
       graft.util.Hashing.hashString(bucketRoot) & 0xffffffffL)
+    // one naming rule for catalog (trees/index) AND TableIO
+    // (clusters/matches) state: two bucketed streams sharing a session
+    // catalog or one TableIO root must never resolve each other's tables
+    // during the resume scan
     def tbl(kind: String, b: Int) = s"${prefix}_${tag}_${kind}_b$b"
     def path(kind: String, b: Int) = s"$bucketRoot/${prefix}_${kind}_b$b"
     def bucketedExists(kind: String, b: Int): Boolean = {
@@ -323,8 +327,8 @@ object StreamingEr {
 
     var k = 0
     while (bucketedExists("trees", k) && bucketedExists("index", k) &&
-        io.exists(spark, s"${prefix}_clusters_b$k") &&
-        io.exists(spark, s"${prefix}_matches_b$k")) k += 1
+        io.exists(spark, tbl("clusters", k)) &&
+        io.exists(spark, tbl("matches", k))) k += 1
     val b = k - 1
     // trees state is bucketed by id: the replay guard's anti-join and any
     // id-probe read it pre-distributed — only the delta shuffles
@@ -332,9 +336,9 @@ object StreamingEr {
       if (k == 0) None else Some(bucketedRead("trees", b).as[TreeRow])
     val prevIdx = if (k == 0) None else Some(bucketedRead("index", b))
     val prevClusters =
-      if (k == 0) None else Some(io.read(spark, s"${prefix}_clusters_b$b"))
+      if (k == 0) None else Some(io.read(spark, tbl("clusters", b)))
     val prevMatches =
-      if (k == 0) None else Some(io.read(spark, s"${prefix}_matches_b$b"))
+      if (k == 0) None else Some(io.read(spark, tbl("matches", b)))
 
     val newTrees = freshTrees(spark,
       ParseStage.parse(newFiles, cfg.parse, cfg.blocking.mh), prevTrees)
@@ -364,8 +368,8 @@ object StreamingEr {
       numBuckets, "id")
     BucketedState.write(merged.select($"key", $"members"),
       idxTable(k), idxPath(k), numBuckets, "key")
-    io.write(clusters, s"${prefix}_clusters_b$k")
-    io.write(allMatches, s"${prefix}_matches_b$k")
+    io.write(clusters, tbl("clusters", k))
+    io.write(allMatches, tbl("matches", k))
 
     newEdges.unpersist(); cand.unpersist(); merged.unpersist()
     newTrees.unpersist(); allTrees.unpersist(); clusters.unpersist()
@@ -377,8 +381,8 @@ object StreamingEr {
       trees = bucketedRead("trees", k).as[TreeRow],
       keyed = bucketedRead("index", k)
         .select($"key", explode($"members").as("id")),
-      clusters = io.read(spark, s"${prefix}_clusters_b$k"),
-      matches = io.read(spark, s"${prefix}_matches_b$k"),
+      clusters = io.read(spark, tbl("clusters", k)),
+      matches = io.read(spark, tbl("matches", k)),
       batchesSeen = k + 1)
   }
 
