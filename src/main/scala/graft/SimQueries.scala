@@ -94,6 +94,17 @@ object SimQueries {
       val feats = Multimodal.extractFeatures(Multimodal.assets(docs))
       Multimodal.sampleFrames(feats, stride = 10)
         .orderBy(col("asset_id"), col("frame_idx"))
+    }),
+
+    // multimodal: REAL image decode — genuine PNG payloads decoded back
+    // with stdlib javax.imageio inside mapPartitions; the oracle
+    // recomputes expected dims + gray sum from the dumped seeds with
+    // independent SQL arithmetic, so a roundtrip discrepancy anywhere
+    // (encoder, decoder, raster order, sample depth) hash-mismatches
+    "q_image_decode" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Multimodal.decodeImages(Multimodal.pngAssets(docs)).toDF()
+        .orderBy(col("asset_id"))
     })
   )
 
@@ -126,6 +137,12 @@ object SimQueries {
         .map(a => (a.asset_id, a.mime, Multimodal.decodeHash(a.n_bytes, a.mime)))
         .toDF("asset_id", "mime", "h")
       dump(ad, "asset_decode")
+      // per-asset PNG seed: the q_image_decode oracle recomputes the
+      // expected width/height/gray-sum from it in pure SQL
+      val ps = docs.select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, Multimodal.pngSeed(id)))
+        .toDF("asset_id", "seed")
+      dump(ps, "png_seeds")
     }
   }
 
@@ -230,5 +247,29 @@ object SimQueries {
         |  SELECT asset_id, CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx
         |  FROM read_parquet('{OUT}/q_multimodal_features/*.parquet')
         |  WHERE mime LIKE 'video%')
-        |ORDER BY asset_id, frame_idx""".stripMargin)
+        |ORDER BY asset_id, frame_idx""".stripMargin,
+    // real-PNG roundtrip: expected dims + gray sum recomputed from the
+    // dumped seeds alone (same shift/mod arithmetic as the encoder,
+    // row-gradient sum expanded via range()); the Spark side reports
+    // what ImageIO actually DECODED, so the compare proves the payloads
+    // are real images that roundtrip exactly
+    "q_image_decode" ->
+      """WITH s AS (
+        |  SELECT asset_id, seed::HUGEINT + CASE WHEN seed < 0
+        |    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS u
+        |  FROM read_parquet('{OUT}/_aux/png_seeds/*.parquet')),
+        |d AS (
+        |  SELECT asset_id,
+        |    CAST(64 + (u // 256) % 192 AS BIGINT) AS width,
+        |    CAST(64 + (u // 65536) % 192 AS BIGINT) AS height,
+        |    CAST((u // 4294967296) % 256 AS BIGINT) AS g0
+        |  FROM s),
+        |px AS (
+        |  SELECT asset_id, width, height, g0,
+        |    CAST(unnest(range(0, height)) AS BIGINT) AS y
+        |  FROM d)
+        |SELECT asset_id, CAST(any_value(width) AS INT) AS width,
+        |  CAST(any_value(height) AS INT) AS height,
+        |  CAST(sum(((g0 + y) % 256) * width) AS BIGINT) AS sum_gray
+        |FROM px GROUP BY asset_id ORDER BY asset_id""".stripMargin)
 }

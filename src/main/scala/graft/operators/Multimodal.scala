@@ -7,12 +7,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
   * with decode / feature-extract / frame-sample stages.
   *
-  * The Spark-side architecture — schema, partition-preserving batch
-  * processing, feature schema — is real and tested; the actual media
-  * decoding is a clearly marked STUB (this container has no image/audio
-  * libraries): `stubDecode` derives deterministic fake pixels from the
-  * payload bytes. In production the stub body is replaced by the real
-  * codec call; nothing around it changes.
+  * Two decode paths:
+  *   - IMAGE (PNG) is REAL: [[pngAssets]] writes genuine PNG payloads
+  *     (stdlib `javax.imageio`, deterministic gray gradient) and
+  *     [[decodeImages]] decodes them back with `ImageIO.read` inside
+  *     `mapPartitions` — a full encode→decode roundtrip, oracle-checked
+  *     (the expected dims + gray sum are recomputed in SQL from the
+  *     dumped seeds).
+  *   - AUDIO/VIDEO codecs remain a clearly marked STUB (this container
+  *     has no media libraries): `stubDecode` derives deterministic fake
+  *     dims from the payload bytes. In production the stub body is
+  *     replaced by the real codec call; nothing around it changes.
   */
 object Multimodal {
 
@@ -86,6 +91,81 @@ object Multimodal {
         var j = 0
         while (j < 8) { hist(j) /= norm; j += 1 }
         FeatureRow(a.asset_id, a.mime, w, h, frames, hist)
+      }
+    }
+  }
+
+  // --- real PNG decode path (stdlib javax.imageio, JDK-bundled) ---------
+
+  final case class DecodedImageRow(
+      asset_id: Long,
+      width: Int,
+      height: Int,
+      sum_gray: Long)
+
+  /** Per-asset PNG seed — one definition shared by the encoder, the
+    * Verify aux dump, and (via the dump) the DuckDB oracle. */
+  def pngSeed(id: Long): Long = Hashing.mix64(Hashing.hashLong(id, 97L))
+
+  /** Deterministic grayscale PNG: dims from the same shift/mod
+    * arithmetic as the stub (SQL-recomputable), pixels a row gradient
+    * gray(y) = (g0 + y) % 256 — enough structure that a decode bug in
+    * row order, dimensions, or sample depth changes the gray sum. */
+  def encodePng(seed: Long): Array[Byte] = {
+    val width = 64 + ((seed >>> 8) % 192).toInt
+    val height = 64 + ((seed >>> 16) % 192).toInt
+    val g0 = ((seed >>> 32) % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      val g = (g0 + y) % 256
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, g); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real binary image column: one genuine PNG per document id. */
+  def pngAssets(docs: DataFrame): Dataset[AssetRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      it.map { id =>
+        val bytes = encodePng(pngSeed(id))
+        AssetRow(id, "image/png", bytes.length.toLong, bytes)
+      }
+    }
+  }
+
+  /** REAL image decode: `ImageIO.read` over the binary column, batch-
+    * shaped `mapPartitions` so per-partition codec setup happens once.
+    * Emits decoded dimensions plus the full-raster gray sum — the
+    * roundtrip evidence the oracle checks against the seed arithmetic. */
+  def decodeImages(as: Dataset[AssetRow]): Dataset[DecodedImageRow] = {
+    val spark = as.sparkSession
+    import spark.implicits._
+    as.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+        require(img != null, s"undecodable image payload for asset ${a.asset_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        DecodedImageRow(a.asset_id, w, h, sum)
       }
     }
   }

@@ -148,6 +148,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.where($"frame_idx" % 10 =!= 0).isEmpty)
   }
 
+  test("real PNG encode -> ImageIO decode roundtrip recovers dims and gradient") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val decoded = Multimodal.decodeImages(Multimodal.pngAssets(docs))
+      .persist()
+    assert(decoded.count() == docs.count(), "every asset must decode")
+    // independent in-memory recompute of the expected roundtrip values
+    // straight from the seed arithmetic (no Spark, no ImageIO)
+    decoded.orderBy($"asset_id").take(25).foreach { r =>
+      val seed = Multimodal.pngSeed(r.asset_id)
+      val w = 64 + ((seed >>> 8) % 192).toInt
+      val h = 64 + ((seed >>> 16) % 192).toInt
+      val g0 = ((seed >>> 32) % 256).toInt
+      val expSum = w.toLong * (0 until h).map(y => (g0 + y) % 256).sum
+      assert(r.width == w && r.height == h, s"dims mismatch for ${r.asset_id}")
+      assert(r.sum_gray == expSum, s"gray sum mismatch for ${r.asset_id}")
+    }
+    // the payloads are REAL PNGs: magic bytes present
+    val first = Multimodal.pngAssets(docs).orderBy($"asset_id").head()
+    assert(first.payload.take(8).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    decoded.unpersist()
+    ()
+  }
+
   test("winnowing fingerprints: deterministic, overlapping for near-dups") {
     // long prefix identical; single change near the end so early windows
     // provably share their minima
