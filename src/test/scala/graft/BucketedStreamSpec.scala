@@ -110,6 +110,58 @@ class BucketedStreamSpec extends AnyFunSuite {
     assert(setOf(last.get.clusters) == batchClusters)
   }
 
+  test("6-batch run with mid-stream process restart: flat-ish per-batch time, catalog-loss fallback") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_bstream_6b").toString
+    val io = new ParquetTableIO(root)
+    val files = CorpusGen.corpus(spark, "/root/testdata/sf0.001")
+      .filter((f: FileRow) => math.floorMod(graft.util.Hashing.hashString(f.path), 4) == 1)
+      .collect()
+    def part(b: Int) = files.filter(f =>
+      math.floorMod(graft.util.Hashing.hashString(f.path), 6) == b).toSeq
+
+    val times = Array.fill(6)(0.0)
+    def drive(s: MemoryStream[FileRow], q: org.apache.spark.sql.streaming.StreamingQuery,
+              batches: Range): Unit =
+      batches.foreach { b =>
+        val t0 = System.nanoTime()
+        s.addData(part(b)); q.processAllAvailable()
+        times(b) = (System.nanoTime() - t0) / 1e9
+      }
+
+    @volatile var last: Option[StreamingEr.ErState] = None
+    val s1 = MemoryStream[FileRow]
+    val q1 = StreamingEr.startCheckpointedBucketed(spark, s1.toDS(), io, root, 4) { st => last = Some(st) }
+    try drive(s1, q1, 0 until 3) finally q1.stop()
+
+    // simulate a PROCESS restart between queries: the session catalog
+    // (which carries the bucket layout) is wiped, only storage remains —
+    // the next batch must take the plain-parquet fallback read and
+    // still resume exactly
+    val tag = java.lang.Long.toHexString(graft.util.Hashing.hashString(root) & 0xffffffffL)
+    val stateTables = spark.sql("SHOW TABLES").collect()
+      .map(_.getAs[String]("tableName")).filter(_.startsWith(s"bstream_${tag}_"))
+    assert(stateTables.nonEmpty, "expected bucketed state tables in the catalog")
+    stateTables.foreach(t => spark.sql(s"DROP TABLE $t"))
+
+    val s2 = MemoryStream[FileRow]
+    val q2 = StreamingEr.startCheckpointedBucketed(spark, s2.toDS(), io, root, 4) { st => last = Some(st) }
+    try drive(s2, q2, 3 until 6) finally q2.stop()
+
+    assert(last.isDefined && last.get.batchesSeen == 6)
+    val batchClusters = setOf(Pipeline.run(spark, spark.createDataset(files.toSeq)).clusters)
+    assert(setOf(last.get.clusters) == batchClusters,
+      "6-batch incremental clusters must equal the batch pipeline across the restart")
+    // coarse no-growth lock: if per-batch cost were proportional to the
+    // cumulative history (the full-index anti-shape), batch 5 would run
+    // ~4-5x batch 1; allow generous shared-host noise but catch that
+    val base = math.max(times(1), times(2))
+    assert(math.max(times(4), times(5)) <= 3.0 * base + 2.0,
+      s"per-batch time grew with history: ${times.mkString(", ")}")
+  }
+
   test("merge over bucketed state: only the delta shuffles") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_bstream_plan").toString
