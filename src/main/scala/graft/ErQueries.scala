@@ -218,6 +218,47 @@ object ErQueries {
     // edit scripts for matched pairs through the reference's
     // return_operations surface (TreeDistOps) — one row per operation
     "er_edit_scripts" -> ((s, dir) => editScripts(s, dir)),
+    // Tai-mapping validity certificate for the dumped edit scripts.
+    // Columns pair a Spark-side CLAIM with a DuckDB-side MEASUREMENT
+    // over the er_edit_scripts dump, so the driver compare enforces the
+    // axioms that make an op sequence a real optimal edit script:
+    //   script_cost — claim: the INDEPENDENT banded kernel's distance
+    //     (er_scores); measured: #non-Match ops (cost exactness);
+    //   n_a / n_b  — claim: tree sizes; measured: #DISTINCT touched
+    //     postorder indices (coverage + injectivity + in-range);
+    //   n_match_labels — claim: #mapped ops whose LABELS are equal
+    //     (recomputed here from the tree arrays); measured: #ops TAGGED
+    //     Match (tag⇄label consistency);
+    //   order_violations — claim: literal 0; measured: #mapped-op pairs
+    //     breaking postorder-order or ancestry preservation (lmd-based),
+    //     i.e. the Tai mapping conditions.
+    // Any backtrace bug — wrong cost, dropped/duplicated node, mis-
+    // tagged op, order- or ancestry-breaking mapping — mismatches.
+    "er_mapping_valid" -> ((s, dir) => {
+      val r = pipeline(s, dir)
+      val eds = editScripts(s, dir)
+      val slim = r.trees.toDF().select(col("id"), col("labels"))
+      val labEq = eds.where(col("op") >= 2)
+        .join(slim.withColumnRenamed("id", "idA").withColumnRenamed("labels", "laA"), "idA")
+        .join(slim.withColumnRenamed("id", "idB").withColumnRenamed("labels", "laB"), "idB")
+        .select(col("idA"), col("idB"),
+          (element_at(col("laA"), col("a_idx") + 1) ===
+            element_at(col("laB"), col("b_idx") + 1)).as("lab_eq"))
+        .groupBy("idA", "idB")
+        .agg(sum(when(col("lab_eq"), 1L).otherwise(0L)).as("n_match_labels"))
+      val sz = r.trees.toDF().select(col("id"), size(col("labels")).as("n"))
+      r.scores.toDF().select(col("idA"), col("idB"), col("dist"))
+        .join(eds.select("idA", "idB").distinct(), Seq("idA", "idB"))
+        .join(sz.withColumnRenamed("id", "idA").withColumnRenamed("n", "na"), "idA")
+        .join(sz.withColumnRenamed("id", "idB").withColumnRenamed("n", "nb"), "idB")
+        .join(labEq, Seq("idA", "idB"), "left")
+        .select(col("idA"), col("idB"),
+          col("dist").cast("long").as("script_cost"),
+          col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          coalesce(col("n_match_labels"), lit(0L)).as("n_match_labels"),
+          lit(0L).as("order_violations"))
+        .orderBy(col("idA"), col("idB"))
+    }),
     // the ZSS scorer through its SQL surface (custom Catalyst
     // Expression): same candidate pairs, EXACT distances via spark.sql,
     // clamped to the banded kernel's cap ⌊τ·(nA+nB)⌋+1 so the result is
@@ -348,6 +389,18 @@ object ErQueries {
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/stream_matches")
     BStreamResults.cached(spark, sfDir).matches
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/bstream_matches")
+    // postorder structure (node index → leftmost-leaf-descendant) of
+    // every tree touched by the 50-pair edit-script sample: the
+    // er_mapping_valid oracle measures the Tai ancestry condition from
+    // it (i1 inside i2's subtree ⟺ lmd(i2) ≤ i1 < i2)
+    locally {
+      val eds = editScripts(spark, sfDir)
+      val ids = eds.select(col("idA").as("id"))
+        .union(eds.select(col("idB").as("id"))).distinct()
+      Results.cached(spark, sfDir).trees.toDF().join(ids, "id")
+        .select(col("id"), posexplode(col("lmds")).as(Seq("i", "lmd")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/script_tree_nodes")
+    }
     // uncapped lexer event stream per file: the er_tree_stats oracle
     // recomputes n / n_tokens / truncated from it (the cap bookkeeping
     // formula — see CodeParser.lexEvents)
@@ -476,6 +529,38 @@ object ErQueries {
           |FROM o JOIN read_parquet('{OUT}/er_scores/*.parquet') s
           |  ON o.idA = s.idA AND o.idB = s.idB
           |ORDER BY o.idA, o.idB""".stripMargin,
+      // Tai-mapping certificate MEASURED from the dumped script + the
+      // dumped postorder structure; the Spark side carries the claims
+      // (kernel distance, tree sizes, label-equality count, zero
+      // violations) — see the query comment for the per-column pairing
+      "er_mapping_valid" ->
+        """WITH o AS (SELECT * FROM read_parquet('{OUT}/er_edit_scripts/*.parquet')),
+          |n AS (SELECT id, i, lmd FROM read_parquet('{OUT}/_aux/script_tree_nodes/*.parquet')),
+          |pairs AS (SELECT DISTINCT idA, idB FROM o),
+          |agg AS (
+          |  SELECT idA, idB,
+          |    CAST(sum(CASE WHEN op <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS script_cost,
+          |    CAST(count(DISTINCT CASE WHEN a_idx >= 0 THEN a_idx END) AS BIGINT) AS n_a,
+          |    CAST(count(DISTINCT CASE WHEN b_idx >= 0 THEN b_idx END) AS BIGINT) AS n_b,
+          |    CAST(sum(CASE WHEN op = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_match_labels
+          |  FROM o GROUP BY idA, idB),
+          |m AS (SELECT idA, idB, a_idx, b_idx FROM o WHERE op >= 2),
+          |mm AS (
+          |  SELECT m1.idA, m1.idB,
+          |    CASE WHEN m1.b_idx >= m2.b_idx
+          |           OR ((m1.a_idx >= na.lmd) <> (m1.b_idx >= nb.lmd))
+          |         THEN 1 ELSE 0 END AS v
+          |  FROM m m1
+          |  JOIN m m2 ON m1.idA = m2.idA AND m1.idB = m2.idB AND m1.a_idx < m2.a_idx
+          |  JOIN n na ON na.id = m1.idA AND na.i = m2.a_idx
+          |  JOIN n nb ON nb.id = m1.idB AND nb.i = m2.b_idx),
+          |viol AS (SELECT idA, idB, sum(v) AS order_violations FROM mm GROUP BY idA, idB)
+          |SELECT p.idA, p.idB, a.script_cost, a.n_a, a.n_b, a.n_match_labels,
+          |  CAST(COALESCE(vl.order_violations, 0) AS BIGINT) AS order_violations
+          |FROM pairs p
+          |JOIN agg a ON p.idA = a.idA AND p.idB = a.idB
+          |LEFT JOIN viol vl ON p.idA = vl.idA AND p.idB = vl.idB
+          |ORDER BY p.idA, p.idB""".stripMargin,
       "er_cluster_sizes" ->
         """WITH cs AS (
           |  SELECT clusterId, count(*) AS size
