@@ -105,6 +105,15 @@ object SimQueries {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       Multimodal.decodeImages(Multimodal.pngAssets(docs)).toDF()
         .orderBy(col("asset_id"))
+    }),
+
+    // multimodal: REAL audio decode — genuine WAV payloads decoded back
+    // with stdlib javax.sound.sampled; oracle twin of q_image_decode
+    // (expected frame count + amplitude sum recomputed from the seeds)
+    "q_audio_decode" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Multimodal.decodeAudio(Multimodal.wavAssets(docs)).toDF()
+        .orderBy(col("asset_id"))
     })
   )
 
@@ -143,6 +152,11 @@ object SimQueries {
         .map(id => (id, Multimodal.pngSeed(id)))
         .toDF("asset_id", "seed")
       dump(ps, "png_seeds")
+      // and the WAV seeds for the q_audio_decode oracle
+      val ws = docs.select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, Multimodal.wavSeed(id)))
+        .toDF("asset_id", "seed")
+      dump(ws, "wav_seeds")
     }
   }
 
@@ -271,5 +285,26 @@ object SimQueries {
         |SELECT asset_id, CAST(any_value(width) AS INT) AS width,
         |  CAST(any_value(height) AS INT) AS height,
         |  CAST(sum(((g0 + y) % 256) * width) AS BIGINT) AS sum_gray
-        |FROM px GROUP BY asset_id ORDER BY asset_id""".stripMargin)
+        |FROM px GROUP BY asset_id ORDER BY asset_id""".stripMargin,
+    // real-WAV roundtrip: expected frame count + unsigned amplitude sum
+    // recomputed from the dumped seeds (stride-7 ramp expanded via
+    // range()); the Spark side reports what AudioSystem actually DECODED
+    "q_audio_decode" ->
+      """WITH s AS (
+        |  SELECT asset_id, seed::HUGEINT + CASE WHEN seed < 0
+        |    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS u
+        |  FROM read_parquet('{OUT}/_aux/wav_seeds/*.parquet')),
+        |d AS (
+        |  SELECT asset_id,
+        |    CAST(256 + (u // 256) % 1024 AS BIGINT) AS n_samples,
+        |    CAST((u // 65536) % 256 AS BIGINT) AS s0
+        |  FROM s),
+        |amp AS (
+        |  SELECT asset_id, n_samples, s0,
+        |    CAST(unnest(range(0, n_samples)) AS BIGINT) AS t
+        |  FROM d)
+        |SELECT asset_id, CAST(any_value(n_samples) AS BIGINT) AS n_samples,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(sum((s0 + 7 * t) % 256) AS BIGINT) AS sum_amp
+        |FROM amp GROUP BY asset_id ORDER BY asset_id""".stripMargin)
 }

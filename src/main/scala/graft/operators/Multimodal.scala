@@ -170,6 +170,76 @@ object Multimodal {
     }
   }
 
+  // --- real WAV decode path (stdlib javax.sound.sampled, JDK-bundled) --
+
+  final case class DecodedAudioRow(
+      asset_id: Long,
+      n_samples: Long,
+      sample_rate: Int,
+      sum_amp: Long)
+
+  /** Per-asset WAV seed — shared by encoder, aux dump, and oracle,
+    * like [[pngSeed]]. Different salt so image and audio payloads of
+    * one doc are unrelated. */
+  def wavSeed(id: Long): Long = Hashing.mix64(Hashing.hashLong(id, 131L))
+
+  private val WavRate = 8000
+
+  /** Deterministic mono 8-bit unsigned PCM WAV: sample count and a
+    * stride-7 amplitude ramp from the seed — SQL-recomputable, and
+    * structured enough that a decode bug in frame count, sample order,
+    * or sample width changes the amplitude sum. */
+  def encodeWav(seed: Long): Array[Byte] = {
+    val n = 256 + ((seed >>> 8) % 1024).toInt
+    val s0 = ((seed >>> 16) % 256).toInt
+    val samples = new Array[Byte](n)
+    var t = 0
+    while (t < n) { samples(t) = ((s0 + 7 * t) % 256).toByte; t += 1 }
+    val fmt = new javax.sound.sampled.AudioFormat(WavRate.toFloat, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real binary audio column: one genuine WAV per document id. */
+  def wavAssets(docs: DataFrame): Dataset[AssetRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val bytes = encodeWav(wavSeed(id))
+        AssetRow(id, "audio/wav", bytes.length.toLong, bytes)
+      }
+    }
+  }
+
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` over the
+    * binary column inside `mapPartitions`. Emits the decoded frame
+    * count, sample rate, and unsigned-amplitude sum — the roundtrip
+    * evidence the oracle checks against the seed arithmetic. */
+  def decodeAudio(as: Dataset[AssetRow]): Dataset[DecodedAudioRow] = {
+    val spark = as.sparkSession
+    import spark.implicits._
+    as.mapPartitions { it =>
+      it.map { a =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          s"unexpected decoded format for asset ${a.asset_id}: $fmt")
+        val buf = ais.readAllBytes()
+        var sum = 0L
+        var t = 0
+        while (t < buf.length) { sum += (buf(t) & 0xff); t += 1 }
+        DecodedAudioRow(a.asset_id, buf.length.toLong,
+          math.round(fmt.getSampleRate), sum)
+      }
+    }
+  }
+
   /** Frame sampling for video assets: every `stride`-th frame index up
     * to n_frames — pure relational explode, no decode needed until the
     * downstream stage touches the sampled frame. */

@@ -172,6 +172,27 @@ class OperatorsSpec extends AnyFunSuite {
     ()
   }
 
+  test("real WAV encode -> AudioSystem decode roundtrip recovers frames and ramp") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val decoded = Multimodal.decodeAudio(Multimodal.wavAssets(docs)).persist()
+    assert(decoded.count() == docs.count(), "every asset must decode")
+    decoded.orderBy($"asset_id").take(25).foreach { r =>
+      val seed = Multimodal.wavSeed(r.asset_id)
+      val n = 256 + ((seed >>> 8) % 1024).toInt
+      val s0 = ((seed >>> 16) % 256).toInt
+      val expSum = (0 until n).map(t => (s0 + 7 * t) % 256).map(_.toLong).sum
+      assert(r.n_samples == n && r.sample_rate == 8000,
+        s"format mismatch for ${r.asset_id}")
+      assert(r.sum_amp == expSum, s"amplitude sum mismatch for ${r.asset_id}")
+    }
+    // the payloads are REAL WAVs: RIFF/WAVE magic present
+    val first = Multimodal.wavAssets(docs).orderBy($"asset_id").head()
+    assert(new String(first.payload.take(4), "US-ASCII") == "RIFF")
+    assert(new String(first.payload.slice(8, 12), "US-ASCII") == "WAVE")
+    decoded.unpersist()
+    ()
+  }
+
   test("winnowing fingerprints: deterministic, overlapping for near-dups") {
     // long prefix identical; single change near the end so early windows
     // provably share their minima
