@@ -40,4 +40,35 @@ object BucketedState {
 
   def exists(spark: SparkSession, table: String): Boolean =
     spark.catalog.tableExists(table)
+
+  /** Re-register an existing bucketed-file directory after the catalog
+    * that carried its layout is gone (process restart — the in-memory
+    * catalog is session-scoped). Spark's bucketed writer encodes the
+    * bucket id in each file name, so a `CREATE TABLE … CLUSTERED BY …
+    * INTO n BUCKETS LOCATION path` over the same directory restores the
+    * FULL layout: zero-exchange joins/aggregations on the bucket column
+    * and single-bucket pruning on equality probes (BucketedStateSpec
+    * locks both). This is the no-metastore restart story; with Iceberg
+    * the table metadata itself is durable and this call disappears.
+    *
+    * `numBuckets` and `bucketCol` must match the original write —
+    * they are part of the on-disk contract, exactly as a metastore
+    * would persist them. The schema is recovered from the parquet
+    * footers. */
+  def register(spark: SparkSession, table: String, path: String,
+               numBuckets: Int, bucketCol: String): Unit = {
+    val ddlSchema = spark.read.parquet(path).schema.toDDL
+    spark.sql(
+      s"""CREATE TABLE $table ($ddlSchema)
+         |USING parquet CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+         |INTO $numBuckets BUCKETS LOCATION '$path'""".stripMargin)
+    ()
+  }
+
+  /** [[read]], restoring the catalog entry first if a restart lost it. */
+  def readOrRegister(spark: SparkSession, table: String, path: String,
+                     numBuckets: Int, bucketCol: String): DataFrame = {
+    if (!exists(spark, table)) register(spark, table, path, numBuckets, bucketCol)
+    read(spark, table)
+  }
 }

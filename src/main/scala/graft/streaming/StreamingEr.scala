@@ -280,10 +280,10 @@ object StreamingEr {
     * batch (which also truncates lineage), gated on `_SUCCESS` under
     * `bucketRoot`/`io` — a crash between batches resumes at the last
     * complete batch, and after a process restart the bucketed tables
-    * (trees by id, index by key) fall back to plain parquet reads of the
-    * same files (the session catalog that carries the bucket layout is
-    * session-scoped; correctness is unaffected, only the zero-exchange
-    * read is). Trees are bucketed by id so the at-least-once replay
+    * (trees by id, index by key) are RE-REGISTERED from their files via
+    * bucketed-DDL ([[graft.sources.BucketedState.register]]), so the
+    * zero-exchange state read survives restarts without a metastore.
+    * Trees are bucketed by id so the at-least-once replay
     * guard's anti-join probes state without re-shuffling it.
     *
     * `numBuckets` fixes the state side's partitioning for all future
@@ -317,11 +317,14 @@ object StreamingEr {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
     // catalog read when the session still has the table (pre-distributed,
-    // zero-exchange state side); plain parquet fallback after a process
-    // restart (correct, loses only the layout)
-    def bucketedRead(kind: String, b: Int): org.apache.spark.sql.DataFrame =
-      if (BucketedState.exists(spark, tbl(kind, b))) BucketedState.read(spark, tbl(kind, b))
-      else spark.read.parquet(path(kind, b))
+    // zero-exchange state side); after a process restart the table is
+    // RE-REGISTERED over its bucketed files (CREATE TABLE … CLUSTERED BY
+    // … LOCATION — the bucket ids live in the file names), so the
+    // zero-exchange merge survives restarts even without a metastore
+    def bucketedRead(kind: String, b: Int): org.apache.spark.sql.DataFrame = {
+      val col = if (kind == "trees") "id" else "key"
+      BucketedState.readOrRegister(spark, tbl(kind, b), path(kind, b), numBuckets, col)
+    }
     def idxTable(b: Int) = tbl("index", b)
     def idxPath(b: Int) = path("index", b)
 

@@ -57,4 +57,45 @@ class BucketedStateSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS block_index")
     }
   }
+
+  test("restart survival: re-registered bucketed files keep zero-exchange reads and pruning") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bucketed_rr").toString
+    val trees = ParseStage.parse(CorpusGen.corpus(spark, "/root/testdata/sf0.001"))
+    val keyed = Blocking.keyedIds(trees, Blocking.BlockingConfig())
+    BucketedState.write(keyed, "block_index_rr", s"$root/idx", 8, "key")
+    val want = keyed.count()
+
+    // simulate a process restart: the in-memory catalog entry is gone,
+    // only the bucketed files remain
+    spark.sql("DROP TABLE block_index_rr")
+    assert(!BucketedState.exists(spark, "block_index_rr"))
+
+    val state = BucketedState.readOrRegister(spark, "block_index_rr", s"$root/idx", 8, "key")
+    assert(state.count() == want, "re-registered table must read the same rows")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the layout came back whole: per-key aggregation and self-join
+      // are shuffle-free again — the restart-surviving zero-exchange
+      // read the session-scoped catalog alone could not provide
+      val agg = fmt(state.groupBy(col("key")).agg(count(lit(1))))
+      assert(exchanges(agg) == 0, s"re-registered aggregation must be shuffle-free\n$agg")
+      val self = fmt(state.join(state.withColumnRenamed("id", "id2"), "key"))
+      assert(exchanges(self) == 0, s"re-registered self-join must be shuffle-free\n$self")
+      // and storage pruning: an equality probe scans ONE bucket
+      val someKey = state.select(col("key")).head().getLong(0)
+      val prevAuto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val pruned = fmt(state.where(col("key") === someKey))
+        assert(pruned.contains("SelectedBucketsCount: 1 out of 8"),
+          s"re-registered probe must prune to a single bucket\n$pruned")
+      } finally
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS block_index_rr")
+    }
+  }
 }
