@@ -98,4 +98,44 @@ class BucketedStateSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS block_index_rr")
     }
   }
+
+  test("IVF inverted file as bucketed table: probe prunes to nprobe lists, join shuffle-free") {
+    // the ANN scale path's storage claim, demonstrated: at corpus scale
+    // the inverted file lives bucketed by list id, a query's nprobe
+    // probes prune the scan to those buckets, and the probe join reads
+    // the corpus side pre-distributed
+    import graft.operators.Similarity
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_bucketed").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 20)
+    val (corpusLists, queryLists) = Similarity.ivfAssignments(emb, queries, nlist = 16, nprobe = 4)
+    BucketedState.write(corpusLists, "ivf_inv_file", s"$root/inv", 16, "list")
+    try {
+      val inv = BucketedState.read(spark, "ivf_inv_file")
+      // one query's probe set: nprobe list ids -> at most nprobe buckets
+      val probes = queryLists.where(col("query_id") === 0)
+        .select(col("list")).collect().map(_.getInt(0)).toSeq
+      assert(probes.size == 4)
+      val prevAuto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val pruned = fmt(inv.where(col("list").isin(probes: _*)))
+        val sel = pruned.linesIterator.find(_.contains("SelectedBucketsCount"))
+          .getOrElse(fail(s"no bucket pruning in plan\n$pruned"))
+        val n = "SelectedBucketsCount: (\\d+)".r.findFirstMatchIn(sel).get.group(1).toInt
+        assert(n <= 4, s"probe must scan at most nprobe buckets, scanned $n\n$pruned")
+      } finally
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+      // the probe join: inverted-file side contributes no exchange
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = fmt(queryLists.join(inv, "list"))
+        assert(exchanges(joined) <= 1,
+          s"inverted-file side must read pre-distributed (<=1 exchange, the query side)\n$joined")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    } finally
+      spark.sql("DROP TABLE IF EXISTS ivf_inv_file")
+  }
 }
