@@ -32,7 +32,10 @@ object ErQueries {
     * toString round-trips identically in Scala and DuckDB. */
   private[graft] val tauGrid: Seq[Double] = {
     val tau = Pipeline.Config().tau
-    (0 to math.round(tau * 100).toInt).map(_ / 100.0)
+    // floor, not round: a half-centesimal band edge (tau = 0.085) must
+    // NOT produce a grid point past the band, where distances are
+    // censored and would be miscounted as matches
+    (0 to math.floor(tau * 100 + 1e-9).toInt).map(_ / 100.0)
   }
 
   /** Cache pipeline results per (session, sfDir) so Verify/Bench running
@@ -226,6 +229,9 @@ object ErQueries {
     //     (er_scores); measured: #non-Match ops (cost exactness);
     //   n_a / n_b  — claim: tree sizes; measured: #DISTINCT touched
     //     postorder indices (coverage + injectivity + in-range);
+    //   n_a_rows / n_b_rows — claim: tree sizes again; measured: RAW
+    //     per-side op-row counts (a duplicated op row leaves the
+    //     distinct counts intact but inflates these);
     //   n_match_labels — claim: #mapped ops whose LABELS are equal
     //     (recomputed here from the tree arrays); measured: #ops TAGGED
     //     Match (tag⇄label consistency);
@@ -255,6 +261,7 @@ object ErQueries {
         .select(col("idA"), col("idB"),
           col("dist").cast("long").as("script_cost"),
           col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          col("na").cast("long").as("n_a_rows"), col("nb").cast("long").as("n_b_rows"),
           coalesce(col("n_match_labels"), lit(0L)).as("n_match_labels"),
           lit(0L).as("order_violations"))
         .orderBy(col("idA"), col("idB"))
@@ -542,6 +549,8 @@ object ErQueries {
           |    CAST(sum(CASE WHEN op <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS script_cost,
           |    CAST(count(DISTINCT CASE WHEN a_idx >= 0 THEN a_idx END) AS BIGINT) AS n_a,
           |    CAST(count(DISTINCT CASE WHEN b_idx >= 0 THEN b_idx END) AS BIGINT) AS n_b,
+          |    CAST(sum(CASE WHEN a_idx >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a_rows,
+          |    CAST(sum(CASE WHEN b_idx >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b_rows,
           |    CAST(sum(CASE WHEN op = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_match_labels
           |  FROM o GROUP BY idA, idB),
           |m AS (SELECT idA, idB, a_idx, b_idx FROM o WHERE op >= 2),
@@ -555,7 +564,8 @@ object ErQueries {
           |  JOIN n na ON na.id = m1.idA AND na.i = m2.a_idx
           |  JOIN n nb ON nb.id = m1.idB AND nb.i = m2.b_idx),
           |viol AS (SELECT idA, idB, sum(v) AS order_violations FROM mm GROUP BY idA, idB)
-          |SELECT p.idA, p.idB, a.script_cost, a.n_a, a.n_b, a.n_match_labels,
+          |SELECT p.idA, p.idB, a.script_cost, a.n_a, a.n_b,
+          |  a.n_a_rows, a.n_b_rows, a.n_match_labels,
           |  CAST(COALESCE(vl.order_violations, 0) AS BIGINT) AS order_violations
           |FROM pairs p
           |JOIN agg a ON p.idA = a.idA AND p.idB = a.idB

@@ -20,12 +20,15 @@ object CandidateGen {
     * is pure codegen'd array algebra (transform/slice/explode), no typed
     * lambda, so the generic id costs nothing.
     */
-  /** Capped block membership: keep the `cap` smallest ids per key,
-    * deterministic. THE single definition of cap semantics — batch pair
-    * generation and the streaming new-vs-bucket join both use it, so the
-    * two paths can never drift. row_number streams through a sort within
-    * the key's partition, so a degenerate hot key (10^9 members at
-    * corpus scale) never has to fit in one buffer. */
+  /** Capped block membership: keep the `cap` smallest DISTINCT ids per
+    * key, deterministic. THE single definition of cap semantics — batch
+    * pair generation and the streaming new-vs-bucket join both use it,
+    * so the two paths can never drift. The rank streams through a sort
+    * within the key's partition, so a degenerate hot key (10^9 members
+    * at corpus scale) never has to fit in one buffer. NOTE: duplicate
+    * rows of a KEPT (key,id) pass through (dense_rank ties) — callers
+    * must aggregate with set semantics (collect_set/distinct), as both
+    * callers here do. */
   def capByKey(keyed: DataFrame, cap: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key")).orderBy(col("id"))

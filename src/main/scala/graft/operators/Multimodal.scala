@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   *     `mapPartitions` — a full encode→decode roundtrip, oracle-checked
   *     (the expected dims + gray sum are recomputed in SQL from the
   *     dumped seeds).
-  *   - AUDIO/VIDEO codecs remain a clearly marked STUB (this container
-  *     has no media libraries): `stubDecode` derives deterministic fake
-  *     dims from the payload bytes. In production the stub body is
-  *     replaced by the real codec call; nothing around it changes.
+  *   - AUDIO (WAV) is REAL too: [[wavAssets]] / [[decodeAudio]] do the
+  *     same roundtrip through stdlib `javax.sound.sampled`.
+  *   - VIDEO remains a clearly marked STUB (no video codec in the JDK
+  *     or this container): `stubDecode` derives deterministic fake dims
+  *     from the payload bytes. In production the stub body is replaced
+  *     by the real codec call; nothing around it changes. (`assets` +
+  *     `extractFeatures` keep all three mimes on the stub path — they
+  *     exercise the generic binary-column plumbing.)
   */
 object Multimodal {
 

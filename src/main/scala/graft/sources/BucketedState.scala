@@ -21,19 +21,42 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object BucketedState {
 
+  /** Name of the bucket-spec sidecar [[write]] leaves next to the data
+    * — the one piece of metadata a metastore would otherwise hold, so a
+    * post-restart [[register]] can VERIFY the caller's layout params
+    * against what the files were actually written with. */
+  private val SpecFile = "_graft_bucket_spec"
+
   /** Write `df` as a bucketed external table at `path`. The bucket
     * column should be the (single) join/aggregation key; `numBuckets`
     * sets the fixed parallelism of future shuffle-free reads, so size
     * it like a shuffle-partition count for the table's full-scale
     * volume, not the current one. */
   def write(df: DataFrame, table: String, path: String,
-            numBuckets: Int, bucketCol: String): Unit =
+            numBuckets: Int, bucketCol: String): Unit = {
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .option("path", path)
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, SpecFile), true)
+    try out.write(s"$numBuckets $bucketCol".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSpec(spark: SparkSession, path: String): Option[(Int, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path, SpecFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val Array(n, c) = txt.trim.split(" ", 2)
+      Some((n.toInt, c))
+    }
+  }
 
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
@@ -51,12 +74,26 @@ object BucketedState {
     * locks both). This is the no-metastore restart story; with Iceberg
     * the table metadata itself is durable and this call disappears.
     *
-    * `numBuckets` and `bucketCol` must match the original write —
-    * they are part of the on-disk contract, exactly as a metastore
-    * would persist them. The schema is recovered from the parquet
+    * `numBuckets` and `bucketCol` must match the original write — they
+    * are part of the on-disk contract, exactly as a metastore would
+    * persist them, and they are VALIDATED here against the sidecar spec
+    * [[write]] leaves with the data (declaring a wrong layout would make
+    * Spark silently skip rows on pruned/zero-exchange reads — a loud
+    * failure is mandatory). The schema is recovered from the parquet
     * footers. */
   def register(spark: SparkSession, table: String, path: String,
                numBuckets: Int, bucketCol: String): Unit = {
+    readSpec(spark, path) match {
+      case Some((n, c)) =>
+        require(n == numBuckets && c == bucketCol,
+          s"bucket layout mismatch for $path: files were written with " +
+            s"($n, $c) but register was called with ($numBuckets, $bucketCol)")
+      case None =>
+        throw new IllegalStateException(
+          s"no bucket spec sidecar at $path — refusing to re-register a " +
+            "layout that cannot be verified (was this directory written by " +
+            "BucketedState.write?)")
+    }
     val ddlSchema = spark.read.parquet(path).schema.toDDL
     spark.sql(
       s"""CREATE TABLE $table ($ddlSchema)

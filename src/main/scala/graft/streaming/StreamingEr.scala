@@ -332,6 +332,14 @@ object StreamingEr {
     while (bucketedExists("trees", k) && bucketedExists("index", k) &&
         io.exists(spark, tbl("clusters", k)) &&
         io.exists(spark, tbl("matches", k))) k += 1
+    // state persisted by a pre-tag version used untagged TableIO names;
+    // resuming past it as "fresh" would silently drop the accumulated
+    // clusters, so refuse loudly and tell the operator what to rename
+    if (k == 0 && io.exists(spark, s"${prefix}_clusters_b0"))
+      throw new IllegalStateException(
+        s"found legacy untagged state '${prefix}_clusters_b0' under this " +
+          s"TableIO root; rename the ${prefix}_* tables to ${prefix}_${tag}_* " +
+          "(or point the stream at a fresh root) before resuming")
     val b = k - 1
     // trees state is bucketed by id: the replay guard's anti-join and any
     // id-probe read it pre-distributed — only the delta shuffles

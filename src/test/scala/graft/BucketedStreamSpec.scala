@@ -110,7 +110,7 @@ class BucketedStreamSpec extends AnyFunSuite {
     assert(setOf(last.get.clusters) == batchClusters)
   }
 
-  test("6-batch run with mid-stream process restart: flat-ish per-batch time, catalog-loss fallback") {
+  test("6-batch run with mid-stream process restart: flat-ish per-batch time, catalog-loss re-registration") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
@@ -138,8 +138,8 @@ class BucketedStreamSpec extends AnyFunSuite {
 
     // simulate a PROCESS restart between queries: the session catalog
     // (which carries the bucket layout) is wiped, only storage remains —
-    // the next batch must take the plain-parquet fallback read and
-    // still resume exactly
+    // the next batch must RE-REGISTER the bucketed tables from their
+    // files (BucketedState.register) and still resume exactly
     val tag = java.lang.Long.toHexString(graft.util.Hashing.hashString(root) & 0xffffffffL)
     val stateTables = spark.sql("SHOW TABLES").collect()
       .map(_.getAs[String]("tableName")).filter(_.startsWith(s"bstream_${tag}_"))
