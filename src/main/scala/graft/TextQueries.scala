@@ -102,6 +102,21 @@ object TextQueries {
         .orderBy(col("idA"), col("idB"))
     }),
 
+    // INCREMENTAL MinHash near-dup: the corpus folded through the
+    // streaming capped-member block index in 3 batches (split by
+    // doc_id mod 3) — the 100 TB ingest-dedup shape, where each batch
+    // shuffles only its delta. The oracle replays the 3-batch
+    // incremental algebra (cap → merge → new-member pairs, unrolled)
+    // from the per-batch key dump, so the incremental state machine is
+    // verified step by step by an independent engine
+    "q_dedup_incremental" -> ((s, dir) => {
+      val c = corpusDf(s, dir)
+      val batches = (0 until 3).map(b =>
+        c.where(pmod(col("doc_id"), lit(3)) === b))
+      Dedup.minHashPairsIncremental(batches, "doc_id", "text")
+        .orderBy(col("idA"), col("idB"))
+    }),
+
     // SimHash near-dup pairs with Hamming ≤ 3 on the code corpus
     "q_simhash_neardup" -> ((s, dir) => {
       Dedup.simHashPairs(corpusDf(s, dir), "doc_id", "text")
@@ -154,6 +169,12 @@ object TextQueries {
     def dump(df: DataFrame, name: String): Unit =
       df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/$name")
     dump(Dedup.minHashKeyed(c, "doc_id", "text"), "minhash_keys")
+    // the same keys tagged with their q_dedup_incremental batch number:
+    // the oracle replays the 3-batch incremental cap/merge/pair algebra
+    dump((0 until 3).map(b =>
+        Dedup.minHashKeyed(c.where(pmod(col("doc_id"), lit(3)) === b), "doc_id", "text")
+          .withColumn("batch", lit(b)))
+      .reduce(_ unionByName _), "minhash_keys_batched")
     val sigs = Dedup.simHashSigs(c, "doc_id", "text")
     dump(sigs, "simhash_sigs")
     dump(Dedup.simHashKeyed(sigs, maxHamming = 3), "simhash_keys")
@@ -194,6 +215,42 @@ object TextQueries {
     "q_minhash_neardup" ->
       s"""${pairsFromKeysSql("minhash_keys")}
          |SELECT idA, idB FROM cand ORDER BY idA, idB""".stripMargin,
+    // the 3-batch incremental dedup algebra replayed step by step:
+    // per batch, the capped index is re-capped over (previous members ∪
+    // batch arrivals) — cap keeps the lowest DISTINCT ids — and a
+    // batch's pairs are the capped-index pairs touching at least one of
+    // its arrivals; the result is the union. This is EXACTLY
+    // CandidateGen.mergeCappedMembers + pairsWithNewMember, unrolled.
+    "q_dedup_incremental" ->
+      s"""WITH kb AS (
+         |  SELECT batch, key, id
+         |  FROM read_parquet('{OUT}/_aux/minhash_keys_batched/*.parquet')),
+         |n0 AS (SELECT DISTINCT key, id FROM kb WHERE batch = 0),
+         |n1 AS (SELECT DISTINCT key, id FROM kb WHERE batch = 1),
+         |n2 AS (SELECT DISTINCT key, id FROM kb WHERE batch = 2),
+         |c0 AS (SELECT key, id FROM n0
+         |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY id) <= ${Dedup.DefaultBlockCap}),
+         |u1 AS (SELECT key, id FROM c0 UNION SELECT key, id FROM n1),
+         |c1 AS (SELECT key, id FROM u1
+         |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY id) <= ${Dedup.DefaultBlockCap}),
+         |u2 AS (SELECT key, id FROM c1 UNION SELECT key, id FROM n2),
+         |c2 AS (SELECT key, id FROM u2
+         |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY id) <= ${Dedup.DefaultBlockCap}),
+         |p0 AS (
+         |  SELECT DISTINCT a.id AS idA, b.id AS idB
+         |  FROM c0 a JOIN c0 b ON a.key = b.key AND a.id < b.id
+         |  JOIN n0 n ON n.key = a.key AND (n.id = a.id OR n.id = b.id)),
+         |p1 AS (
+         |  SELECT DISTINCT a.id AS idA, b.id AS idB
+         |  FROM c1 a JOIN c1 b ON a.key = b.key AND a.id < b.id
+         |  JOIN n1 n ON n.key = a.key AND (n.id = a.id OR n.id = b.id)),
+         |p2 AS (
+         |  SELECT DISTINCT a.id AS idA, b.id AS idB
+         |  FROM c2 a JOIN c2 b ON a.key = b.key AND a.id < b.id
+         |  JOIN n2 n ON n.key = a.key AND (n.id = a.id OR n.id = b.id))
+         |SELECT DISTINCT idA, idB
+         |FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+         |ORDER BY idA, idB""".stripMargin,
     "q_simhash_neardup" ->
       s"""${pairsFromKeysSql("simhash_keys")},
          |s AS (SELECT id, simhash FROM read_parquet('{OUT}/_aux/simhash_sigs/*.parquet'))

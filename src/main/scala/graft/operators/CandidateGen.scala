@@ -69,7 +69,10 @@ object CandidateGen {
           slice(col("new_members"), 1, cap).as("members"),
           col("new_members"))
       case Some(old) =>
-        val empty = array().cast("array<string>")
+        // element type follows the caller's id column (string ER ids,
+        // long doc ids alike — same genericity as pairsFromKeys)
+        val empty = array().cast(
+          org.apache.spark.sql.types.ArrayType(newKeyed.schema("id").dataType))
         old.join(newAgg, Seq("key"), "full_outer")
           .select(col("key"),
             slice(array_sort(array_union(

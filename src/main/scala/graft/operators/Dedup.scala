@@ -75,6 +75,37 @@ object Dedup {
                    p: MinHashParams = MinHashParams()): DataFrame =
     CandidateGen.pairsFromKeys(minHashKeyed(docs, idCol, textCol, p), p.cap)
 
+  /** Incremental (streaming-shaped) MinHash near-dup: fold document
+    * batches through the SAME capped-member block index the streaming
+    * ER path uses ([[CandidateGen.mergeCappedMembers]] — per batch, one
+    * delta-sized exchange; [[CandidateGen.pairsWithNewMember]] — pair
+    * emission with no join, membership colocated in the row). Returns
+    * the cumulative near-dup candidate pair set: every pair emitted the
+    * batch its later member arrived. When no block overflows the cap
+    * this equals the batch [[minHashPairs]] exactly (subset
+    * monotonicity); under eviction it is the standard streaming
+    * superset — a pair, once found, is never un-found. This is the
+    * incremental corpus-dedup shape a 100 TB ingest pipeline runs:
+    * state lives as a key-bucketed capped table and each batch
+    * shuffles only its delta. */
+  def minHashPairsIncremental(batches: Seq[DataFrame], idCol: String, textCol: String,
+                              p: MinHashParams = MinHashParams()): DataFrame = {
+    require(batches.nonEmpty, "need at least one batch")
+    var idx: Option[DataFrame] = None
+    var pairs: Option[DataFrame] = None
+    for (b <- batches) {
+      val merged = CandidateGen
+        .mergeCappedMembers(idx, minHashKeyed(b, idCol, textCol, p), p.cap)
+        .persist()
+      merged.count() // materialize before releasing the previous state
+      val newPairs = CandidateGen.pairsWithNewMember(merged)
+      pairs = Some(pairs.map(_.unionByName(newPairs)).getOrElse(newPairs))
+      idx.foreach(_.unpersist())
+      idx = Some(merged.select(col("key"), col("members")))
+    }
+    pairs.get.distinct()
+  }
+
   // --- SimHash near-dup ---------------------------------------------------
 
   /** Charikar SimHash (64-bit) over word hashes: bit b of the signature

@@ -148,6 +148,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.where($"frame_idx" % 10 =!= 0).isEmpty)
   }
 
+  test("incremental minhash dedup: equals batch pairs without eviction, superset under eviction") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    def batches(p: Dedup.MinHashParams) = (0 until 3).map(b =>
+      docs.where(pmod($"doc_id", lit(3)) === b))
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val p = Dedup.MinHashParams()
+    val inc = pairSet(Dedup.minHashPairsIncremental(batches(p), "doc_id", "text", p))
+    val bat = pairSet(Dedup.minHashPairs(docs, "doc_id", "text", p))
+    assert(inc == bat, "incremental must equal batch when no block overflows the cap")
+
+    // force evictions: the incremental result may only GAIN pairs
+    // (found-then-evicted members), never lose any
+    val tiny = Dedup.MinHashParams(cap = 2)
+    val incT = pairSet(Dedup.minHashPairsIncremental(batches(tiny), "doc_id", "text", tiny))
+    val batT = pairSet(Dedup.minHashPairs(docs, "doc_id", "text", tiny))
+    assert(batT.subsetOf(incT), "incremental under eviction must be a superset of batch")
+  }
+
   test("real PNG encode -> ImageIO decode roundtrip recovers dims and gradient") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val decoded = Multimodal.decodeImages(Multimodal.pngAssets(docs))
