@@ -51,6 +51,12 @@ object Bench {
       try { ErQueries.warmEditScripts(spark, sfDir); true } catch { case _: Throwable => false }
     val opsSec = (System.nanoTime() - tOps) / 1e9
 
+    // and the streaming-dedup twin (q_dedup_stream)
+    val tDStream = System.nanoTime()
+    val dstreamOk =
+      try { TextQueries.warmStreamDedup(spark, sfDir); true } catch { case _: Throwable => false }
+    val dstreamSec = (System.nanoTime() - tDStream) / 1e9
+
     // A failed query reports elapsed -1 so breakage is visible in the
     // JSON instead of silently polluting the totals.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -71,7 +77,8 @@ object Bench {
         s""","pipeline_build_ok":$warmOk,"stream_build_sec":$streamSec""" +
         s""","stream_build_ok":$streamOk,"bstream_build_sec":$bstreamSec""" +
         s""","bstream_build_ok":$bstreamOk,"edit_scripts_build_sec":$opsSec""" +
-        s""","edit_scripts_build_ok":$opsOk,"failed":${failed.mkString("[", ",", "]")}""" +
+        s""","edit_scripts_build_ok":$opsOk,"dstream_build_sec":$dstreamSec""" +
+        s""","dstream_build_ok":$dstreamOk,"failed":${failed.mkString("[", ",", "]")}""" +
         s""","pairs_scored":${scoring.pairs}""" +
         s""","score_wall_sec":${scoring.wallSec},"pairs_per_sec":${scoring.pairsPerSec}""" +
         s""","dp_cells_per_sec":${scoring.cellsPerSec}}""")

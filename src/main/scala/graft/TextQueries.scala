@@ -117,6 +117,15 @@ object TextQueries {
         .orderBy(col("idA"), col("idB"))
     }),
 
+    // STREAMING dedup twin: the same 3 batches driven through the
+    // checkpointed bucketed-state path (StreamingDedup — durable index,
+    // storage-only resume). Semantics equal the in-memory incremental
+    // fold, so the oracle REUSES the step-replayed SQL: an independent
+    // engine verifies the durable state machine end to end
+    "q_dedup_stream" -> ((s, dir) => {
+      streamDedupPairs(s, dir).orderBy(col("idA"), col("idB"))
+    }),
+
     // SimHash near-dup pairs with Hamming ≤ 3 on the code corpus
     "q_simhash_neardup" -> ((s, dir) => {
       Dedup.simHashPairs(corpusDf(s, dir), "doc_id", "text")
@@ -156,6 +165,33 @@ object TextQueries {
         .orderBy(col("doc_id"))
     })
   )
+
+  /** Memoized 3-batch run of the durable streaming-dedup state machine
+    * (fresh temp root per (session, sfDir)); both the q_dedup_stream
+    * query and Bench's warm path share it so the sweep line times a
+    * cache read, not the stream build. */
+  private val streamDedupCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def streamDedupPairs(s: SparkSession, dir: String): DataFrame =
+    streamDedupCache.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files.createTempDirectory("graft_dstream_q").toString
+      val io = new graft.sources.ParquetTableIO(root)
+      val c = corpusDf(s, dir)
+      var st: graft.streaming.StreamingDedup.DedupState = null
+      for (b <- 0 until 3)
+        st = graft.streaming.StreamingDedup.processBatchBucketed(
+          s, c.where(pmod(col("doc_id"), lit(3)) === b), "doc_id", "text",
+          io, root, numBuckets = 8)
+      st.pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Force the streaming-dedup twin's 3-batch build (Bench line
+    * `dstream_build_sec` — same attribution rule as the ER twins). */
+  def warmStreamDedup(spark: SparkSession, sfDir: String): Unit = {
+    streamDedupPairs(spark, sfDir).count()
+    ()
+  }
 
   /** Auxiliary stage-table dumps for the DuckDB oracle: the MinHash band
     * keys, SimHash signatures + chunk keys, and shingle sets over the
@@ -211,6 +247,38 @@ object TextQueries {
        |  SELECT DISTINCT a.id AS idA, b.id AS idB
        |  FROM k a JOIN k b ON a.key = b.key AND a.id < b.id)""".stripMargin
 
+  /** See the q_dedup_incremental comment in [[oracleSql]]. */
+  private def incDedupReplaySql: String =
+    s"""WITH kb AS (
+       |  SELECT batch, key, id
+       |  FROM read_parquet('{OUT}/_aux/minhash_keys_batched/*.parquet')),
+       |n0 AS (SELECT DISTINCT key, id FROM kb WHERE batch = 0),
+       |n1 AS (SELECT DISTINCT key, id FROM kb WHERE batch = 1),
+       |n2 AS (SELECT DISTINCT key, id FROM kb WHERE batch = 2),
+       |c0 AS (SELECT key, id FROM n0
+       |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY id) <= ${Dedup.DefaultBlockCap}),
+       |u1 AS (SELECT key, id FROM c0 UNION SELECT key, id FROM n1),
+       |c1 AS (SELECT key, id FROM u1
+       |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY id) <= ${Dedup.DefaultBlockCap}),
+       |u2 AS (SELECT key, id FROM c1 UNION SELECT key, id FROM n2),
+       |c2 AS (SELECT key, id FROM u2
+       |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY id) <= ${Dedup.DefaultBlockCap}),
+       |p0 AS (
+       |  SELECT DISTINCT a.id AS idA, b.id AS idB
+       |  FROM c0 a JOIN c0 b ON a.key = b.key AND a.id < b.id
+       |  JOIN n0 n ON n.key = a.key AND (n.id = a.id OR n.id = b.id)),
+       |p1 AS (
+       |  SELECT DISTINCT a.id AS idA, b.id AS idB
+       |  FROM c1 a JOIN c1 b ON a.key = b.key AND a.id < b.id
+       |  JOIN n1 n ON n.key = a.key AND (n.id = a.id OR n.id = b.id)),
+       |p2 AS (
+       |  SELECT DISTINCT a.id AS idA, b.id AS idB
+       |  FROM c2 a JOIN c2 b ON a.key = b.key AND a.id < b.id
+       |  JOIN n2 n ON n.key = a.key AND (n.id = a.id OR n.id = b.id))
+       |SELECT DISTINCT idA, idB
+       |FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+       |ORDER BY idA, idB""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_minhash_neardup" ->
       s"""${pairsFromKeysSql("minhash_keys")}
@@ -221,36 +289,10 @@ object TextQueries {
     // batch's pairs are the capped-index pairs touching at least one of
     // its arrivals; the result is the union. This is EXACTLY
     // CandidateGen.mergeCappedMembers + pairsWithNewMember, unrolled.
-    "q_dedup_incremental" ->
-      s"""WITH kb AS (
-         |  SELECT batch, key, id
-         |  FROM read_parquet('{OUT}/_aux/minhash_keys_batched/*.parquet')),
-         |n0 AS (SELECT DISTINCT key, id FROM kb WHERE batch = 0),
-         |n1 AS (SELECT DISTINCT key, id FROM kb WHERE batch = 1),
-         |n2 AS (SELECT DISTINCT key, id FROM kb WHERE batch = 2),
-         |c0 AS (SELECT key, id FROM n0
-         |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY id) <= ${Dedup.DefaultBlockCap}),
-         |u1 AS (SELECT key, id FROM c0 UNION SELECT key, id FROM n1),
-         |c1 AS (SELECT key, id FROM u1
-         |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY id) <= ${Dedup.DefaultBlockCap}),
-         |u2 AS (SELECT key, id FROM c1 UNION SELECT key, id FROM n2),
-         |c2 AS (SELECT key, id FROM u2
-         |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY id) <= ${Dedup.DefaultBlockCap}),
-         |p0 AS (
-         |  SELECT DISTINCT a.id AS idA, b.id AS idB
-         |  FROM c0 a JOIN c0 b ON a.key = b.key AND a.id < b.id
-         |  JOIN n0 n ON n.key = a.key AND (n.id = a.id OR n.id = b.id)),
-         |p1 AS (
-         |  SELECT DISTINCT a.id AS idA, b.id AS idB
-         |  FROM c1 a JOIN c1 b ON a.key = b.key AND a.id < b.id
-         |  JOIN n1 n ON n.key = a.key AND (n.id = a.id OR n.id = b.id)),
-         |p2 AS (
-         |  SELECT DISTINCT a.id AS idA, b.id AS idB
-         |  FROM c2 a JOIN c2 b ON a.key = b.key AND a.id < b.id
-         |  JOIN n2 n ON n.key = a.key AND (n.id = a.id OR n.id = b.id))
-         |SELECT DISTINCT idA, idB
-         |FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1 UNION ALL SELECT * FROM p2)
-         |ORDER BY idA, idB""".stripMargin,
+    // The durable streaming path (q_dedup_stream) computes the same
+    // function through bucketed storage, so the same replay verifies it.
+    "q_dedup_incremental" -> incDedupReplaySql,
+    "q_dedup_stream" -> incDedupReplaySql,
     "q_simhash_neardup" ->
       s"""${pairsFromKeysSql("simhash_keys")},
          |s AS (SELECT id, simhash FROM read_parquet('{OUT}/_aux/simhash_sigs/*.parquet'))
