@@ -18,6 +18,11 @@ trait TableIO extends Serializable {
   def write(df: DataFrame, table: String): Unit
   def read(spark: SparkSession, table: String): DataFrame
   def exists(spark: SparkSession, table: String): Boolean
+
+  /** Drop a table that is no longer needed (streaming state-generation
+    * GC). Must be safe on a missing table. With Iceberg this is a
+    * DROP TABLE / expire-snapshots; locally it deletes the directory. */
+  def delete(spark: SparkSession, table: String): Unit
 }
 
 final class ParquetTableIO(root: String) extends TableIO {
@@ -33,5 +38,12 @@ final class ParquetTableIO(root: String) extends TableIO {
     val p = new org.apache.hadoop.fs.Path(path(table), "_SUCCESS")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p)
+  }
+
+  def delete(spark: SparkSession, table: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
   }
 }

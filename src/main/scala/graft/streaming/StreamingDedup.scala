@@ -39,8 +39,11 @@ object StreamingDedup {
 
   /** One micro-batch against durable state under `bucketRoot`/`io` —
     * self-resuming like [[StreamingEr.processBatchBucketed]]: every call
-    * scans for the latest complete state generation and writes the next,
-    * so a crash or restart between batches loses nothing. */
+    * finds the LATEST complete state generation and writes the next, so
+    * a crash or restart between batches loses nothing. Generations older
+    * than `retain` are garbage-collected after each successful write —
+    * storage stays O(retain), not O(batches). `batchesSeen` counts
+    * generations ever written (GC does not reset it). */
   def processBatchBucketed(
       spark: SparkSession,
       newDocs: DataFrame,
@@ -50,8 +53,10 @@ object StreamingDedup {
       bucketRoot: String,
       numBuckets: Int,
       p: Dedup.MinHashParams = Dedup.MinHashParams(),
-      prefix: String = "dstream"): DedupState = {
+      prefix: String = "dstream",
+      retain: Int = 2): DedupState = {
     import graft.sources.BucketedState
+    require(retain >= 1, "must retain at least the latest generation")
     graft.Pipeline.tune(spark)
 
     val tag = java.lang.Long.toHexString(
@@ -63,14 +68,13 @@ object StreamingDedup {
       pth.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pth)
     }
 
-    var k = 0
-    while (idxExists(k) && io.exists(spark, tbl("pairs", k))) k += 1
-    val b = k - 1
-    val prevIdx =
-      if (k == 0) None
-      else Some(BucketedState.readOrRegister(
-        spark, tbl("index", b), path("index", b), numBuckets, "key"))
-    val prevPairs = if (k == 0) None else Some(io.read(spark, tbl("pairs", b)))
+    val gens = StateGenerations.list(spark, bucketRoot, s"${prefix}_index_b")
+    val prev = StateGenerations.latestComplete(gens,
+      b => idxExists(b) && io.exists(spark, tbl("pairs", b)))
+    val k = prev.map(_ + 1).getOrElse(0)
+    val prevIdx = prev.map(b => BucketedState.readOrRegister(
+      spark, tbl("index", b), path("index", b), numBuckets, "key"))
+    val prevPairs = prev.map(b => io.read(spark, tbl("pairs", b)))
 
     val merged = CandidateGen
       .mergeCappedMembers(prevIdx, Dedup.minHashKeyed(newDocs, idCol, textCol, p), p.cap)
@@ -82,6 +86,15 @@ object StreamingDedup {
       tbl("index", k), path("index", k), numBuckets, "key")
     io.write(allPairs, tbl("pairs", k))
     merged.unpersist()
+
+    // GC: generation k is complete, so anything ≤ k − retain can go
+    // (k − 1 stays as the crash-safety fallback at the default retain)
+    StateGenerations.prune(gens, k - retain) { g =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl("index", g)}")
+      val pth = new org.apache.hadoop.fs.Path(path("index", g))
+      pth.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pth, true)
+      io.delete(spark, tbl("pairs", g))
+    }
 
     DedupState(
       index = BucketedState.read(spark, tbl("index", k)),

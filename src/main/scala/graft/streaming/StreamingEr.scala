@@ -297,7 +297,9 @@ object StreamingEr {
       bucketRoot: String,
       numBuckets: Int,
       cfg: Pipeline.Config = Pipeline.Config(),
-      prefix: String = "bstream"): ErState = {
+      prefix: String = "bstream",
+      retain: Int = 2): ErState = {
+    require(retain >= 1, "must retain at least the latest generation")
     import spark.implicits._
     import graft.sources.BucketedState
     Pipeline.tune(spark)
@@ -328,10 +330,12 @@ object StreamingEr {
     def idxTable(b: Int) = tbl("index", b)
     def idxPath(b: Int) = path("index", b)
 
-    var k = 0
-    while (bucketedExists("trees", k) && bucketedExists("index", k) &&
-        io.exists(spark, tbl("clusters", k)) &&
-        io.exists(spark, tbl("matches", k))) k += 1
+    val gens = StateGenerations.list(spark, bucketRoot, s"${prefix}_index_b")
+    val prev = StateGenerations.latestComplete(gens, g =>
+      bucketedExists("trees", g) && bucketedExists("index", g) &&
+        io.exists(spark, tbl("clusters", g)) &&
+        io.exists(spark, tbl("matches", g)))
+    val k = prev.map(_ + 1).getOrElse(0)
     // state persisted by a pre-tag version used untagged TableIO names;
     // resuming past it as "fresh" would silently drop the accumulated
     // clusters, so refuse loudly and tell the operator what to rename
@@ -340,16 +344,12 @@ object StreamingEr {
         s"found legacy untagged state '${prefix}_clusters_b0' under this " +
           s"TableIO root; rename the ${prefix}_* tables to ${prefix}_${tag}_* " +
           "(or point the stream at a fresh root) before resuming")
-    val b = k - 1
     // trees state is bucketed by id: the replay guard's anti-join and any
     // id-probe read it pre-distributed — only the delta shuffles
-    val prevTrees =
-      if (k == 0) None else Some(bucketedRead("trees", b).as[TreeRow])
-    val prevIdx = if (k == 0) None else Some(bucketedRead("index", b))
-    val prevClusters =
-      if (k == 0) None else Some(io.read(spark, tbl("clusters", b)))
-    val prevMatches =
-      if (k == 0) None else Some(io.read(spark, tbl("matches", b)))
+    val prevTrees = prev.map(b => bucketedRead("trees", b).as[TreeRow])
+    val prevIdx = prev.map(b => bucketedRead("index", b))
+    val prevClusters = prev.map(b => io.read(spark, tbl("clusters", b)))
+    val prevMatches = prev.map(b => io.read(spark, tbl("matches", b)))
 
     val newTrees = freshTrees(spark,
       ParseStage.parse(newFiles, cfg.parse, cfg.blocking.mh), prevTrees)
@@ -384,6 +384,18 @@ object StreamingEr {
 
     newEdges.unpersist(); cand.unpersist(); merged.unpersist()
     newTrees.unpersist(); allTrees.unpersist(); clusters.unpersist()
+
+    // GC: generation k is complete — storage stays O(retain) generations
+    // instead of growing per batch for the stream's lifetime
+    StateGenerations.prune(gens, k - retain) { g =>
+      for (kind <- Seq("trees", "index")) {
+        spark.sql(s"DROP TABLE IF EXISTS ${tbl(kind, g)}")
+        val pth = new org.apache.hadoop.fs.Path(path(kind, g))
+        pth.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pth, true)
+      }
+      io.delete(spark, tbl("clusters", g))
+      io.delete(spark, tbl("matches", g))
+    }
 
     // hand back storage read-backs (checkpoint truth, truncated lineage);
     // keyed is the capped index exploded to (key, id) — feeding it onward

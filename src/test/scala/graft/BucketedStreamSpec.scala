@@ -154,6 +154,13 @@ class BucketedStreamSpec extends AnyFunSuite {
     val batchClusters = setOf(Pipeline.run(spark, spark.createDataset(files.toSeq)).clusters)
     assert(setOf(last.get.clusters) == batchClusters,
       "6-batch incremental clusters must equal the batch pipeline across the restart")
+    // generation GC (retain=2): only generations 4,5 remain on disk
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idxGens = fs.listStatus(rootPath).map(_.getPath.getName)
+      .filter(_.startsWith("bstream_index_b")).map(_.stripPrefix("bstream_index_b").toInt)
+      .sorted.toSeq
+    assert(idxGens == Seq(4, 5), s"expected GC to keep only gens 4,5; found $idxGens")
     // coarse no-growth lock: if per-batch cost were proportional to the
     // cumulative history (the full-index anti-shape), batch 5 would run
     // ~4-5x batch 1; allow generous shared-host noise but catch that

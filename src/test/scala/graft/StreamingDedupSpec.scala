@@ -49,6 +49,14 @@ class StreamingDedupSpec extends AnyFunSuite {
       .orderBy($"idA", $"idB"))
     assert(pairSet(st.pairs) == batch,
       "streaming cumulative pairs must equal the batch near-dup pair set")
+    // generation GC (retain=2): after 4 batches only generations 2,3
+    // remain on disk — storage is O(retain), not O(batches)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idxGens = fs.listStatus(rootPath).map(_.getPath.getName)
+      .filter(_.startsWith("dstream_index_b")).map(_.stripPrefix("dstream_index_b").toInt)
+      .sorted.toSeq
+    assert(idxGens == Seq(2, 3), s"expected GC to keep only gens 2,3; found $idxGens")
   }
 
   test("at-least-once replay is a natural no-op: same batch twice leaves pairs unchanged") {
