@@ -206,14 +206,15 @@ object StreamingEr {
       spark: SparkSession,
       newFiles: Dataset[FileRow],
       io: graft.sources.TableIO,
-      cfg: Pipeline.Config = Pipeline.Config()): ErState = {
+      cfg: Pipeline.Config = Pipeline.Config(),
+      prefix: String = "stream"): ErState = {
     import spark.implicits._
-    val (prev, k) = resumeState(spark, io)
+    val (prev, k) = resumeState(spark, io, prefix)
     val next = processBatch(spark, newFiles, prev, cfg)
-    io.write(next.trees.toDF(), s"stream_trees_b$k")
-    io.write(next.keyed, s"stream_keyed_b$k")
-    io.write(next.clusters, s"stream_clusters_b$k")
-    io.write(next.matches, s"stream_matches_b$k")
+    io.write(next.trees.toDF(), s"${prefix}_trees_b$k")
+    io.write(next.keyed, s"${prefix}_keyed_b$k")
+    io.write(next.clusters, s"${prefix}_clusters_b$k")
+    io.write(next.matches, s"${prefix}_matches_b$k")
     // state is durable now — release EVERY in-memory handle this batch
     // (and its resume) created, so the checkpointed path's cache is
     // bounded per batch, not per stream (the in-memory path's
@@ -224,31 +225,35 @@ object StreamingEr {
     prev.foreach(p =>
       (p.trees :: p.keyed :: p.clusters :: p.matches :: p.retained).foreach(_.unpersist()))
     ErState(
-      trees = io.read(spark, s"stream_trees_b$k").as[TreeRow],
-      keyed = io.read(spark, s"stream_keyed_b$k"),
-      clusters = io.read(spark, s"stream_clusters_b$k"),
-      matches = io.read(spark, s"stream_matches_b$k"),
+      trees = io.read(spark, s"${prefix}_trees_b$k").as[TreeRow],
+      keyed = io.read(spark, s"${prefix}_keyed_b$k"),
+      clusters = io.read(spark, s"${prefix}_clusters_b$k"),
+      matches = io.read(spark, s"${prefix}_matches_b$k"),
       batchesSeen = k + 1)
   }
 
   /** Latest complete checkpointed state (all four tables `_SUCCESS`-
-    * gated) and the next batch id. */
-  def resumeState(spark: SparkSession, io: graft.sources.TableIO): (Option[ErState], Int) = {
+    * gated) and the next batch id. `prefix` namespaces the state, so two
+    * independent streams can share one TableIO root without reading each
+    * other's tables (this simple variant keeps its full generation
+    * history — useful for audit; the bucketed variant GCs). */
+  def resumeState(spark: SparkSession, io: graft.sources.TableIO,
+                  prefix: String = "stream"): (Option[ErState], Int) = {
     import spark.implicits._
     var k = 0
-    while (io.exists(spark, s"stream_trees_b$k") &&
-        io.exists(spark, s"stream_keyed_b$k") &&
-        io.exists(spark, s"stream_clusters_b$k") &&
-        io.exists(spark, s"stream_matches_b$k")) k += 1
+    while (io.exists(spark, s"${prefix}_trees_b$k") &&
+        io.exists(spark, s"${prefix}_keyed_b$k") &&
+        io.exists(spark, s"${prefix}_clusters_b$k") &&
+        io.exists(spark, s"${prefix}_matches_b$k")) k += 1
     if (k == 0) (None, 0)
     else {
       val b = k - 1
       val st = ErState(
-        trees = io.read(spark, s"stream_trees_b$b").as[TreeRow]
+        trees = io.read(spark, s"${prefix}_trees_b$b").as[TreeRow]
           .persist(StorageLevel.MEMORY_AND_DISK),
-        keyed = io.read(spark, s"stream_keyed_b$b"),
-        clusters = io.read(spark, s"stream_clusters_b$b"),
-        matches = io.read(spark, s"stream_matches_b$b"),
+        keyed = io.read(spark, s"${prefix}_keyed_b$b"),
+        clusters = io.read(spark, s"${prefix}_clusters_b$b"),
+        matches = io.read(spark, s"${prefix}_matches_b$b"),
         batchesSeen = k) // the true count — downstream `batches` math sees it
       (Some(st), k)
     }

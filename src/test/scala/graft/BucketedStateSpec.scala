@@ -99,6 +99,34 @@ class BucketedStateSpec extends AnyFunSuite {
     }
   }
 
+  test("register refuses a wrong or unverifiable bucket layout") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bucketed_bad").toString
+    val trees = ParseStage.parse(CorpusGen.corpus(spark, "/root/testdata/sf0.001"))
+    val keyed = Blocking.keyedIds(trees, Blocking.BlockingConfig()).limit(100)
+    BucketedState.write(keyed, "block_index_bad", s"$root/idx", 8, "key")
+    spark.sql("DROP TABLE block_index_bad")
+    // wrong numBuckets: Spark would silently skip rows on pruned reads,
+    // so this must fail loudly instead of registering
+    val e1 = intercept[IllegalArgumentException] {
+      BucketedState.register(spark, "block_index_bad", s"$root/idx", 4, "key")
+    }
+    assert(e1.getMessage.contains("bucket layout mismatch"))
+    // wrong bucket column: same
+    intercept[IllegalArgumentException] {
+      BucketedState.register(spark, "block_index_bad", s"$root/idx", 8, "id")
+    }
+    // a directory without the sidecar spec cannot be verified at all
+    keyed.write.parquet(s"$root/plain")
+    val e2 = intercept[IllegalStateException] {
+      BucketedState.register(spark, "block_index_bad", s"$root/plain", 8, "key")
+    }
+    assert(e2.getMessage.contains("no bucket spec sidecar"))
+    // and the correct params still register fine after the failures
+    BucketedState.register(spark, "block_index_bad", s"$root/idx", 8, "key")
+    assert(BucketedState.read(spark, "block_index_bad").count() == keyed.count())
+    spark.sql("DROP TABLE IF EXISTS block_index_bad")
+  }
+
   test("IVF inverted file as bucketed table: probe prunes to nprobe lists, join shuffle-free") {
     // the ANN scale path's storage claim, demonstrated: at corpus scale
     // the inverted file lives bucketed by list id, a query's nprobe
