@@ -169,6 +169,20 @@ class BucketedStreamSpec extends AnyFunSuite {
       s"per-batch time grew with history: ${times.mkString(", ")}")
   }
 
+  test("legacy untagged state under the TableIO root is refused loudly, not silently restarted") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_bstream_legacy").toString
+    val io = new ParquetTableIO(root)
+    // state written by a pre-tag version: untagged table names
+    io.write(Seq(("x", "x")).toDF("id", "clusterId"), "bstream_clusters_b0")
+    val batch = CorpusGen.corpus(spark, "/root/testdata/sf0.001").limit(5)
+    val e = intercept[IllegalStateException] {
+      StreamingEr.processBatchBucketed(spark, batch, io, root, numBuckets = 4)
+    }
+    assert(e.getMessage.contains("legacy untagged state"),
+      s"expected the legacy-state refusal, got: ${e.getMessage}")
+  }
+
   test("merge over bucketed state: only the delta shuffles") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_bstream_plan").toString
