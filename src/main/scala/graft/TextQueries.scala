@@ -126,6 +126,17 @@ object TextQueries {
       streamDedupPairs(s, dir).orderBy(col("idA"), col("idB"))
     }),
 
+    // near-dup DEDUP: transitive closure (connected components) over
+    // the MinHash pair graph, keep the smallest id per component — the
+    // step a production dedup actually applies (near-dup is not
+    // transitive; dropping per-pair leaks near-copies). Oracle redoes
+    // the closure with a recursive CTE over the dumped pair set
+    "q_neardup_keepers" -> ((s, dir) => {
+      val c = corpusDf(s, dir)
+      Dedup.nearDupKeepers(c, "doc_id", Dedup.minHashPairs(c, "doc_id", "text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup pairs with Hamming ≤ 3 on the code corpus
     "q_simhash_neardup" -> ((s, dir) => {
       Dedup.simHashPairs(corpusDf(s, dir), "doc_id", "text")
@@ -293,6 +304,21 @@ object TextQueries {
     // function through bucketed storage, so the same replay verifies it.
     "q_dedup_incremental" -> incDedupReplaySql,
     "q_dedup_stream" -> incDedupReplaySql,
+    // transitive closure recomputed independently (recursive CTE) over
+    // the DUMPED near-dup pairs; keepers = the component minima, i.e.
+    // ids not reachable from any smaller id. Nodes = every doc that
+    // emitted a band key (all docs — the signature always exists)
+    "q_neardup_keepers" ->
+      """WITH RECURSIVE
+        |  p AS (SELECT idA, idB FROM read_parquet('{OUT}/q_minhash_neardup/*.parquet')),
+        |  e AS (SELECT idA AS a, idB AS b FROM p UNION ALL SELECT idB, idA FROM p),
+        |  nodes AS (SELECT DISTINCT id FROM read_parquet('{OUT}/_aux/minhash_keys/*.parquet')),
+        |  reach(id, r) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
+        |SELECT DISTINCT min(r) AS doc_id FROM reach GROUP BY id
+        |ORDER BY doc_id""".stripMargin,
     "q_simhash_neardup" ->
       s"""${pairsFromKeysSql("simhash_keys")},
          |s AS (SELECT id, simhash FROM read_parquet('{OUT}/_aux/simhash_sigs/*.parquet'))

@@ -106,6 +106,21 @@ object Dedup {
     pairs.get.distinct()
   }
 
+  /** Near-dup DEDUP (not just candidate pairs): connected components
+    * over the near-dup pair graph — the transitive closure a production
+    * dedup applies, because near-dup is not transitive (A≈B, B≈C does
+    * not imply A≈C, but keeping both A and C while dropping B is how
+    * dedup pipelines leak near-copies) — keeping the smallest id per
+    * component. Returns the surviving ids. Reuses the large-star/
+    * small-star CC operator, whose clusterId is the component's minimum
+    * id, so the keeper set is exactly the distinct clusterIds. */
+  def nearDupKeepers(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long").as("id"))
+    Clustering.connectedComponents(pairs.select(col("idA"), col("idB")), ids)
+      .select(col("clusterId").as(idCol))
+      .distinct()
+  }
+
   // --- SimHash near-dup ---------------------------------------------------
 
   /** Charikar SimHash (64-bit) over word hashes: bit b of the signature

@@ -148,6 +148,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.where($"frame_idx" % 10 =!= 0).isEmpty)
   }
 
+  test("nearDupKeepers: transitive closure keeps one survivor per near-dup component") {
+    val df = texts.toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairs(df, "doc_id", "text")
+    // 1~2 (near), 1~4 (exact) => component {1,2,4}; 3 and 5 are singletons
+    val keepers = Dedup.nearDupKeepers(df, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(keepers == Set(1L, 3L, 5L),
+      s"expected one survivor for the {1,2,4} component plus singletons, got $keepers")
+  }
+
   test("incremental minhash dedup: equals batch pairs without eviction, superset under eviction") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text")
