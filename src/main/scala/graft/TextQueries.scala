@@ -17,6 +17,15 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Batch count for the incremental/streaming dedup twins — ONE
+    * definition feeding the query splits, the per-batch key dump, the
+    * streaming memo, AND the generated oracle replay SQL, so the four
+    * sites cannot drift. */
+  private val IncDedupBatches = 3
+
+  private def dedupBatch(c: DataFrame, b: Int): DataFrame =
+    c.where(pmod(col("doc_id"), lit(IncDedupBatches)) === b)
+
   private def corpusDf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     CorpusGen.corpus(s, dir)
@@ -111,8 +120,7 @@ object TextQueries {
     // verified step by step by an independent engine
     "q_dedup_incremental" -> ((s, dir) => {
       val c = corpusDf(s, dir)
-      val batches = (0 until 3).map(b =>
-        c.where(pmod(col("doc_id"), lit(3)) === b))
+      val batches = (0 until IncDedupBatches).map(b => dedupBatch(c, b))
       Dedup.minHashPairsIncremental(batches, "doc_id", "text")
         .orderBy(col("idA"), col("idB"))
     }),
@@ -190,10 +198,9 @@ object TextQueries {
       val io = new graft.sources.ParquetTableIO(root)
       val c = corpusDf(s, dir)
       var st: graft.streaming.StreamingDedup.DedupState = null
-      for (b <- 0 until 3)
+      for (b <- 0 until IncDedupBatches)
         st = graft.streaming.StreamingDedup.processBatchBucketed(
-          s, c.where(pmod(col("doc_id"), lit(3)) === b), "doc_id", "text",
-          io, root, numBuckets = 8)
+          s, dedupBatch(c, b), "doc_id", "text", io, root, numBuckets = 8)
       st.pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -218,8 +225,8 @@ object TextQueries {
     dump(Dedup.minHashKeyed(c, "doc_id", "text"), "minhash_keys")
     // the same keys tagged with their q_dedup_incremental batch number:
     // the oracle replays the 3-batch incremental cap/merge/pair algebra
-    dump((0 until 3).map(b =>
-        Dedup.minHashKeyed(c.where(pmod(col("doc_id"), lit(3)) === b), "doc_id", "text")
+    dump((0 until IncDedupBatches).map(b =>
+        Dedup.minHashKeyed(dedupBatch(c, b), "doc_id", "text")
           .withColumn("batch", lit(b)))
       .reduce(_ unionByName _), "minhash_keys_batched")
     val sigs = Dedup.simHashSigs(c, "doc_id", "text")
@@ -258,37 +265,33 @@ object TextQueries {
        |  SELECT DISTINCT a.id AS idA, b.id AS idB
        |  FROM k a JOIN k b ON a.key = b.key AND a.id < b.id)""".stripMargin
 
-  /** See the q_dedup_incremental comment in [[oracleSql]]. */
-  private def incDedupReplaySql: String =
+  /** See the q_dedup_incremental comment in [[oracleSql]] — stages are
+    * GENERATED from [[IncDedupBatches]], one (n, c, p) CTE triple per
+    * batch, so the replay always matches the split the queries ran. */
+  private def incDedupReplaySql: String = {
+    val cap = Dedup.DefaultBlockCap
+    val n = IncDedupBatches
+    val stages = (0 until n).map { b =>
+      val prev = if (b == 0) s"n$b" else s"u$b"
+      val union = if (b == 0) ""
+        else s"u$b AS (SELECT key, id FROM c${b - 1} UNION SELECT key, id FROM n$b),\n"
+      s"""n$b AS (SELECT DISTINCT key, id FROM kb WHERE batch = $b),
+         |${union}c$b AS (SELECT key, id FROM $prev
+         |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY id) <= $cap),
+         |p$b AS (
+         |  SELECT DISTINCT a.id AS idA, b.id AS idB
+         |  FROM c$b a JOIN c$b b ON a.key = b.key AND a.id < b.id
+         |  JOIN n$b x ON x.key = a.key AND (x.id = a.id OR x.id = b.id))""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (0 until n).map(b => s"SELECT * FROM p$b").mkString(" UNION ALL ")
     s"""WITH kb AS (
        |  SELECT batch, key, id
        |  FROM read_parquet('{OUT}/_aux/minhash_keys_batched/*.parquet')),
-       |n0 AS (SELECT DISTINCT key, id FROM kb WHERE batch = 0),
-       |n1 AS (SELECT DISTINCT key, id FROM kb WHERE batch = 1),
-       |n2 AS (SELECT DISTINCT key, id FROM kb WHERE batch = 2),
-       |c0 AS (SELECT key, id FROM n0
-       |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY id) <= ${Dedup.DefaultBlockCap}),
-       |u1 AS (SELECT key, id FROM c0 UNION SELECT key, id FROM n1),
-       |c1 AS (SELECT key, id FROM u1
-       |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY id) <= ${Dedup.DefaultBlockCap}),
-       |u2 AS (SELECT key, id FROM c1 UNION SELECT key, id FROM n2),
-       |c2 AS (SELECT key, id FROM u2
-       |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY id) <= ${Dedup.DefaultBlockCap}),
-       |p0 AS (
-       |  SELECT DISTINCT a.id AS idA, b.id AS idB
-       |  FROM c0 a JOIN c0 b ON a.key = b.key AND a.id < b.id
-       |  JOIN n0 n ON n.key = a.key AND (n.id = a.id OR n.id = b.id)),
-       |p1 AS (
-       |  SELECT DISTINCT a.id AS idA, b.id AS idB
-       |  FROM c1 a JOIN c1 b ON a.key = b.key AND a.id < b.id
-       |  JOIN n1 n ON n.key = a.key AND (n.id = a.id OR n.id = b.id)),
-       |p2 AS (
-       |  SELECT DISTINCT a.id AS idA, b.id AS idB
-       |  FROM c2 a JOIN c2 b ON a.key = b.key AND a.id < b.id
-       |  JOIN n2 n ON n.key = a.key AND (n.id = a.id OR n.id = b.id))
+       |$stages
        |SELECT DISTINCT idA, idB
-       |FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+       |FROM ($unionAll)
        |ORDER BY idA, idB""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_minhash_neardup" ->
