@@ -57,6 +57,33 @@ object StreamingIngest {
       .queryName(sinkName)
       .start()
 
+  /** Custom keyed state via `mapGroupsWithState`: a per-key running
+    * aggregate (count + value sum) maintained across micro-batches —
+    * the arbitrary-state primitive for logic the windowed built-ins
+    * can't express (sessionization, per-entity counters/quotas,
+    * per-repo ingest accounting). State is one tiny struct per key,
+    * partitioned by key across executors; add a timeout conf for
+    * bounded-lifetime keys at corpus scale. StreamingSpec drives it
+    * through a MemoryStream and checks the cumulative counts against
+    * a batch groupBy. */
+  def runningUserStats(events: DataFrame): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (pn, psum) = state.getOption.getOrElse((0L, 0.0))
+          var n = pn
+          var sum = psum
+          rows.foreach { r => n += 1; sum += r._2 }
+          state.update((n, sum))
+          (user, n, sum)
+      }
+  }
+
   /** Start a streaming query over the events parquet directory into an
     * in-memory sink (complete mode: emit every window each trigger). */
   def startMemoryStream(spark: SparkSession, sfDir: String, sinkName: String): StreamingQuery = {

@@ -112,33 +112,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink.size == sink.toSet.size, s"duplicate window emission across restart: $sink")
   }
 
-  test("stateful stream: per-user running counts via mapGroupsWithState semantics") {
+  test("stateful stream: per-user running stats via the library mapGroupsWithState operator") {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    import org.apache.spark.sql.streaming.OutputMode
     val events = spark.readStream
       .schema(StreamingIngest.eventSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet("/root/testdata/sf0.001")
-      .selectExpr("user_id", "event_type")
-      .as[(Long, String)]
-    val counted = events
-      .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
-          val prev = state.getOption.getOrElse(0L)
-          val now = prev + rows.size
-          state.update(now)
-          (user, now)
-      }
-    val q = counted.toDF("user_id", "n_events").writeStream
-      .outputMode(OutputMode.Update).format("memory").queryName("user_counts").start()
+    val q = StreamingIngest.runningUserStats(events)
+      .toDF("user_id", "n_events", "sum_value").writeStream
+      .outputMode(OutputMode.Update).format("memory").queryName("user_stats").start()
     try {
       q.processAllAvailable()
-      val got = spark.table("user_counts")
+      // the latest state per user must equal a batch groupBy
+      val got = spark.table("user_stats")
         .groupBy($"user_id").agg(max($"n_events").as("n_events"))
-      val expected = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+      val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      val expected = batch.groupBy($"user_id").agg(count(lit(1)).as("n_events"))
       assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+      // value sums too (float-tolerant compare)
+      val gotSum = spark.table("user_stats")
+        .groupBy($"user_id").agg(max($"sum_value").as("s"))
+        .agg(sum($"s")).head().getDouble(0)
+      val expSum = batch.agg(sum($"value")).head().getDouble(0)
+      assert(math.abs(gotSum - expSum) < 1e-6 * math.max(1.0, math.abs(expSum)))
     } finally q.stop()
   }
 }
