@@ -84,6 +84,72 @@ object StreamingIngest {
       }
   }
 
+  /** One closed user session: contiguous activity with no gap larger
+    * than the sessionization gap. */
+  final case class SessionRow(
+      user_id: Long,
+      start_ts: Long,   // epoch seconds
+      end_ts: Long,
+      n_events: Long)
+
+  /** Internal per-user session accumulator (public: the state encoder's
+    * generated code must construct/read it). */
+  final case class SessionState(start: Long, end: Long, n: Long)
+
+  /** Event-time sessionization via `flatMapGroupsWithState`: per user,
+    * contiguous activity separated by gaps ≤ `gapSeconds` folds into one
+    * session; a session CLOSES (emits exactly one row) when the event
+    * stream shows a larger gap or the event-time timeout fires after the
+    * watermark passes `end + gap`. This is the zero-or-more-rows custom
+    * state shape (`mapGroupsWithState` emits exactly one) — state is one
+    * small struct per ACTIVE user and is freed on close, so state size
+    * tracks concurrent activity, not corpus history. The watermark is
+    * applied HERE (event-time timeout requires the watermarked
+    * timestamp column to reach the stateful operator — a projection to
+    * seconds upstream would strip it). */
+  def sessionize(events: DataFrame, gapSeconds: Long,
+                 watermarkDelay: String = "0 seconds"): org.apache.spark.sql.Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rowsTs: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionState]) =>
+          val rows = rowsTs.map { case (u, t) => (u, t.getTime / 1000L) }
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed end + gap with no new events: close
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionRow(user, s.start, s.end, s.n))
+          } else {
+            val ts = rows.map(_._2).toArray.sorted
+            var closed = List.empty[SessionRow]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapSeconds =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) => // gap visible in-stream: close the old one
+                  closed ::= SessionRow(user, s.start, s.end, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.end + gapSeconds) * 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Start a streaming query over the events parquet directory into an
     * in-memory sink (complete mode: emit every window each trigger). */
   def startMemoryStream(spark: SparkSession, sfDir: String, sinkName: String): StreamingQuery = {

@@ -112,6 +112,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink.size == sink.toSet.size, s"duplicate window emission across restart: $sink")
   }
 
+  test("sessionization: flatMapGroupsWithState closes sessions on in-stream gaps and event-time timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Long)] // (user_id, epoch seconds)
+    val events = src.toDS().toDF("user_id", "sec")
+      .select($"user_id", $"sec".cast("timestamp").as("ts"))
+    val q = StreamingIngest.sessionize(events, gapSeconds = 120)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      // base B > 0: the initial watermark is 0 and rows at-or-before the
+      // watermark are dropped as late, so the timeline starts above it
+      val B = 1000000L
+      // u1: three events B..B+60 (one session), then B+1000 (in-stream gap)
+      src.addData((1L, B), (1L, B + 30), (1L, B + 60), (2L, B)); q.processAllAvailable()
+      src.addData((1L, B + 1000), (99L, B + 10000)); q.processAllAvailable()
+      src.addData((100L, B + 100000)); q.processAllAvailable() // advance watermark
+      src.addData((101L, B + 200000)); q.processAllAvailable() // flush timeouts
+      val got = spark.table("sessions")
+        .select($"user_id", $"start_ts", $"end_ts", $"n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val expected = Set(
+        (1L, B, B + 60, 3L),              // closed by the in-stream gap
+        (1L, B + 1000, B + 1000, 1L),     // closed by event-time timeout
+        (2L, B, B, 1L),                   // closed by event-time timeout
+        (99L, B + 10000, B + 10000, 1L))
+      assert(expected.subsetOf(got), s"missing sessions: ${expected -- got}; got $got")
+      // no session row duplicated
+      assert(spark.table("sessions").count() == got.size)
+    } finally q.stop()
+  }
+
   test("stateful stream: per-user running stats via the library mapGroupsWithState operator") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
