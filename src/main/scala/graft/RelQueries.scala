@@ -142,6 +142,15 @@ object RelQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // per-user sessionization (gap 30 min) — the batch twin of
+    // StreamingIngest.sessionize (stream ≡ batch asserted in
+    // StreamingSpec); the oracle redoes the islands-and-gaps window
+    // pattern independently
+    "q_sessions" -> ((s, dir) => {
+      graft.streaming.StreamingIngest.sessionizeBatch(t(s, dir, "events"), 1800L)
+        .orderBy(col("user_id"), col("start_ts"))
     })
   )
 
@@ -207,6 +216,28 @@ object RelQueries {
     "q_events_window" ->
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // islands-and-gaps sessionization redone independently: break =
+    // per-user gap > 1800 s, session id = running break count
+    "q_sessions" ->
+      """WITH e AS (
+        |  -- floor, not cast: DuckDB's BIGINT cast rounds fractional
+        |  -- seconds while Spark's unix_timestamp truncates
+        |  SELECT CAST(user_id AS BIGINT) AS user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, sec,
+        |    CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, sec,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+        |                   ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM b)
+        |SELECT user_id, min(sec) AS start_ts, max(sec) AS end_ts,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, start_ts""".stripMargin
   )
 }

@@ -150,6 +150,28 @@ object StreamingIngest {
       }
   }
 
+  /** Batch twin of [[sessionize]] — the classic islands-and-gaps window
+    * pattern: a session break is a per-user gap > `gapSeconds`, the
+    * running break count is the session id, and each (user, session)
+    * group aggregates to one row. Session semantics are defined ONCE by
+    * this pair: StreamingSpec asserts stream ≡ batch, and the DuckDB
+    * oracle recomputes this twin independently (q_sessions). */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+    events
+      .select(col("user_id").cast("long"), unix_timestamp(col("ts")).as("sec"))
+      .withColumn("brk",
+        when(col("sec") - lag(col("sec"), 1).over(byUser) > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("sec")).as("start_ts"), max(col("sec")).as("end_ts"),
+        count(lit(1)).as("n_events"))
+      .drop("sess")
+  }
+
   /** Start a streaming query over the events parquet directory into an
     * in-memory sink (complete mode: emit every window each trigger). */
   def startMemoryStream(spark: SparkSession, sfDir: String, sinkName: String): StreamingQuery = {

@@ -145,6 +145,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: the stream equals the batch twin on the real events table once all sessions close") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = raw.select($"user_id".cast("long"), unix_timestamp($"ts").as("sec"))
+      .as[(Long, Long)].collect().sortBy(_._2)
+    // two time-ordered batches split STRICTLY (watermark after batch 1 =
+    // its max event time; an equal-time event in batch 2 would be late)
+    val mid = ev(ev.length / 2)._2
+    val (b1, b2) = (ev.filter(_._2 <= mid), ev.filter(_._2 > mid))
+    val far = ev.map(_._2).max + 1000000L
+
+    val src = MemoryStream[(Long, Long)]
+    val events = src.toDS().toDF("user_id", "sec")
+      .select($"user_id", $"sec".cast("timestamp").as("ts"))
+    val q = StreamingIngest.sessionize(events, gapSeconds = 1800L).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("sessions_eq").start()
+    try {
+      src.addData(b1.toSeq); q.processAllAvailable()
+      src.addData(b2.toSeq); q.processAllAvailable()
+      src.addData((-1L, far)); q.processAllAvailable()     // advance watermark
+      src.addData((-2L, far + 1000000L)); q.processAllAvailable() // flush timeouts
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+        df.select($"user_id", $"start_ts", $"end_ts", $"n_events")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val got = rows(spark.table("sessions_eq").where($"user_id" >= 0))
+      val batch = rows(StreamingIngest.sessionizeBatch(raw, 1800L))
+      assert(got == batch,
+        s"stream/batch session mismatch: only-stream=${got -- batch}, only-batch=${batch -- got}")
+    } finally q.stop()
+  }
+
   test("stateful stream: per-user running stats via the library mapGroupsWithState operator") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
