@@ -93,17 +93,26 @@ object Dedup {
     require(batches.nonEmpty, "need at least one batch")
     var idx: Option[DataFrame] = None
     var pairs: Option[DataFrame] = None
+    // keep the EXACT persisted handles: unpersisting a derived plan (a
+    // select over the persisted one) is a cache-manager no-op, which
+    // would leak every batch's block index for the application lifetime
+    var cached = List.empty[DataFrame]
     for (b <- batches) {
       val merged = CandidateGen
         .mergeCappedMembers(idx, minHashKeyed(b, idCol, textCol, p), p.cap)
         .persist()
-      merged.count() // materialize before releasing the previous state
+      merged.count() // materialize before the previous state goes cold
+      cached ::= merged
       val newPairs = CandidateGen.pairsWithNewMember(merged)
       pairs = Some(pairs.map(_.unionByName(newPairs)).getOrElse(newPairs))
-      idx.foreach(_.unpersist())
       idx = Some(merged.select(col("key"), col("members")))
     }
-    pairs.get.distinct()
+    // eager localCheckpoint decouples the result from the per-batch
+    // caches (their blocks are freed NOW, not when the caller happens to
+    // drop the last reference), then release every intermediate
+    val out = pairs.get.distinct().localCheckpoint(true)
+    cached.foreach(_.unpersist())
+    out
   }
 
   /** Near-dup DEDUP (not just candidate pairs): connected components

@@ -108,4 +108,23 @@ object BucketedState {
     if (!exists(spark, table)) register(spark, table, path, numBuckets, bucketCol)
     read(spark, table)
   }
+
+  /** `_SUCCESS`-gated completeness probe for a bucketed-table directory
+    * — the visibility rule streaming resume scans share. */
+  def isComplete(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Full teardown of one bucketed table: catalog entry (if any) plus
+    * the directory (data, `_SUCCESS`, sidecar spec). The ONE definition
+    * of the teardown contract — streaming generation GC in both the ER
+    * and dedup paths calls this; with Iceberg it becomes DROP TABLE /
+    * expire-snapshots. Safe on a missing table/dir. */
+  def drop(spark: SparkSession, table: String, path: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
 }

@@ -63,10 +63,8 @@ object StreamingDedup {
       graft.util.Hashing.hashString(bucketRoot) & 0xffffffffL)
     def tbl(kind: String, b: Int) = s"${prefix}_${tag}_${kind}_b$b"
     def path(kind: String, b: Int) = s"$bucketRoot/${prefix}_${kind}_b$b"
-    def idxExists(b: Int): Boolean = {
-      val pth = new org.apache.hadoop.fs.Path(path("index", b), "_SUCCESS")
-      pth.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pth)
-    }
+    def idxExists(b: Int): Boolean =
+      BucketedState.isComplete(spark, path("index", b))
 
     val gens = StateGenerations.list(spark, bucketRoot, s"${prefix}_index_b")
     val prev = StateGenerations.latestComplete(gens,
@@ -90,9 +88,7 @@ object StreamingDedup {
     // GC: generation k is complete, so anything ≤ k − retain can go
     // (k − 1 stays as the crash-safety fallback at the default retain)
     StateGenerations.prune(gens, k - retain) { g =>
-      spark.sql(s"DROP TABLE IF EXISTS ${tbl("index", g)}")
-      val pth = new org.apache.hadoop.fs.Path(path("index", g))
-      pth.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pth, true)
+      BucketedState.drop(spark, tbl("index", g), path("index", g))
       io.delete(spark, tbl("pairs", g))
     }
 

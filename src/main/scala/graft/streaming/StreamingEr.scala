@@ -319,10 +319,8 @@ object StreamingEr {
     // during the resume scan
     def tbl(kind: String, b: Int) = s"${prefix}_${tag}_${kind}_b$b"
     def path(kind: String, b: Int) = s"$bucketRoot/${prefix}_${kind}_b$b"
-    def bucketedExists(kind: String, b: Int): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(path(kind, b), "_SUCCESS")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
+    def bucketedExists(kind: String, b: Int): Boolean =
+      BucketedState.isComplete(spark, path(kind, b))
     // catalog read when the session still has the table (pre-distributed,
     // zero-exchange state side); after a process restart the table is
     // RE-REGISTERED over its bucketed files (CREATE TABLE … CLUSTERED BY
@@ -393,11 +391,8 @@ object StreamingEr {
     // GC: generation k is complete — storage stays O(retain) generations
     // instead of growing per batch for the stream's lifetime
     StateGenerations.prune(gens, k - retain) { g =>
-      for (kind <- Seq("trees", "index")) {
-        spark.sql(s"DROP TABLE IF EXISTS ${tbl(kind, g)}")
-        val pth = new org.apache.hadoop.fs.Path(path(kind, g))
-        pth.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pth, true)
-      }
+      for (kind <- Seq("trees", "index"))
+        BucketedState.drop(spark, tbl(kind, g), path(kind, g))
       io.delete(spark, tbl("clusters", g))
       io.delete(spark, tbl("matches", g))
     }

@@ -96,17 +96,29 @@ object StreamingIngest {
     * generated code must construct/read it). */
   final case class SessionState(start: Long, end: Long, n: Long)
 
+  /** The open (not yet watermark-closed) sessions of one user, sorted by
+    * start — more than one can be live at once when out-of-order events
+    * inside the watermark delay create islands that a later arrival may
+    * still bridge. */
+  final case class SessionBuf(open: Seq[SessionState])
+
   /** Event-time sessionization via `flatMapGroupsWithState`: per user,
     * contiguous activity separated by gaps ≤ `gapSeconds` folds into one
-    * session; a session CLOSES (emits exactly one row) when the event
-    * stream shows a larger gap or the event-time timeout fires after the
-    * watermark passes `end + gap`. This is the zero-or-more-rows custom
-    * state shape (`mapGroupsWithState` emits exactly one) — state is one
-    * small struct per ACTIVE user and is freed on close, so state size
-    * tracks concurrent activity, not corpus history. The watermark is
-    * applied HERE (event-time timeout requires the watermarked
+    * session. Each invocation merges the batch's event times into the
+    * user's OPEN session intervals (an islands sweep — a late event may
+    * land inside, before, or BETWEEN open sessions and bridge them,
+    * which is why state is a list, not a single open session), then
+    * closes exactly the sessions the watermark can no longer touch
+    * (`end + gap < watermark`): those are emitted once and freed, so
+    * state size tracks concurrent in-delay activity, not history. The
+    * event-time timeout re-invokes the same logic when activity stops.
+    * This is the zero-or-more-rows custom state shape
+    * (`mapGroupsWithState` emits exactly one row per key). The
+    * watermark is applied HERE (the timeout requires the watermarked
     * timestamp column to reach the stateful operator — a projection to
-    * seconds upstream would strip it). */
+    * seconds upstream would strip it); out-of-order arrivals within
+    * `watermarkDelay` reproduce the batch twin exactly (StreamingSpec
+    * asserts both the in-order and the out-of-order equivalence). */
   def sessionize(events: DataFrame, gapSeconds: Long,
                  watermarkDelay: String = "0 seconds"): org.apache.spark.sql.Dataset[SessionRow] = {
     val spark = events.sparkSession
@@ -117,36 +129,35 @@ object StreamingIngest {
       .withWatermark("ts", watermarkDelay)
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionState, SessionRow](
+      .flatMapGroupsWithState[SessionBuf, SessionRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rowsTs: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionState]) =>
-          val rows = rowsTs.map { case (u, t) => (u, t.getTime / 1000L) }
-          if (rows.isEmpty && state.hasTimedOut) {
-            // watermark passed end + gap with no new events: close
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionRow(user, s.start, s.end, s.n))
-          } else {
-            val ts = rows.map(_._2).toArray.sorted
-            var closed = List.empty[SessionRow]
-            var cur = state.getOption
-            ts.foreach { t =>
-              cur match {
-                case Some(s) if t - s.end <= gapSeconds =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
-                case Some(s) => // gap visible in-stream: close the old one
-                  closed ::= SessionRow(user, s.start, s.end, s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
+        (user: Long, rowsTs: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionBuf]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val existing = state.getOption.map(_.open).getOrElse(Seq.empty)
+          val pts = rowsTs.map(_._2.getTime / 1000L).toArray.sorted
+          // islands sweep over (open intervals ∪ new points) by start:
+          // adjacent items within the gap merge (n adds, end maxes)
+          val items = (existing ++ pts.map(t => SessionState(t, t, 1)))
+            .sortBy(s => (s.start, s.end))
+          var acc = List.empty[SessionState]
+          items.foreach { it =>
+            acc match {
+              case h :: tail if it.start - h.end <= gapSeconds =>
+                acc = SessionState(h.start, math.max(h.end, it.end), h.n + it.n) :: tail
+              case _ => acc ::= it
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp((s.end + gapSeconds) * 1000L)
-            }
-            closed.reverseIterator
           }
+          val all = acc.reverse
+          val wmSec = wmMs / 1000L
+          val (closed, open) = all.partition(s => s.end + gapSeconds < wmSec)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionBuf(open))
+            // strictly after the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+              math.max((open.map(_.end).min + gapSeconds) * 1000L, wmMs + 1))
+          }
+          closed.iterator.map(s => SessionRow(user, s.start, s.end, s.n))
       }
   }
 

@@ -135,13 +135,48 @@ class StreamingSpec extends AnyFunSuite {
         .select($"user_id", $"start_ts", $"end_ts", $"n_events")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       val expected = Set(
-        (1L, B, B + 60, 3L),              // closed by the in-stream gap
-        (1L, B + 1000, B + 1000, 1L),     // closed by event-time timeout
-        (2L, B, B, 1L),                   // closed by event-time timeout
-        (99L, B + 10000, B + 10000, 1L))
+        (1L, B, B + 60, 3L),              // split from B+1000 by the gap
+        (1L, B + 1000, B + 1000, 1L),
+        (2L, B, B, 1L),
+        (99L, B + 10000, B + 10000, 1L))  // all closed by watermark/timeout
       assert(expected.subsetOf(got), s"missing sessions: ${expected -- got}; got $got")
       // no session row duplicated
       assert(spark.table("sessions").count() == got.size)
+    } finally q.stop()
+  }
+
+  test("sessionize with out-of-order arrivals inside the watermark delay still equals the batch twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val B = 1000000L
+    val src = MemoryStream[(Long, Long)]
+    val events = src.toDS().toDF("user_id", "sec")
+      .select($"user_id", $"sec".cast("timestamp").as("ts"))
+    val q = StreamingIngest.sessionize(events, gapSeconds = 120, watermarkDelay = "500 seconds")
+      .toDF().writeStream.outputMode("append").format("memory").queryName("sessions_ooo").start()
+    try {
+      src.addData((1L, B + 1000)); q.processAllAvailable()
+      // LATE but inside the 500 s delay: B+900/B+905 extend the open
+      // session leftward/inside; B+2000 and B+2240 open two islands
+      // 240 s apart (> gap)
+      src.addData((1L, B + 900), (1L, B + 905), (1L, B + 2000), (1L, B + 2240))
+      q.processAllAvailable()
+      // a later arrival lands BETWEEN the two islands and bridges them
+      // (120 s to each side) — the case single-open-session state loses
+      src.addData((1L, B + 2120)); q.processAllAvailable()
+      src.addData((-1L, B + 100000)); q.processAllAvailable()   // advance watermark
+      src.addData((-2L, B + 200000)); q.processAllAvailable()   // flush timeouts
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+        df.select($"user_id", $"start_ts", $"end_ts", $"n_events")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val got = rows(spark.table("sessions_ooo").where($"user_id" >= 0))
+      val batchEvents = Seq((1L, B + 1000), (1L, B + 900), (1L, B + 905),
+        (1L, B + 2000), (1L, B + 2240), (1L, B + 2120))
+        .toDF("user_id", "sec").select($"user_id", $"sec".cast("timestamp").as("ts"))
+      val expected = rows(StreamingIngest.sessionizeBatch(batchEvents, 120))
+      assert(got == expected,
+        s"out-of-order stream must match batch: only-stream=${got -- expected}, only-batch=${expected -- got}")
     } finally q.stop()
   }
 
