@@ -114,6 +114,16 @@ object SimQueries {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       Multimodal.decodeAudio(Multimodal.wavAssets(docs)).toDF()
         .orderBy(col("asset_id"))
+    }),
+
+    // multimodal: REAL video container demux — genuine ISO-BMFF files
+    // walked back by a real recursive box parser (stsz/mdhd); the
+    // oracle recomputes frame count, frame-byte total, and duration
+    // from the dumped seeds. Only the codec payload is fake.
+    "q_video_demux" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Multimodal.demuxVideo(Multimodal.mp4Assets(docs)).toDF()
+        .orderBy(col("asset_id"))
     })
   )
 
@@ -157,6 +167,11 @@ object SimQueries {
         .map(id => (id, Multimodal.wavSeed(id)))
         .toDF("asset_id", "seed")
       dump(ws, "wav_seeds")
+      // and the MP4 seeds for the q_video_demux oracle
+      val ms = docs.select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, Multimodal.mp4Seed(id)))
+        .toDF("asset_id", "seed")
+      dump(ms, "mp4_seeds")
     }
   }
 
@@ -306,5 +321,28 @@ object SimQueries {
         |SELECT asset_id, CAST(any_value(n_samples) AS BIGINT) AS n_samples,
         |  CAST(8000 AS INT) AS sample_rate,
         |  CAST(sum((s0 + 7 * t) % 256) AS BIGINT) AS sum_amp
-        |FROM amp GROUP BY asset_id ORDER BY asset_id""".stripMargin)
+        |FROM amp GROUP BY asset_id ORDER BY asset_id""".stripMargin,
+    // real-MP4 demux: expected frame count, frame-byte total, and
+    // duration recomputed from the dumped seeds (stride-13 size ramp
+    // expanded via range()); the Spark side reports what the box parser
+    // actually RECOVERED from the container
+    "q_video_demux" ->
+      """WITH s AS (
+        |  SELECT asset_id, seed::HUGEINT + CASE WHEN seed < 0
+        |    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS u
+        |  FROM read_parquet('{OUT}/_aux/mp4_seeds/*.parquet')),
+        |d AS (
+        |  SELECT asset_id,
+        |    CAST(8 + (u // 256) % 56 AS BIGINT) AS n_frames,
+        |    CAST((u // 65536) AS HUGEINT) AS s16
+        |  FROM s),
+        |fr AS (
+        |  SELECT asset_id, n_frames, s16,
+        |    CAST(unnest(range(0, n_frames)) AS BIGINT) AS i
+        |  FROM d)
+        |SELECT asset_id, CAST(any_value(n_frames) AS INT) AS n_frames,
+        |  CAST(sum(64 + (s16 + 13 * i) % 192) AS BIGINT) AS sum_frame_bytes,
+        |  CAST(1000 AS INT) AS timescale,
+        |  CAST(any_value(n_frames) * 100 AS BIGINT) AS duration
+        |FROM fr GROUP BY asset_id ORDER BY asset_id""".stripMargin)
 }

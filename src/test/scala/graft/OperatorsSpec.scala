@@ -224,6 +224,27 @@ class OperatorsSpec extends AnyFunSuite {
     ()
   }
 
+  test("real MP4 container: ISO-BMFF demux recovers stsz/mdhd written by the encoder") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val demuxed = Multimodal.demuxVideo(Multimodal.mp4Assets(docs)).persist()
+    assert(demuxed.count() == docs.count(), "every container must demux")
+    demuxed.orderBy($"asset_id").take(25).foreach { r =>
+      val seed = Multimodal.mp4Seed(r.asset_id)
+      val n = 8 + ((seed >>> 8) % 56).toInt
+      val expBytes = (0 until n)
+        .map(i => 64L + (((seed >>> 16) + 13L * i) % 192)).sum
+      assert(r.n_frames == n, s"frame count mismatch for ${r.asset_id}")
+      assert(r.sum_frame_bytes == expBytes, s"frame bytes mismatch for ${r.asset_id}")
+      assert(r.timescale == 1000 && r.duration == n * 100L,
+        s"mdhd mismatch for ${r.asset_id}")
+    }
+    // the payloads are REAL ISO-BMFF: 'ftyp' at offset 4
+    val first = Multimodal.mp4Assets(docs).orderBy($"asset_id").head()
+    assert(new String(first.payload.slice(4, 8), "US-ASCII") == "ftyp")
+    demuxed.unpersist()
+    ()
+  }
+
   test("winnowing fingerprints: deterministic, overlapping for near-dups") {
     // long prefix identical; single change near the end so early windows
     // provably share their minima
