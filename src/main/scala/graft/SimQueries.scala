@@ -156,22 +156,14 @@ object SimQueries {
         .map(a => (a.asset_id, a.mime, Multimodal.decodeHash(a.n_bytes, a.mime)))
         .toDF("asset_id", "mime", "h")
       dump(ad, "asset_decode")
-      // per-asset PNG seed: the q_image_decode oracle recomputes the
-      // expected width/height/gray-sum from it in pure SQL
-      val ps = docs.select(col("doc_id").cast("long")).as[Long]
-        .map(id => (id, Multimodal.pngSeed(id)))
-        .toDF("asset_id", "seed")
-      dump(ps, "png_seeds")
-      // and the WAV seeds for the q_audio_decode oracle
-      val ws = docs.select(col("doc_id").cast("long")).as[Long]
-        .map(id => (id, Multimodal.wavSeed(id)))
-        .toDF("asset_id", "seed")
-      dump(ws, "wav_seeds")
-      // and the MP4 seeds for the q_video_demux oracle
-      val ms = docs.select(col("doc_id").cast("long")).as[Long]
-        .map(id => (id, Multimodal.mp4Seed(id)))
-        .toDF("asset_id", "seed")
-      dump(ms, "mp4_seeds")
+      // per-asset media seeds: each modality's roundtrip oracle
+      // recomputes its expected values from these in pure SQL
+      def dumpSeeds(name: String, f: Long => Long): Unit =
+        dump(docs.select(col("doc_id").cast("long")).as[Long]
+          .map(id => (id, f(id))).toDF("asset_id", "seed"), name)
+      dumpSeeds("png_seeds", Multimodal.pngSeed)
+      dumpSeeds("wav_seeds", Multimodal.wavSeed)
+      dumpSeeds("mp4_seeds", Multimodal.mp4Seed)
     }
   }
 

@@ -277,10 +277,16 @@ object Multimodal {
     out.array()
   }
 
-  /** Deterministic minimal MP4: `n` fake frames with a stride-13 size
-    * ramp, correct stsz/stts/mdhd metadata — SQL-recomputable, and
-    * structured so a demux bug in box walking, size tables, or
-    * endianness changes the recovered values. */
+  /** Deterministic single-trak MP4 with every mandatory stbl box
+    * (stsd/stsz/stsc/stco/stts) plus tkhd/hdlr/mdhd/mvhd and a correct
+    * absolute chunk offset in stco (two-pass build): `n` fake frames
+    * with a stride-13 size ramp — SQL-recomputable, and structured so a
+    * demux bug in box walking, size tables, offsets, or endianness
+    * changes the recovered values. The stsd sample entry carries a
+    * private fourcc (no real codec exists here), and vmhd/dinf are
+    * omitted; "real" means the box STRUCTURE and its parser, not
+    * interoperability with external tools (none are in this container
+    * to validate against). */
   def encodeMp4(seed: Long): Array[Byte] = {
     val n = 8 + ((seed >>> 8) % 56).toInt
     val sizes = Array.tabulate(n)(i => 64 + (((seed >>> 16) + 13L * i) % 192).toInt)
@@ -295,34 +301,70 @@ object Multimodal {
 
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0) ++
       "isom".getBytes("US-ASCII"))
-    val stsz = {
-      val b = java.nio.ByteBuffer.allocate(12 + 4 * n)
-      b.putInt(0).putInt(0).putInt(n) // version/flags, sample_size=0 (per-sample), count
-      sizes.foreach(b.putInt)
-      box("stsz", b.array())
+
+    def buildMoov(chunkOffset: Int): Array[Byte] = {
+      val stsz = {
+        val b = java.nio.ByteBuffer.allocate(12 + 4 * n)
+        b.putInt(0).putInt(0).putInt(n) // version/flags, sample_size=0 (per-sample), count
+        sizes.foreach(b.putInt)
+        box("stsz", b.array())
+      }
+      val stts = {
+        val b = java.nio.ByteBuffer.allocate(16)
+        b.putInt(0).putInt(1).putInt(n).putInt(Mp4FrameDur.toInt) // one run: n × frameDur
+        box("stts", b.array())
+      }
+      val stsc = { // one run: all samples in chunk 1
+        val b = java.nio.ByteBuffer.allocate(20)
+        b.putInt(0).putInt(1).putInt(1).putInt(n).putInt(1)
+        box("stsc", b.array())
+      }
+      val stco = { // single chunk at the mdat payload offset
+        val b = java.nio.ByteBuffer.allocate(12)
+        b.putInt(0).putInt(1).putInt(chunkOffset)
+        box("stco", b.array())
+      }
+      val stsd = { // entry_count 1; minimal sample entry, private fourcc
+        val b = java.nio.ByteBuffer.allocate(8 + 16)
+        b.putInt(0).putInt(1)
+        b.putInt(16).put("gfk1".getBytes("US-ASCII"))
+        b.put(Array.fill[Byte](6)(0)).putShort(1) // reserved, data_ref_idx
+        box("stsd", b.array())
+      }
+      val mdhd = {
+        val b = java.nio.ByteBuffer.allocate(24)
+        b.putInt(0).putInt(0).putInt(0) // version/flags, ctime, mtime
+        b.putInt(Mp4Timescale).putInt(duration.toInt)
+        b.putShort(0x55c4.toShort).putShort(0) // language "und", pre_defined
+        box("mdhd", b.array())
+      }
+      val hdlr = {
+        val b = java.nio.ByteBuffer.allocate(25)
+        b.putInt(0).putInt(0).put("vide".getBytes("US-ASCII"))
+        b.put(Array.fill[Byte](12)(0)).put(0.toByte) // reserved, empty name
+        box("hdlr", b.array())
+      }
+      val tkhd = {
+        val b = java.nio.ByteBuffer.allocate(84)
+        b.putInt(7).putInt(0).putInt(0).putInt(1) // flags on, times, track 1
+        b.putInt(0).putInt(duration.toInt)        // reserved, duration
+        box("tkhd", b.array())
+      }
+      val mvhd = {
+        val b = java.nio.ByteBuffer.allocate(100)
+        b.putInt(0).putInt(0).putInt(0).putInt(Mp4Timescale).putInt(duration.toInt)
+        box("mvhd", b.array())
+      }
+      val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco ++ stts)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+      val trak = box("trak", tkhd ++ mdia)
+      box("moov", mvhd ++ trak)
     }
-    val stts = {
-      val b = java.nio.ByteBuffer.allocate(16)
-      b.putInt(0).putInt(1).putInt(n).putInt(Mp4FrameDur.toInt) // one run: n × frameDur
-      box("stts", b.array())
-    }
-    val mdhd = {
-      val b = java.nio.ByteBuffer.allocate(24)
-      b.putInt(0).putInt(0).putInt(0) // version/flags, ctime, mtime
-      b.putInt(Mp4Timescale).putInt(duration.toInt)
-      b.putShort(0x55c4.toShort).putShort(0) // language "und", pre_defined
-      box("mdhd", b.array())
-    }
-    val mvhd = {
-      val b = java.nio.ByteBuffer.allocate(100)
-      b.putInt(0).putInt(0).putInt(0).putInt(Mp4Timescale).putInt(duration.toInt)
-      box("mvhd", b.array())
-    }
-    val stbl = box("stbl", stsz ++ stts)
-    val minf = box("minf", stbl)
-    val mdia = box("mdia", mdhd ++ minf)
-    val trak = box("trak", mdia)
-    val moov = box("moov", mvhd ++ trak)
+    // two passes: moov's size is offset-independent, so build once to
+    // learn the mdat payload offset, then rebuild with it in stco
+    val moovLen = buildMoov(0).length
+    val moov = buildMoov(ftyp.length + moovLen + 8)
     val mdat = box("mdat", frames.toByteArray)
     ftyp ++ moov ++ mdat
   }
@@ -366,6 +408,10 @@ object Multimodal {
             typ match {
               case t if containers(t) => walk(payload)
               case "stsz" =>
+                // loud on multi-trak: silently keeping the LAST trak's
+                // table would return another stream's frame counts
+                require(nFrames == 0,
+                  s"multiple traks in asset ${a.asset_id}; this demux reads single-trak files")
                 payload.getInt // version/flags
                 val fixed = payload.getInt
                 val n = payload.getInt
@@ -374,10 +420,19 @@ object Multimodal {
                   if (fixed != 0) fixed.toLong * n
                   else (0 until n).map(_ => payload.getInt.toLong).sum
               case "mdhd" =>
-                payload.getInt; payload.getInt; payload.getInt // v/f, ctime, mtime
-                timescale = payload.getInt
-                duration = payload.getInt.toLong
-              case _ => // ftyp, mvhd, stts, mdat: not needed for this row
+                require(timescale == 0,
+                  s"multiple traks in asset ${a.asset_id}; this demux reads single-trak files")
+                val vf = payload.getInt
+                if ((vf >>> 24) == 1) { // version 1: 64-bit times/duration
+                  payload.getLong; payload.getLong
+                  timescale = payload.getInt
+                  duration = payload.getLong
+                } else {
+                  payload.getInt; payload.getInt // ctime, mtime
+                  timescale = payload.getInt
+                  duration = payload.getInt.toLong
+                }
+              case _ => // ftyp, mvhd, tkhd, hdlr, stsd, stsc, stco, stts, mdat
             }
             buf.position(buf.position() + (size - 8))
           }

@@ -238,11 +238,54 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.timescale == 1000 && r.duration == n * 100L,
         s"mdhd mismatch for ${r.asset_id}")
     }
-    // the payloads are REAL ISO-BMFF: 'ftyp' at offset 4
+    // the payloads are REAL ISO-BMFF: 'ftyp' at offset 4, and the stco
+    // chunk offset points exactly at the first mdat payload byte
     val first = Multimodal.mp4Assets(docs).orderBy($"asset_id").head()
-    assert(new String(first.payload.slice(4, 8), "US-ASCII") == "ftyp")
+    val bytes = first.payload
+    assert(new String(bytes.slice(4, 8), "US-ASCII") == "ftyp")
+    def find4cc(cc: String): Int =
+      bytes.indices.indexWhere(i => i + 4 <= bytes.length &&
+        new String(bytes.slice(i, i + 4), "US-ASCII") == cc)
+    val stcoAt = find4cc("stco")
+    val off = java.nio.ByteBuffer.wrap(bytes.slice(stcoAt + 12, stcoAt + 16)).getInt
+    assert(off == find4cc("mdat") + 4, "stco must point at the mdat payload")
     demuxed.unpersist()
     ()
+  }
+
+  test("MP4 demux handles mdhd version 1 and refuses multi-trak files loudly") {
+    import spark.implicits._
+    def b(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      out.array()
+    }
+    val stsz = {
+      val bb = java.nio.ByteBuffer.allocate(12 + 8)
+      bb.putInt(0).putInt(0).putInt(2).putInt(10).putInt(20)
+      b("stsz", bb.array())
+    }
+    val mdhdV1 = { // version 1: 64-bit ctime/mtime/duration
+      val bb = java.nio.ByteBuffer.allocate(36)
+      bb.putInt(0x01000000).putLong(0L).putLong(0L).putInt(90000).putLong(123456L)
+      b("mdhd", bb.array())
+    }
+    def asset(payload: Array[Byte]) =
+      Multimodal.AssetRow(1L, "video/mp4", payload.length.toLong, payload)
+    val v1 = b("moov", b("trak", b("mdia", mdhdV1 ++ b("minf", b("stbl", stsz)))))
+    val r = Multimodal.demuxVideo(Seq(asset(v1)).toDS()).head()
+    assert(r.n_frames == 2 && r.sum_frame_bytes == 30L &&
+      r.timescale == 90000 && r.duration == 123456L,
+      s"mdhd v1 must parse with the 64-bit layout, got $r")
+    // two traks: must fail loudly, never silently keep the last one
+    val twoTraks = b("moov",
+      b("trak", b("mdia", mdhdV1 ++ b("minf", b("stbl", stsz)))) ++
+      b("trak", b("mdia", mdhdV1 ++ b("minf", b("stbl", stsz)))))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.demuxVideo(Seq(asset(twoTraks)).toDS()).head()
+    }
+    assert(e.getMessage.contains("multiple traks") ||
+      Option(e.getCause).exists(_.getMessage.contains("multiple traks")))
   }
 
   test("winnowing fingerprints: deterministic, overlapping for near-dups") {
