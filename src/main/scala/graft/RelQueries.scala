@@ -149,10 +149,14 @@ object RelQueries {
     // StreamingSpec); the oracle redoes the islands-and-gaps window
     // pattern independently
     "q_sessions" -> ((s, dir) => {
-      graft.streaming.StreamingIngest.sessionizeBatch(t(s, dir, "events"), 1800L)
+      graft.streaming.StreamingIngest.sessionizeBatch(t(s, dir, "events"), SessionGapSec)
         .orderBy(col("user_id"), col("start_ts"))
     })
   )
+
+  /** q_sessions gap — ONE definition for the Scala query and the
+    * interpolated oracle SQL. */
+  private val SessionGapSec = 1800L
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -220,7 +224,7 @@ object RelQueries {
     // islands-and-gaps sessionization redone independently: break =
     // per-user gap > 1800 s, session id = running break count
     "q_sessions" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  -- floor, not cast: DuckDB's BIGINT cast rounds fractional
         |  -- seconds while Spark's unix_timestamp truncates
         |  SELECT CAST(user_id AS BIGINT) AS user_id,
@@ -228,7 +232,7 @@ object RelQueries {
         |  FROM events),
         |b AS (
         |  SELECT user_id, sec,
-        |    CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+        |    CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > $SessionGapSec
         |         THEN 1 ELSE 0 END AS brk
         |  FROM e),
         |s AS (

@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   */
 object SimQueries {
 
+  /** q_frame_samples stride — ONE definition for the Scala query and
+    * the interpolated oracle SQL. */
+  private val FrameStride = 10
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -92,7 +96,7 @@ object SimQueries {
     "q_frame_samples" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val feats = Multimodal.extractFeatures(Multimodal.assets(docs))
-      Multimodal.sampleFrames(feats, stride = 10)
+      Multimodal.sampleFrames(feats, FrameStride)
         .orderBy(col("asset_id"), col("frame_idx"))
     }),
 
@@ -213,7 +217,7 @@ object SimQueries {
     "q_knn_lsh" ->
       s"""WITH cb AS (
          |  SELECT bucket, id FROM read_parquet('{OUT}/_aux/lsh_corpus_buckets/*.parquet')
-         |  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY id) <= 256),
+         |  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY id) <= ${Similarity.LshKnnCap}),
          |qb AS (SELECT bucket, id AS query_id
          |       FROM read_parquet('{OUT}/_aux/lsh_query_buckets/*.parquet')),
          |cand AS (
@@ -236,9 +240,9 @@ object SimQueries {
     // cosine recomputed by DuckDB, threshold on the 6dp-rounded value
     // (exactly the engine's predicate)
     "q_embed_neardup" ->
-      """WITH k AS (
-        |  SELECT key, id FROM read_parquet('{OUT}/_aux/embed_keys/*.parquet')
-        |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY id) <= 128),
+      s"""WITH k AS (
+         |  SELECT key, id FROM read_parquet('{OUT}/_aux/embed_keys/*.parquet')
+         |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY id) <= ${Similarity.EmbedNearDupCap}),
         |cand AS (
         |  SELECT DISTINCT a.id AS idA, b.id AS idB
         |  FROM k a JOIN k b ON a.key = b.key AND a.id < b.id),
@@ -264,11 +268,11 @@ object SimQueries {
         |    THEN 1 + (u // 16777216) % 120 ELSE 1 END AS INT) AS n_frames
         |FROM a ORDER BY asset_id""".stripMargin,
     "q_frame_samples" ->
-      """SELECT asset_id, frame_idx FROM (
-        |  SELECT asset_id, CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx
-        |  FROM read_parquet('{OUT}/q_multimodal_features/*.parquet')
-        |  WHERE mime LIKE 'video%')
-        |ORDER BY asset_id, frame_idx""".stripMargin,
+      s"""SELECT asset_id, frame_idx FROM (
+         |  SELECT asset_id, CAST(unnest(range(0, n_frames, $FrameStride)) AS INT) AS frame_idx
+         |  FROM read_parquet('{OUT}/q_multimodal_features/*.parquet')
+         |  WHERE mime LIKE 'video%')
+         |ORDER BY asset_id, frame_idx""".stripMargin,
     // real-PNG roundtrip: expected dims + gray sum recomputed from the
     // dumped seeds alone (same shift/mod arithmetic as the encoder,
     // row-gradient sum expanded via range()); the Spark side reports

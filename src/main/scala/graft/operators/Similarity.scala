@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Per-bucket candidate caps — single definitions shared with the
+    * DuckDB oracle SQL (SimQueries interpolates them), so query and
+    * oracle cannot desync. */
+  val LshKnnCap: Int = 256
+  val EmbedNearDupCap: Int = 128
+
+
   /** Cosine similarity of two float-array columns, in double precision,
     * deterministic left-to-right fold. */
   def cosineCol(a: Column, b: Column): Column = {
@@ -97,7 +104,7 @@ object Similarity {
   }
 
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-             planeBits: Int = 12, tables: Int = 8, cap: Int = 256): DataFrame = {
+             planeBits: Int = 12, tables: Int = 8, cap: Int = Similarity.LshKnnCap): DataFrame = {
     val qb = lshBuckets(queries, planeBits, tables).withColumnRenamed("id", "query_id")
     // cap through CandidateGen's one definition (keep lowest ids)
     val cb = CandidateGen.capByKey(
@@ -263,7 +270,7 @@ object Similarity {
     * well beyond 1e-6 but not to the last ulp — an unrounded compare at
     * the exact boundary could flip between the engine and a verifier). */
   def embeddingNearDupPairs(corpus: DataFrame, minCosine: Double,
-                            planeBits: Int = 12, tables: Int = 8, cap: Int = 128): DataFrame = {
+                            planeBits: Int = 12, tables: Int = 8, cap: Int = Similarity.EmbedNearDupCap): DataFrame = {
     val keyed = lshBuckets(corpus, planeBits, tables).withColumnRenamed("bucket", "key")
     val cand = CandidateGen.pairsFromKeys(keyed, cap)
     cand
