@@ -58,6 +58,17 @@ class PlanSpec extends AnyFunSuite {
       "bruteKnn top-k must be limited map-side before the rank exchange")
   }
 
+  test("sessionizeBatch: lag window, running-sum window, and session agg share ONE exchange") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val s = fmt(graft.streaming.StreamingIngest.sessionizeBatch(ev, 1800L))
+    val exchanges = s.linesIterator.count(_.matches(".*\\bExchange \\(\\d+\\).*"))
+    // hash(user_id) satisfies the clustering of every downstream step —
+    // the (user_id, sess) aggregation included (subset rule) — so the
+    // whole islands-and-gaps pattern costs exactly one shuffle
+    assert(exchanges == 1,
+      s"sessionization must reuse one hash(user_id) exchange, found $exchanges\n$s")
+  }
+
   test("scoring input: persisted pairs reused, not recomputed") {
     val trees = ParseStage.parse(CorpusGen.corpus(spark, dir))
     val pairs = Blocking.candidatePairs(trees).persist()
