@@ -213,6 +213,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: randomized stream/batch differential over 3 seeds") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val B = 1000000L
+    for (seed <- Seq(11L, 22L, 33L)) {
+      val rnd = new scala.util.Random(seed)
+      val events = Seq.fill(80)((rnd.nextInt(5).toLong + 1, B + rnd.nextInt(5000).toLong))
+      val sorted = events.sortBy(_._2)
+      // contiguous time-ordered chunks with STRICT ts boundaries (delay
+      // 0: an event at-or-before the watermark would be dropped)
+      val dts = sorted.map(_._2).distinct
+      val cuts = Seq(dts(dts.size / 4), dts(dts.size / 2), dts(3 * dts.size / 4))
+      val chunks = Seq(
+        sorted.filter(_._2 <= cuts(0)),
+        sorted.filter(e => e._2 > cuts(0) && e._2 <= cuts(1)),
+        sorted.filter(e => e._2 > cuts(1) && e._2 <= cuts(2)),
+        sorted.filter(_._2 > cuts(2)))
+      val src = MemoryStream[(Long, Long)]
+      val sink = s"sessions_rand_$seed"
+      val q = StreamingIngest.sessionize(
+        src.toDS().toDF("user_id", "sec")
+          .select($"user_id", $"sec".cast("timestamp").as("ts")), gapSeconds = 300)
+        .toDF().writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try {
+        chunks.foreach { c => src.addData(c); q.processAllAvailable() }
+        src.addData((-1L, B + 1000000L)); q.processAllAvailable()
+        src.addData((-2L, B + 2000000L)); q.processAllAvailable()
+        def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+          df.select($"user_id", $"start_ts", $"end_ts", $"n_events")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        val got = rows(spark.table(sink).where($"user_id" >= 0))
+        val expected = rows(StreamingIngest.sessionizeBatch(
+          events.toDF("user_id", "sec")
+            .select($"user_id", $"sec".cast("timestamp").as("ts")), 300))
+        assert(got == expected, s"seed $seed: only-stream=${got -- expected}, " +
+          s"only-batch=${expected -- got}")
+      } finally q.stop()
+    }
+  }
+
   test("stateful stream: per-user running stats via the library mapGroupsWithState operator") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
