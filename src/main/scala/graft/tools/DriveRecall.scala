@@ -1,3 +1,5 @@
+package graft.tools
+
 import graft._
 import graft.operators._
 import graft.sources.CorpusGen
