@@ -151,8 +151,55 @@ object RelQueries {
     "q_sessions" -> ((s, dir) => {
       graft.streaming.StreamingIngest.sessionizeBatch(t(s, dir, "events"), SessionGapSec)
         .orderBy(col("user_id"), col("start_ts"))
+    }),
+
+    // as-of (point-in-time) join: each click joined to the user's most
+    // recent prior purchase — union + ONE window pass, no join operator
+    // at all (AsOfJoin.asOf; plan locked in PlanSpec). The oracle is a
+    // genuinely independent implementation: DuckDB's native ASOF JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val left = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val right = graft.operators.AsOfJoin.latestPerKeyTs(
+        ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        "user_id", "ts", "event_id")
+        .withColumn("r_sec", unix_timestamp(col("ts")))
+      graft.operators.AsOfJoin.asOf(left, right, "user_id", "ts",
+        Map("r_sec" -> "ref_sec", "event_id" -> "ref_event_id", "value" -> "ref_value"))
+        .select(col("user_id"),
+          unix_timestamp(col("ts")).as("sec"),
+          col("event_id"),
+          coalesce(col("ref_sec"), lit(-1L)).as("ref_sec"),
+          coalesce(col("ref_event_id"), lit(-1L)).as("ref_event_id"),
+          coalesce(col("ref_value"), lit(-1.0)).as("ref_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // interval (range) join: view→click conversion pairs within 2 h on
+    // the same user — equi-key hash join + range residual, never a
+    // cross product (AsOfJoin.intervalJoin). Batch twin of the
+    // stream-stream watermarked join (StreamingJoinSpec asserts ≡).
+    "q_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val b = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsOfJoin.intervalJoin(a, b, "user_id", "ts", IntervalJoinSec)
+        .select(col("a_user_id").as("user_id"),
+          col("a_event_id").as("view_id"),
+          col("b_event_id").as("click_id"),
+          (unix_timestamp(col("b_ts")) -
+            unix_timestamp(col("a_ts"))).as("lag_sec"))
+        .orderBy(col("view_id"), col("click_id"))
     })
   )
+
+  /** q_interval_join window — ONE definition for the Scala query, the
+    * interpolated oracle SQL, and the streaming twin's spec. */
+  val IntervalJoinSec = 7200L
 
   /** q_sessions gap — ONE definition for the Scala query and the
     * interpolated oracle SQL. */
@@ -242,6 +289,29 @@ object RelQueries {
         |  FROM b)
         |SELECT user_id, min(sec) AS start_ts, max(sec) AS end_ts,
         |  count(*) AS n_events
-        |FROM s GROUP BY user_id, sess ORDER BY user_id, start_ts""".stripMargin
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, start_ts""".stripMargin,
+    // independent implementation: DuckDB's NATIVE ASOF JOIN vs the
+    // engine's union-plus-window form (no join operator at all)
+    "q_asof_join" ->
+      """WITH r0 AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, value, event_id FROM r0 WHERE rn = 1),
+        |l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+        |SELECT l.user_id, CAST(floor(epoch(l.ts)) AS BIGINT) AS sec, l.event_id,
+        |  COALESCE(CAST(floor(epoch(r.ts)) AS BIGINT), -1) AS ref_sec,
+        |  COALESCE(r.event_id, -1) AS ref_event_id,
+        |  COALESCE(r.value, -1.0) AS ref_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "q_interval_join" ->
+      s"""SELECT a.user_id AS user_id, a.event_id AS view_id, b.event_id AS click_id,
+        |  CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) AS lag_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'view') a
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        |  ON a.user_id = b.user_id AND b.ts >= a.ts
+        |  AND b.ts <= a.ts + INTERVAL $IntervalJoinSec SECONDS
+        |ORDER BY view_id, click_id""".stripMargin
   )
 }

@@ -20,6 +20,11 @@ object SimQueries {
     * the interpolated oracle SQL. */
   private val FrameStride = 10
 
+  /** q_semdedup params — ONE definition for the Scala queries and the
+    * interpolated oracle SQL. */
+  private val SemNlist = 16
+  private val SemMinCosine = 0.35
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -82,6 +87,27 @@ object SimQueries {
       Similarity.embeddingNearDupPairs(emb(s, dir), minCosine = 0.35)
         .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("idA"), col("idB"))
+    }),
+
+    // semantic dedup (SemDeDup): k-means cluster the embeddings, emit
+    // within-cluster cosine-threshold pairs only — density-following
+    // counterpart of the hyperplane-LSH q_embed_neardup. Oracle-checked
+    // from the dumped cluster-assignment table (cap + pair algebra +
+    // cosine + threshold redone in SQL)
+    "q_semdedup_pairs" -> ((s, dir) => {
+      Similarity.semDedupPairs(emb(s, dir), SemNlist, SemMinCosine)
+        .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("idA"), col("idB"))
+    }),
+
+    // semantic dedup survivors: transitive closure over the pair graph,
+    // keep each component's minimum id (plus all singletons) — the
+    // oracle recomputes the closure with a recursive CTE
+    "q_semdedup_keepers" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.Dedup.nearDupKeepers(e, "vec_id",
+          Similarity.semDedupPairs(e, SemNlist, SemMinCosine))
+        .orderBy(col("vec_id"))
     }),
 
     // multimodal: binary assets + stub-decoded features
@@ -150,6 +176,7 @@ object SimQueries {
     val (cl, ql) = Similarity.ivfAssignments(e, queriesOf(e, 20), nlist = 16, nprobe = 4)
     dump(cl, "ivf_corpus_lists")
     dump(ql, "ivf_query_lists")
+    dump(Similarity.kmeansAssign(e, SemNlist), "sem_lists")
     // per-asset stub-decode seed hash: the q_multimodal_features oracle
     // recomputes width/height/n_frames from it with independent
     // unsigned-shift/mod arithmetic
@@ -252,6 +279,36 @@ object SimQueries {
         |FROM cand c JOIN e ea ON c.idA = ea.vec_id JOIN e eb ON c.idB = eb.vec_id
         |WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= 0.35
         |ORDER BY idA, idB""".stripMargin,
+    // semantic dedup: set-semantic cap (keep lowest ids per cluster) +
+    // within-cluster pair algebra + cosine + 6dp-rounded threshold, all
+    // redone from the dumped k-means assignment table
+    "q_semdedup_pairs" ->
+      s"""WITH k AS (
+         |  SELECT list AS key, vec_id AS id
+         |  FROM read_parquet('{OUT}/_aux/sem_lists/*.parquet')
+         |  QUALIFY row_number() OVER (PARTITION BY list ORDER BY vec_id) <= ${Similarity.SemDedupCap}),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS idA, b.id AS idB
+         |  FROM k a JOIN k b ON a.key = b.key AND a.id < b.id),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+         |SELECT c.idA, c.idB,
+         |  round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cosine
+         |FROM cand c JOIN e ea ON c.idA = ea.vec_id JOIN e eb ON c.idB = eb.vec_id
+         |WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= $SemMinCosine
+         |ORDER BY idA, idB""".stripMargin,
+    // keepers: recursive-CTE transitive closure over the (already
+    // oracle-checked) pair dump; component representative = min id
+    "q_semdedup_keepers" ->
+      """WITH RECURSIVE
+        |  p AS (SELECT idA, idB FROM read_parquet('{OUT}/q_semdedup_pairs/*.parquet')),
+        |  e AS (SELECT idA AS a, idB AS b FROM p UNION ALL SELECT idB, idA FROM p),
+        |  nodes AS (SELECT vec_id AS id FROM embeddings),
+        |  reach(id, r) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
+        |SELECT DISTINCT min(r) AS vec_id FROM reach GROUP BY id
+        |ORDER BY vec_id""".stripMargin,
     // stub-decode feature math recomputed from the dumped seed hashes:
     // Scala's (h >>> s) % m on an unsigned-interpreted 64-bit value is
     // redone as HUGEINT // 2^s % m after adding 2^64 to negative h

@@ -23,6 +23,14 @@ object TextQueries {
     * sites cannot drift. */
   private val IncDedupBatches = 3
 
+  /** q_stratified_sample thresholds (md5 hex-prefix < bound ⇒ keep:
+    * '40' = 64/256 = 25 % for the downsampled stratum, 'c0' = 75 %) and
+    * the q_repetition_filter bound — ONE definition each for the Scala
+    * query and the interpolated oracle SQL. */
+  private val SampleHexEn = "40"
+  private val SampleHexRest = "c0"
+  private val RepetitionMaxFrac = 0.6
+
   private def dedupBatch(c: DataFrame, b: Int): DataFrame =
     c.where(pmod(col("doc_id"), lit(IncDedupBatches)) === b)
 
@@ -44,6 +52,35 @@ object TextQueries {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
         .orderBy(col("lang"), col("source"))
+    }),
+
+    // deterministic stratified sampling — rebalance a training mix by
+    // downsampling the dominant language. Pure map-side filter on a
+    // hash threshold (md5 hex prefix < per-stratum bound): no shuffle,
+    // no RNG state, bit-identical across runs/retries/engines — the
+    // resumable-at-100 TB sampling shape (a task retry keeps the same
+    // rows; DuckDB reproduces the sample exactly)
+    "q_stratified_sample" -> ((s, dir) => {
+      docs(s, dir)
+        .where(substring(md5(concat(lit("samp:"), col("doc_id").cast("string"))), 1, 2) <
+          when(col("lang") === "en", lit(SampleHexEn)).otherwise(lit(SampleHexRest)))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition quality filter: duplicate-word fraction
+    // per document (1 − distinct/total), keep-flag at the threshold —
+    // the repetition axis of quality filtering (Rae et al. 2021,
+    // arXiv:2112.11446 §A1.1). Narrow map over codegen'd array ops
+    "q_repetition_filter" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_words"),
+          size(array_distinct(split(col("text"), " "))).as("n_distinct_words"))
+        .withColumn("dup_word_frac",
+          round(lit(1.0) - col("n_distinct_words").cast("double") / col("n_words"), 6))
+        .withColumn("keep", col("dup_word_frac") <= RepetitionMaxFrac)
+        .orderBy(col("doc_id"))
     }),
 
     // exact-dedup summary — md5 grouping, oracle-checked
@@ -369,6 +406,20 @@ object TextQueries {
       """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
         |  count(*) - count(DISTINCT md5(text)) AS n_dup_rows
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substring(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 2) <
+         |  CASE WHEN lang = 'en' THEN '$SampleHexEn' ELSE '$SampleHexRest' END
+         |ORDER BY doc_id""".stripMargin,
+    "q_repetition_filter" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_words,
+         |  round(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |    / len(string_split(text, ' ')), 6) AS dup_word_frac,
+         |  round(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |    / len(string_split(text, ' ')), 6) <= $RepetitionMaxFrac AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_dedup_keepers" ->
       """SELECT doc_id FROM documents
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1

@@ -17,6 +17,7 @@ object Similarity {
     * oracle cannot desync. */
   val LshKnnCap: Int = 256
   val EmbedNearDupCap: Int = 128
+  val SemDedupCap: Int = 64
 
 
   /** Cosine similarity of two float-array columns, in double precision,
@@ -260,6 +261,47 @@ object Similarity {
     scored
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  // ---- Semantic dedup (k-means clusters + within-cluster cosine) -------
+
+  /** Each corpus vector's nearest-centroid assignment `(list, vec_id)` —
+    * the coarse k-means clustering reused from the IVF quantizer (same
+    * seeded bounded-sample training, one narrow map over the corpus, no
+    * shuffle). Public so Verify can dump it for the DuckDB oracle. */
+  def kmeansAssign(corpus: DataFrame, nlist: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(trainCentroids(corpus, nlist))
+    corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, emb) => (nearestLists(emb, bc.value, 1)(0), id) }
+      .toDF("list", "vec_id")
+  }
+
+  /** Semantic dedup pairs — the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with k-means, then compare
+    * cosines only WITHIN a cluster; cross-cluster pairs are never
+    * materialized. Complements [[embeddingNearDupPairs]] (sign-LSH
+    * buckets): k-means clusters follow the data's density rather than
+    * fixed random hyperplanes, so near-dups concentrate into the same
+    * list with far fewer tables. Scale shape: the assignment is a
+    * narrow map (the centroid table is broadcast), and the
+    * within-cluster pair generation funnels through the same capped
+    * `CandidateGen.pairsFromKeys` single-exchange plan as every other
+    * candidate generator — a mega-cluster costs at most cap·(cap−1)/2
+    * pairs, never n². Threshold compares the 6dp-rounded cosine, same
+    * cross-engine-stable predicate as the LSH path. */
+  def semDedupPairs(corpus: DataFrame, nlist: Int, minCosine: Double,
+                    cap: Int = Similarity.SemDedupCap): DataFrame = {
+    val keyed = kmeansAssign(corpus, nlist)
+      .select(col("list").as("key"), col("vec_id").as("id"))
+    CandidateGen.pairsFromKeys(keyed, cap)
+      .join(corpus.select(col("vec_id").as("idA"), col("embedding").as("embA")), "idA")
+      .join(corpus.select(col("vec_id").as("idB"), col("embedding").as("embB")), "idB")
+      .withColumn("cosine", cosineCol(col("embA"), col("embB")))
+      .where(round(col("cosine"), 6) >= minCosine)
+      .select(col("idA"), col("idB"), col("cosine"))
   }
 
   /** Embedding-cosine near-duplicate pairs (cosine ≥ minCosine) via the
