@@ -155,8 +155,9 @@ object RelQueries {
 
     // as-of (point-in-time) join: each click joined to the user's most
     // recent prior purchase — union + ONE window pass, no join operator
-    // at all (AsOfJoin.asOf; plan locked in PlanSpec). The oracle is a
-    // genuinely independent implementation: DuckDB's native ASOF JOIN.
+    // at all (AsOfJoin.asOf; single-exchange plan locked in
+    // AsOfJoinSpec). The oracle is a genuinely independent
+    // implementation: DuckDB's native ASOF JOIN.
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val left = ev.where(col("event_type") === "click")

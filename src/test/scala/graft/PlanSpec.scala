@@ -69,6 +69,25 @@ class PlanSpec extends AnyFunSuite {
       s"sessionization must reuse one hash(user_id) exchange, found $exchanges\n$s")
   }
 
+  test("interval join plans an equi-key join with the range as residual, never a cross product") {
+    import org.apache.spark.sql.functions.col
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val a = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val b = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val s = fmt(graft.operators.AsOfJoin.intervalJoin(a, b, "user_id", "ts", 7200L))
+    // the equi-key must be recognized as the join key (hash or
+    // sort-merge); the time-range predicate must ride along as the
+    // residual condition, not degrade the join to a nested loop
+    assert(s.contains("HashJoin") || s.contains("SortMergeJoin"),
+      s"interval join lost its equi-key\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"interval join degraded to a cross product\n$s")
+    assert(s.contains("b_ts") && s.contains("Join condition"),
+      s"range residual missing from the join condition\n$s")
+  }
+
   test("scoring input: persisted pairs reused, not recomputed") {
     val trees = ParseStage.parse(CorpusGen.corpus(spark, dir))
     val pairs = Blocking.candidatePairs(trees).persist()
