@@ -41,37 +41,46 @@ object AsOfJoin {
 
   /** Left as-of join. `payload` maps right-side column name → output
     * column name; left columns pass through unchanged. Rows with no
-    * prior right row keep null payloads (left-outer semantics). */
+    * prior right row keep null payloads (left-outer semantics).
+    *
+    * The payloads ride in ONE struct per right row and the window
+    * carries that struct with a single `last(ignoreNulls)` — carrying
+    * each column independently would back-fill a NULL field of the most
+    * recent right row from an OLDER right row, fabricating a torn row
+    * no engine ever saw. The struct is atomic: the matched row's null
+    * fields stay null, exactly like a real as-of join. */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
            payload: Map[String, String]): DataFrame = {
     val leftCols = left.columns.toSeq
     require(leftCols.contains(key) && leftCols.contains(ts), s"left needs $key/$ts")
     val outNames = payload.values.toSeq
     require(outNames.distinct.size == outNames.size, "payload output names collide")
+    require(outNames.forall(o => !leftCols.contains(o)),
+      s"payload output names ${outNames.filter(leftCols.contains)} collide with left columns")
 
-    // union schema: key, ts, side, left passthroughs (null on right rows),
-    // right payloads (null on left rows)
+    // union schema: key, ts, side, left passthroughs (null on right
+    // rows), and the right payload struct (null — as a whole — on left
+    // rows)
     val passthrough = leftCols.filterNot(c => c == key || c == ts)
+    val payloadStruct = struct(payload.toSeq.map { case (rc, out) => col(rc).as(out) }: _*)
     val taggedRight = right.select(
       Seq(col(key), col(ts), lit(0).as("__side")) ++
-        passthrough.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.toSeq.map { case (rc, out) => col(rc).as(out) }: _*)
+        passthrough.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payloadStruct.as("__p"): _*)
+    val structType = taggedRight.schema("__p").dataType
     val taggedLeft = left.select(
       Seq(col(key), col(ts), lit(1).as("__side")) ++
-        passthrough.map(col) ++
-        payload.toSeq.map { case (rc, out) =>
-          lit(null).cast(right.schema(rc).dataType).as(out)
-        }: _*)
+        passthrough.map(col) :+
+        lit(null).cast(structType).as("__p"): _*)
 
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = taggedRight.unionByName(taggedLeft)
-      .select(
-        Seq(col(key), col(ts), col("__side")) ++ passthrough.map(col) ++
-          outNames.map(o => last(col(o), ignoreNulls = true).over(w).as(o)): _*)
-    carried.where(col("__side") === 1).drop("__side")
-      .select((Seq(key, ts) ++ passthrough ++ outNames).map(col): _*)
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(Seq(col(key), col(ts)) ++ passthrough.map(col) ++
+        outNames.map(o => col(s"__p.$o").as(o)): _*)
   }
 
   /** Interval (range) join: pairs (a, b) on the same key with

@@ -227,22 +227,25 @@ object Similarity {
     * same inputs yield identical assignments. */
   def ivfAssignments(corpus: DataFrame, queries: DataFrame,
                      nlist: Int, nprobe: Int): (DataFrame, DataFrame) = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val cents = trainCentroids(corpus, nlist)
-    val bc = spark.sparkContext.broadcast(cents)
+    (assignLists(corpus, cents, 1, "vec_id"),
+      assignLists(queries, cents, nprobe, "query_id"))
+  }
 
-    val corpusLists = corpus.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Seq[Float])]
-      .map { case (id, emb) => (nearestLists(emb, bc.value, 1)(0), id) }
-      .toDF("list", "vec_id")
-    val queryLists = queries.select(col("vec_id").cast("long"), col("embedding"))
+  /** `(list, idOut)` rows assigning each vector to its `nprobe` nearest
+    * centroids — the shared narrow-map half of the IVF index and the
+    * semantic-dedup clustering (the centroid table is broadcast). */
+  private def assignLists(df: DataFrame, cents: Array[Array[Float]],
+                          nprobe: Int, idOut: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    df.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
       .flatMap { case (id, emb) =>
         nearestLists(emb, bc.value, nprobe).iterator.map(l => (l, id))
       }
-      .toDF("list", "query_id")
-    (corpusLists, queryLists)
+      .toDF("list", idOut)
   }
 
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -269,15 +272,8 @@ object Similarity {
     * the coarse k-means clustering reused from the IVF quantizer (same
     * seeded bounded-sample training, one narrow map over the corpus, no
     * shuffle). Public so Verify can dump it for the DuckDB oracle. */
-  def kmeansAssign(corpus: DataFrame, nlist: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(trainCentroids(corpus, nlist))
-    corpus.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Seq[Float])]
-      .map { case (id, emb) => (nearestLists(emb, bc.value, 1)(0), id) }
-      .toDF("list", "vec_id")
-  }
+  def kmeansAssign(corpus: DataFrame, nlist: Int): DataFrame =
+    assignLists(corpus, trainCentroids(corpus, nlist), 1, "vec_id")
 
   /** Semantic dedup pairs — the SemDeDup recipe (Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings with k-means, then compare
@@ -296,13 +292,19 @@ object Similarity {
                     cap: Int = Similarity.SemDedupCap): DataFrame = {
     val keyed = kmeansAssign(corpus, nlist)
       .select(col("list").as("key"), col("vec_id").as("id"))
-    CandidateGen.pairsFromKeys(keyed, cap)
+    scorePairs(CandidateGen.pairsFromKeys(keyed, cap), corpus, minCosine)
+  }
+
+  /** Shared verification tail of the embedding dedup modes: fetch both
+    * sides' vectors, score the cosine, keep pairs at or above the
+    * 6dp-rounded threshold (the cross-engine-stable predicate). */
+  private def scorePairs(cand: DataFrame, corpus: DataFrame, minCosine: Double): DataFrame =
+    cand
       .join(corpus.select(col("vec_id").as("idA"), col("embedding").as("embA")), "idA")
       .join(corpus.select(col("vec_id").as("idB"), col("embedding").as("embB")), "idB")
       .withColumn("cosine", cosineCol(col("embA"), col("embB")))
       .where(round(col("cosine"), 6) >= minCosine)
       .select(col("idA"), col("idB"), col("cosine"))
-  }
 
   /** Embedding-cosine near-duplicate pairs (cosine ≥ minCosine) via the
     * same LSH bucketing — the "embedding near-dup" dedup mode. The
@@ -314,12 +316,6 @@ object Similarity {
   def embeddingNearDupPairs(corpus: DataFrame, minCosine: Double,
                             planeBits: Int = 12, tables: Int = 8, cap: Int = Similarity.EmbedNearDupCap): DataFrame = {
     val keyed = lshBuckets(corpus, planeBits, tables).withColumnRenamed("bucket", "key")
-    val cand = CandidateGen.pairsFromKeys(keyed, cap)
-    cand
-      .join(corpus.select(col("vec_id").as("idA"), col("embedding").as("embA")), "idA")
-      .join(corpus.select(col("vec_id").as("idB"), col("embedding").as("embB")), "idB")
-      .withColumn("cosine", cosineCol(col("embA"), col("embB")))
-      .where(round(col("cosine"), 6) >= minCosine)
-      .select(col("idA"), col("idB"), col("cosine"))
+    scorePairs(CandidateGen.pairsFromKeys(keyed, cap), corpus, minCosine)
   }
 }

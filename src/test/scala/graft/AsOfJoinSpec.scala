@@ -43,6 +43,33 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.size == 7)
   }
 
+  test("a NULL payload field of the matched right row stays null — no torn rows") {
+    import spark.implicits._
+    val left = Seq((1L, ts(300), 1L)).toDF("user_id", "ts", "event_id")
+    // most recent right row has value=NULL; an older row has value=5.0 —
+    // per-column carry would fabricate (rid=11, value=5.0), a row that
+    // never existed (and DuckDB's ASOF JOIN would disagree)
+    val right = Seq(
+      (1L, ts(100), 10L, Option(5.0)),
+      (1L, ts(200), 11L, Option.empty[Double]))
+      .toDF("user_id", "ts", "rid", "value")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts",
+        Map("rid" -> "ref_rid", "value" -> "ref_value"))
+      .select($"ref_rid", $"ref_value")
+      .as[(Option[Long], Option[Double])].collect().toSeq
+    assert(out == Seq((Some(11L), None)), s"torn row: $out")
+  }
+
+  test("a payload output name colliding with a left column fails fast") {
+    import spark.implicits._
+    val left = Seq((1L, ts(300), 1L)).toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, ts(100), 10L)).toDF("user_id", "ts", "rid")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, "user_id", "ts", Map("rid" -> "event_id"))
+    }
+    assert(e.getMessage.contains("collide with left columns"))
+  }
+
   test("latestPerKeyTs resolves same-timestamp right rows deterministically") {
     import spark.implicits._
     val right = Seq(

@@ -40,10 +40,14 @@ class SemDedupSpec extends AnyFunSuite {
   test("kmeansAssign is deterministic and covers every vector exactly once") {
     import spark.implicits._
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val a1 = Similarity.kmeansAssign(e, 16).as[(Int, Long)].collect().toSet
+    val rows1 = Similarity.kmeansAssign(e, 16).as[(Int, Long)].collect()
+    val a1 = rows1.toSet
     val a2 = Similarity.kmeansAssign(e, 16).as[(Int, Long)].collect().toSet
     assert(a1 == a2, "assignment not deterministic")
-    assert(a1.map(_._2).size == e.count(), "a vector missing or double-assigned")
+    // one output ROW per vector (rows1.length) and every id distinct —
+    // the row count catches double assignment, the id-set catches gaps
+    assert(rows1.length == e.count(), "a vector double-assigned")
+    assert(a1.map(_._2).size == e.count(), "a vector missing")
     // density-following: the 16 clusters are all non-trivially populated
     assert(a1.groupBy(_._1).size > 1)
   }

@@ -71,6 +71,32 @@ class StreamingJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches the stream; unmatched keys stay null") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the third join mode of the streaming layer (next to batch-twin and
+    // stream-stream): a small static dimension broadcast into every
+    // micro-batch — no stream-side shuffle, no state at all
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val src = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = src.toDF().toDF("user_id", "ts", "event_id")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select($"event_id", $"segment")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ss_static").start()
+    try {
+      src.addData((1L, ts(100), 10L), (2L, ts(200), 20L), (7L, ts(300), 70L))
+      q.processAllAvailable()
+      val got = spark.table("ss_static")
+        .as[(Long, Option[String])].collect().toSet
+      assert(got == Set((10L, Some("gold")), (20L, Some("silver")), (70L, None)))
+      // stateless: the broadcast join keeps NO streaming state
+      assert(q.recentProgress.flatMap(_.stateOperators).isEmpty
+        || q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal).sum == 0)
+    } finally q.stop()
+  }
+
   test("watermark bounds stream-stream join state (old side evicted)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -93,6 +119,14 @@ class StreamingJoinSpec extends AnyFunSuite {
       srcV.addData((9L, ts(200000), 91L))
       srcC.addData((9L, ts(200000), 901L))
       q.processAllAvailable()
+      // eviction must be visible in the STATE METRICS, not inferred from
+      // output absence (a late row is dropped before the state lookup,
+      // so output alone can't distinguish eviction from unbounded state)
+      val removed = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      assert(removed > 0, "watermark advanced past rows but join state evicted nothing")
+      val stateRows = q.recentProgress.reverse.flatMap(_.stateOperators)
+        .headOption.map(_.numRowsTotal).getOrElse(Long.MaxValue)
+      assert(stateRows < 7, s"join state holds $stateRows rows — not bounded by the watermark")
       val before = spark.table("ss_join_wm").count()
       srcC.addData((1L, ts(1100), 100L)) // would match view 10 if state kept
       q.processAllAvailable()
