@@ -195,8 +195,45 @@ object RelQueries {
           (unix_timestamp(col("b_ts")) -
             unix_timestamp(col("a_ts"))).as("lag_sec"))
         .orderBy(col("view_id"), col("click_id"))
+    }),
+
+    // pivot: one column per event type, decimal-exact sums — the
+    // wide-table reshape (explicit value list, so the plan is a single
+    // hash aggregate, no distinct-values pre-pass). Oracle redoes it as
+    // CASE aggregation
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", PivotEventTypes)
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+        .orderBy(col("user_id"))
+    }),
+
+    // rollup (grouping sets): per-(lang, source) counts with subtotal
+    // and grand-total rows, grouping_id disambiguating the levels
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("lang"), col("source"))
+    }),
+
+    // EXACT percentiles (sort-based, not the approx sketch) per group —
+    // both engines interpolate (1−f)·lower + f·upper; rounded to 6dp
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.75)"), 6).as("p75"))
+        .orderBy(col("event_type"))
     })
   )
+
+  /** q_pivot's explicit column list — ONE definition for the Scala
+    * query and the generated oracle CASE aggregation. */
+  private val PivotEventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** q_interval_join window — ONE definition for the Scala query, the
     * interpolated oracle SQL, and the streaming twin's spec. */
@@ -313,6 +350,25 @@ object RelQueries {
         |JOIN (SELECT * FROM events WHERE event_type = 'click') b
         |  ON a.user_id = b.user_id AND b.ts >= a.ts
         |  AND b.ts <= a.ts + INTERVAL $IntervalJoinSec SECONDS
-        |ORDER BY view_id, click_id""".stripMargin
+        |ORDER BY view_id, click_id""".stripMargin,
+    // pivot redone as CASE aggregation, generated from the SAME value
+    // list the Spark query pivots on
+    "q_pivot" -> {
+      val cases = PivotEventTypes.map(t =>
+        s"""  CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS "$t"""")
+        .mkString(",\n")
+      s"SELECT user_id,\n$cases\nFROM events GROUP BY user_id ORDER BY user_id"
+    },
+    "q_rollup" ->
+      """SELECT lang, source, count(*) AS n,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY gid, lang, source""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.75), 6) AS p75
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
