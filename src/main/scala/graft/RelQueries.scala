@@ -218,6 +218,21 @@ object RelQueries {
         .orderBy(col("gid"), col("lang"), col("source"))
     }),
 
+    // unpivot (melt): the inverse reshape — unpivot(pivot(events)) must
+    // equal the plain groupBy, which is exactly what the oracle
+    // computes (the roundtrip IS the check). Null cells (user never did
+    // the event type) drop, matching the group-by's absent groups
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", PivotEventTypes)
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+        .unpivot(Array(col("user_id")), PivotEventTypes.map(col).toArray,
+          "event_type", "sum_value")
+        .where(col("sum_value").isNotNull)
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // EXACT percentiles (sort-based, not the approx sketch) per group —
     // both engines interpolate (1−f)·lower + f·upper; rounded to 6dp
     "q_percentiles" -> ((s, dir) => {
@@ -359,6 +374,13 @@ object RelQueries {
         .mkString(",\n")
       s"SELECT user_id,\n$cases\nFROM events GROUP BY user_id ORDER BY user_id"
     },
+    // the unpivot roundtrip collapses to the plain per-(user, type)
+    // aggregation — one engine reshapes twice, the other not at all
+    "q_unpivot" ->
+      """SELECT user_id, event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "q_rollup" ->
       """SELECT lang, source, count(*) AS n,
         |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
