@@ -83,6 +83,24 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SCD-1 merge (upsert): a deterministic patch batch (7-multiples
+    // re-sourced + upper-cased, 11≡3 rows re-keyed as appends) merged
+    // into the base — anti-join + union, never a full-outer coalesce.
+    // The oracle replays the same merge with NOT EXISTS + UNION ALL
+    "q_upsert" -> ((s, dir) => {
+      val base = docs(s, dir)
+      val patched = base.where(pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("text", upper(col("text")))
+        .withColumn("source", lit("patched"))
+      val fresh = base.where(pmod(col("doc_id"), lit(11)) === 3)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("source", lit("new"))
+      graft.operators.Upsert.upsert(base, patched.unionByName(fresh), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(col("text")).as("text_md5"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact-dedup summary — md5 grouping, oracle-checked
     "q_exact_dedup" -> ((s, dir) => {
       docs(s, dir)
@@ -406,6 +424,20 @@ object TextQueries {
       """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
         |  count(*) - count(DISTINCT md5(text)) AS n_dup_rows
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_upsert" ->
+      """WITH patched AS (
+        |  SELECT doc_id, upper(text) AS text, lang, 'patched' AS source, n_chars
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |fresh AS (
+        |  SELECT doc_id + 100000 AS doc_id, text, lang, 'new' AS source, n_chars
+        |  FROM documents WHERE doc_id % 11 = 3),
+        |upd AS (SELECT * FROM patched UNION ALL SELECT * FROM fresh),
+        |merged AS (
+        |  SELECT * FROM documents d
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.doc_id = d.doc_id)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT doc_id, lang, source, md5(text) AS text_md5, n_chars
+        |FROM merged ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE substring(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 2) <

@@ -16,6 +16,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 trait TableIO extends Serializable {
   def write(df: DataFrame, table: String): Unit
+
+  /** Hive-style partitioned write (one directory level per column
+    * value). A reader filtering on a partition column prunes whole
+    * directories at planning time — `PartitionFilters` in the scan, no
+    * file of a pruned partition is even listed. This is the layout the
+    * 100 TB corpus uses for its coarse axes (lang, date, repo shard);
+    * with Iceberg the same call becomes a partition-spec write and the
+    * pruning moves to manifest level. TableIOSpec locks the pruned-scan
+    * plan shape. */
+  def writePartitioned(df: DataFrame, table: String, cols: Seq[String]): Unit
+
   def read(spark: SparkSession, table: String): DataFrame
   def exists(spark: SparkSession, table: String): Boolean
 
@@ -30,6 +41,9 @@ final class ParquetTableIO(root: String) extends TableIO {
 
   def write(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path(table))
+
+  def writePartitioned(df: DataFrame, table: String, cols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path(table))
 
   def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(path(table))
