@@ -34,10 +34,8 @@ object AsOfJoin {
   /** Deterministic one-row-per-(key, ts): keeps the row with the
     * highest tiebreaker column. Map-side partial `WindowGroupLimit`
     * applies before the exchange, same as the candidate-cap plan. */
-  def latestPerKeyTs(df: DataFrame, key: String, ts: String, tiebreak: String): DataFrame = {
-    val w = Window.partitionBy(col(key), col(ts)).orderBy(col(tiebreak).desc)
-    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
-  }
+  def latestPerKeyTs(df: DataFrame, key: String, ts: String, tiebreak: String): DataFrame =
+    WindowOps.keepTopRow(df, Seq(col(key), col(ts)), Seq(col(tiebreak).desc))
 
   /** Left as-of join. `payload` maps right-side column name → output
     * column name; left columns pass through unchanged. Rows with no

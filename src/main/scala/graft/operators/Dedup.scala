@@ -23,11 +23,8 @@ object Dedup {
 
   /** Drop exact duplicates, keeping the smallest id per content hash —
     * the canonical "exact dedup" pass before any near-dup work. */
-  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    docs.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
-  }
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    WindowOps.keepTopRow(docs, Seq(md5(col(textCol))), Seq(col(idCol)))
 
   // --- MinHash near-dup ---------------------------------------------------
 

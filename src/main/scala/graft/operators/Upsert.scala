@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   * where file-level pruning skips base files containing no updated key;
   * the declarative shape here is what that pushes down to.
   *
-  * `updates` must be key-unique (one winner per key) — enforced, since
-  * a duplicate-key update batch would silently produce duplicate rows.
+  * `updates` must be key-unique (one winner per key) — the CALLER
+  * enforces this (run a versioned batch through [[latestPerKey]]
+  * first); a duplicate-key update batch would produce duplicate rows,
+  * and checking it here would cost an extra aggregation over every
+  * merge. UpsertSpec documents the contract.
   */
 object Upsert {
 
@@ -34,10 +37,6 @@ object Upsert {
     * `version` per key (ties broken arbitrarily but deterministically
     * by the remaining columns' order is NOT assumed — supply a real
     * version column). */
-  def latestPerKey(updates: DataFrame, key: String, version: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(key)).orderBy(col(version).desc)
-    updates.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
-  }
+  def latestPerKey(updates: DataFrame, key: String, version: String): DataFrame =
+    WindowOps.keepTopRow(updates, Seq(col(key)), Seq(col(version).desc))
 }

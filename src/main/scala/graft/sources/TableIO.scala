@@ -23,7 +23,7 @@ trait TableIO extends Serializable {
     * file of a pruned partition is even listed. This is the layout the
     * 100 TB corpus uses for its coarse axes (lang, date, repo shard);
     * with Iceberg the same call becomes a partition-spec write and the
-    * pruning moves to manifest level. TableIOSpec locks the pruned-scan
+    * pruning moves to manifest level. UpsertSpec locks the pruned-scan
     * plan shape. */
   def writePartitioned(df: DataFrame, table: String, cols: Seq[String]): Unit
 

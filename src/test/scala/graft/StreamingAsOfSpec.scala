@@ -79,6 +79,46 @@ class StreamingAsOfSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sub-second timestamps match exactly (no millisecond/second truncation)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def tsMs(ms: Long): java.sql.Timestamp = new java.sql.Timestamp(ms)
+    val srcL = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val srcR = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val out = StreamingAsOf.asOfStream(
+      srcL.toDF().toDF("user_id", "ts", "event_id"),
+      srcR.toDF().toDF("user_id", "ts", "rid", "value"), "1 seconds")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("asof_subsec").start()
+    try {
+      // left at 150.5 s; watermark advances to 150.1 s — a second- or
+      // millisecond-truncating implementation finalizes the left NOW
+      // (150 < 150.1) and emits a wrong no-match
+      srcL.addData((1L, tsMs(150500), 1L))
+      q.processAllAvailable()
+      srcR.addData((9L, tsMs(151100), 90L, 9.0))
+      q.processAllAvailable()
+      srcR.addData((9L, tsMs(151101), 91L, 9.1))
+      q.processAllAvailable()
+      assert(spark.table("asof_subsec").count() == 0,
+        "left@150.5s finalized by a watermark at 150.1s — sub-second truncation")
+
+      // rights at 150.2 s (before the left, must win) and 150.9 s
+      // (after the left, must NOT match it), then flush
+      srcR.addData((1L, tsMs(150200), 10L, 1.0), (1L, tsMs(150900), 11L, 2.0))
+      q.processAllAvailable()
+      srcR.addData((9L, tsMs(300000), 92L, 9.2))
+      q.processAllAvailable()
+      srcR.addData((9L, tsMs(300001), 93L, 9.3))
+      q.processAllAvailable()
+      val got = spark.table("asof_subsec")
+        .select($"event_id", $"ref_rid", $"ref_value")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(got == Seq((1L, 10L, 1.0)), s"sub-second match wrong: $got")
+    } finally q.stop()
+  }
+
   test("a left with no prior right emits -1 sentinels, exactly once") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -101,6 +141,12 @@ class StreamingAsOfSpec extends AnyFunSuite {
         .select($"user_id", $"event_id", $"ref_sec", $"ref_rid", $"ref_value")
         .as[(Long, Long, Long, Long, Double)].collect().toSeq
       assert(got == Seq((5L, 50L, -1L, -1L, -1.0)), s"got $got")
+      // drained-key state removal, via the query's own state metrics:
+      // key 5 emitted and removed its state; only key 9's standing
+      // right remains → exactly ONE state row
+      val stateRows = q.recentProgress.reverse.flatMap(_.stateOperators)
+        .headOption.map(_.numRowsTotal)
+      assert(stateRows.contains(1L), s"expected 1 standing state row, got $stateRows")
     } finally q.stop()
   }
 }
