@@ -60,4 +60,27 @@ final class ParquetTableIO(root: String) extends TableIO {
     fs.delete(p, true)
     ()
   }
+
+  /** Compact a stage table's small files into `targetFiles` larger
+    * ones — the small-files maintenance pass every long-lived
+    * incremental table needs (each streaming micro-batch and each
+    * task writes its own file; a year of 5-minute batches is 10^5
+    * files whose open/seek overhead dominates the scan). Values are
+    * untouched; only the file layout changes. Written to a sibling
+    * directory first and swapped in by rename, so a reader never sees
+    * a half-compacted table and a crash mid-compaction leaves the
+    * original intact (the stale `_compact_tmp` is simply overwritten
+    * by the next attempt). With Iceberg this is rewrite_data_files;
+    * the atomicity moves to a snapshot commit. */
+  def compact(spark: SparkSession, table: String, targetFiles: Int): Unit = {
+    val tmp = s"${table}_compact_tmp"
+    read(spark, table).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(path(tmp))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(path(tmp))
+    val dst = new org.apache.hadoop.fs.Path(path(table))
+    val fs = dst.getFileSystem(conf)
+    fs.delete(dst, true)
+    require(fs.rename(src, dst), s"compaction swap failed for $table")
+  }
 }
