@@ -119,6 +119,64 @@ class StreamingAsOfSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("randomized stream/batch as-of differential over 3 seeds (fractional seconds, shuffled arrival)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def tsMs(ms: Long): java.sql.Timestamp = new java.sql.Timestamp(ms)
+    val B = 1000000000L // base ms
+    for (seed <- Seq(7L, 19L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      // fractional-second timestamps; delay exceeds the whole span so a
+      // fully SHUFFLED arrival order is still inside the watermark
+      val rights = (0 until 30).map(i =>
+        (rnd.nextInt(4).toLong + 1, B + rnd.nextInt(5000000), 100L + i, (100 + i) * 0.5))
+      val lefts = (0 until 30).map(i =>
+        (rnd.nextInt(4).toLong + 1, B + rnd.nextInt(5000000), i.toLong))
+      val srcL = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val srcR = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+      val sink = s"asof_rand_$seed"
+      val q = StreamingAsOf.asOfStream(
+        srcL.toDF().toDF("user_id", "ts", "event_id"),
+        srcR.toDF().toDF("user_id", "ts", "rid", "value"), "10000 seconds")
+        .toDF().writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      try {
+        val shufL = rnd.shuffle(lefts).grouped(8).toSeq
+        val shufR = rnd.shuffle(rights).grouped(8).toSeq
+        shufL.zipAll(shufR, Nil, Nil).foreach { case (lc, rc) =>
+          if (lc.nonEmpty) srcL.addData(lc.map { case (u, ms, id) => (u, tsMs(ms), id) }: _*)
+          if (rc.nonEmpty) srcR.addData(rc.map { case (u, ms, id, v) => (u, tsMs(ms), id, v) }: _*)
+          q.processAllAvailable()
+        }
+        // flush: sentinels far past span + delay
+        srcR.addData((99L, tsMs(B + 20000000000L), 990L, 0.0)); q.processAllAvailable()
+        srcR.addData((99L, tsMs(B + 20000001000L), 991L, 0.0)); q.processAllAvailable()
+
+        val streamed = spark.table(sink).where($"user_id" < 99)
+          .select($"event_id", $"sec", $"ref_sec", $"ref_rid", $"ref_value")
+          .as[(Long, Long, Long, Long, Double)].collect().toSet
+
+        val batch = AsOfJoin.asOf(
+            lefts.map { case (u, ms, id) => (u, tsMs(ms), id) }
+              .toDF("user_id", "ts", "event_id"),
+            AsOfJoin.latestPerKeyTs(
+              rights.map { case (u, ms, id, v) => (u, tsMs(ms), id, v) }
+                .toDF("user_id", "ts", "rid", "value"), "user_id", "ts", "rid")
+              .withColumn("r_sec", unix_timestamp(col("ts"))),
+            "user_id", "ts",
+            Map("r_sec" -> "ref_sec", "rid" -> "ref_rid", "value" -> "ref_value"))
+          .select($"event_id", unix_timestamp($"ts").as("sec"),
+            coalesce($"ref_sec", lit(-1L)), coalesce($"ref_rid", lit(-1L)),
+            coalesce($"ref_value", lit(-1.0)))
+          .as[(Long, Long, Long, Long, Double)].collect().toSet
+
+        assert(streamed == batch,
+          s"seed $seed: only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
+      } finally q.stop()
+    }
+  }
+
   test("a left with no prior right emits -1 sentinels, exactly once") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
