@@ -88,6 +88,13 @@ class PlanSpec extends AnyFunSuite {
       s"range residual missing from the join condition\n$s")
   }
 
+  test("upsert plans a broadcast anti-join of the update keys, never a full-outer merge") {
+    val s = fmt(TextQueries.queries("q_upsert")(spark, dir))
+    assert(s.contains("LeftAnti") && s.contains("BroadcastExchange"),
+      s"update keys not broadcast against the base\n$s")
+    assert(!s.contains("FullOuter"), s"upsert degraded to a full-outer merge\n$s")
+  }
+
   test("scoring input: persisted pairs reused, not recomputed") {
     val trees = ParseStage.parse(CorpusGen.corpus(spark, dir))
     val pairs = Blocking.candidatePairs(trees).persist()
