@@ -51,6 +51,13 @@ object Bench {
       try { ErQueries.warmEditScripts(spark, sfDir); true } catch { case _: Throwable => false }
     val opsSec = (System.nanoTime() - tOps) / 1e9
 
+    // and the shared semantic-dedup pair table (q_semdedup_pairs /
+    // q_semdedup_keepers both read it; the build is its own line)
+    val tSem = System.nanoTime()
+    val semOk =
+      try { SimQueries.warmSemDedup(spark, sfDir); true } catch { case _: Throwable => false }
+    val semSec = (System.nanoTime() - tSem) / 1e9
+
     // and the streaming-dedup twin (q_dedup_stream)
     val tDStream = System.nanoTime()
     val dstreamOk =
@@ -77,7 +84,8 @@ object Bench {
         s""","pipeline_build_ok":$warmOk,"stream_build_sec":$streamSec""" +
         s""","stream_build_ok":$streamOk,"bstream_build_sec":$bstreamSec""" +
         s""","bstream_build_ok":$bstreamOk,"edit_scripts_build_sec":$opsSec""" +
-        s""","edit_scripts_build_ok":$opsOk,"dstream_build_sec":$dstreamSec""" +
+        s""","edit_scripts_build_ok":$opsOk,"semdedup_build_sec":$semSec""" +
+        s""","semdedup_build_ok":$semOk,"dstream_build_sec":$dstreamSec""" +
         s""","dstream_build_ok":$dstreamOk,"failed":${failed.mkString("[", ",", "]")}""" +
         s""","pairs_scored":${scoring.pairs}""" +
         s""","score_wall_sec":${scoring.wallSec},"pairs_per_sec":${scoring.pairsPerSec}""" +

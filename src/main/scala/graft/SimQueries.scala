@@ -28,6 +28,25 @@ object SimQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Semantic-dedup pair table shared by q_semdedup_pairs and
+    * q_semdedup_keepers — memoized per (session, sfDir) like the
+    * edit-script dump, so the two queries train the quantizer and score
+    * the within-cluster cosines once between them. Bench warms it as
+    * its own `semdedup_build_sec` line so neither sweep line silently
+    * absorbs the build. */
+  private val semPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def semPairs(s: SparkSession, dir: String): DataFrame =
+    semPairsCache.getOrElseUpdate((s, dir),
+      Similarity.semDedupPairs(emb(s, dir), SemNlist, SemMinCosine)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  def warmSemDedup(spark: SparkSession, sfDir: String): Unit = {
+    semPairs(spark, sfDir).count()
+    ()
+  }
+
   private def queriesOf(df: DataFrame, n: Int): DataFrame =
     df.where(col("vec_id") < n)
 
@@ -95,7 +114,7 @@ object SimQueries {
     // from the dumped cluster-assignment table (cap + pair algebra +
     // cosine + threshold redone in SQL)
     "q_semdedup_pairs" -> ((s, dir) => {
-      Similarity.semDedupPairs(emb(s, dir), SemNlist, SemMinCosine)
+      semPairs(s, dir)
         .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("idA"), col("idB"))
     }),
@@ -104,9 +123,7 @@ object SimQueries {
     // keep each component's minimum id (plus all singletons) — the
     // oracle recomputes the closure with a recursive CTE
     "q_semdedup_keepers" -> ((s, dir) => {
-      val e = emb(s, dir)
-      graft.operators.Dedup.nearDupKeepers(e, "vec_id",
-          Similarity.semDedupPairs(e, SemNlist, SemMinCosine))
+      graft.operators.Dedup.nearDupKeepers(emb(s, dir), "vec_id", semPairs(s, dir))
         .orderBy(col("vec_id"))
     }),
 
