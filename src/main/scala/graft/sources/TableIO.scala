@@ -34,6 +34,12 @@ trait TableIO extends Serializable {
     * GC). Must be safe on a missing table. With Iceberg this is a
     * DROP TABLE / expire-snapshots; locally it deletes the directory. */
   def delete(spark: SparkSession, table: String): Unit
+
+  /** Names of COMPLETE tables whose name starts with `prefix` —
+    * versioned-snapshot discovery (StreamingEnrich's dim versions).
+    * With Iceberg this is a catalog listTables; locally it lists
+    * `_SUCCESS`-gated directories. */
+  def listTables(spark: SparkSession, prefix: String): Seq[String]
 }
 
 final class ParquetTableIO(root: String) extends TableIO {
@@ -61,26 +67,57 @@ final class ParquetTableIO(root: String) extends TableIO {
     ()
   }
 
+  def listTables(spark: SparkSession, prefix: String): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName)
+      .filter(exists(spark, _))
+  }
+
   /** Compact a stage table's small files into `targetFiles` larger
     * ones — the small-files maintenance pass every long-lived
     * incremental table needs (each streaming micro-batch and each
     * task writes its own file; a year of 5-minute batches is 10^5
     * files whose open/seek overhead dominates the scan). Values are
-    * untouched; only the file layout changes. Written to a sibling
-    * directory first and swapped in by rename, so a reader never sees
-    * a half-compacted table and a crash mid-compaction leaves the
-    * original intact (the stale `_compact_tmp` is simply overwritten
-    * by the next attempt). With Iceberg this is rewrite_data_files;
-    * the atomicity moves to a snapshot commit. */
+    * untouched; only the file layout changes.
+    *
+    * Swap protocol: write to `_compact_tmp`, rename the live dir to
+    * `_compact_old`, rename tmp into place, delete old. The data is
+    * never in fewer than one complete directory, so nothing is lost
+    * at ANY crash point; a crash between the two renames leaves the
+    * table invisible at its primary name until the next compact()
+    * call, which starts by restoring `_compact_old` (tested). True
+    * single-operation atomicity — no invisible window at all — is
+    * what an Iceberg rewrite_data_files snapshot commit adds.
+    *
+    * Hive-PARTITIONED layouts are refused loudly: a flat rewrite
+    * would silently destroy the directory layout (and the
+    * planning-time pruning that comes with it); compact each
+    * partition's directory as its own table instead. */
   def compact(spark: SparkSession, table: String, targetFiles: Int): Unit = {
-    val tmp = s"${table}_compact_tmp"
-    read(spark, table).repartition(targetFiles)
-      .write.mode(SaveMode.Overwrite).parquet(path(tmp))
     val conf = spark.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(path(tmp))
     val dst = new org.apache.hadoop.fs.Path(path(table))
+    val old = new org.apache.hadoop.fs.Path(path(s"${table}_compact_old"))
+    val tmp = new org.apache.hadoop.fs.Path(path(s"${table}_compact_tmp"))
     val fs = dst.getFileSystem(conf)
-    fs.delete(dst, true)
-    require(fs.rename(src, dst), s"compaction swap failed for $table")
+    // crash recovery: a previous attempt renamed the live dir away but
+    // died before the replacement landed — restore it first
+    if (!fs.exists(dst) && fs.exists(old)) {
+      require(fs.rename(old, dst), s"crash recovery failed for $table")
+    }
+    require(!fs.listStatus(dst).exists(st =>
+        st.isDirectory && st.getPath.getName.contains("=")),
+      s"$table is Hive-partitioned; compact each partition directory instead " +
+        "(a flat rewrite would destroy the partition layout and its pruning)")
+    read(spark, table).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(old, true) // stale leftover from an interrupted earlier run
+    require(fs.rename(dst, old), s"compaction swap (live->old) failed for $table")
+    require(fs.rename(tmp, dst), s"compaction swap (tmp->live) failed for $table")
+    fs.delete(old, true)
+    ()
   }
 }

@@ -31,6 +31,33 @@ class CompactionSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/t_compact_tmp").exists())
   }
 
+  test("compact recovers a table stranded by a crash between the two swap renames") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_crash").toString
+    val io = new ParquetTableIO(root)
+    io.write((1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(8), "t")
+    // simulate the crash window: the live dir was renamed away but the
+    // replacement never landed
+    assert(new java.io.File(s"$root/t").renameTo(new java.io.File(s"$root/t_compact_old")))
+    assert(!io.exists(spark, "t"))
+    io.compact(spark, "t", targetFiles = 2)
+    assert(io.exists(spark, "t"))
+    assert(io.read(spark, "t").count() == 100)
+    assert(parquetFiles(s"$root/t") == 2)
+    assert(!new java.io.File(s"$root/t_compact_old").exists())
+  }
+
+  test("compact refuses a Hive-partitioned layout loudly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_part").toString
+    val io = new ParquetTableIO(root)
+    io.writePartitioned(Seq((1L, "en"), (2L, "de")).toDF("id", "lang"), "t", Seq("lang"))
+    val e = intercept[IllegalArgumentException](io.compact(spark, "t", 1))
+    assert(e.getMessage.contains("Hive-partitioned"))
+    // and the table is untouched
+    assert(spark.read.parquet(s"$root/t").count() == 2)
+  }
+
   test("schema evolution: a widened append reads back with mergeSchema, old rows null-filled") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_evolve").toString

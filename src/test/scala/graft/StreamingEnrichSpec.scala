@@ -17,8 +17,9 @@ class StreamingEnrichSpec extends AnyFunSuite {
     val io = new ParquetTableIO(root)
     val out = s"$root/enriched"
 
-    // dim v1
-    io.write(Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment"), "dim")
+    val v1 = StreamingEnrich.publishDim(io, spark,
+      Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment"), "dim")
+    assert(v1 == 1)
 
     val src = MemoryStream[(Long, Long)]
     val q = StreamingEnrich.enrichedStream(
@@ -28,14 +29,14 @@ class StreamingEnrichSpec extends AnyFunSuite {
       src.addData((1L, 10L), (7L, 70L))
       q.processAllAvailable()
 
-      // the SCD loop: upsert a changed + a new dim row, then stream on.
-      // Materialize v2 BEFORE overwriting — the lazy plan reads the very
-      // directory the write replaces (self-overwrite), so an unforced
-      // io.write(v2) would scan already-deleted files
-      val v2 = Upsert.upsert(io.read(spark, "dim"),
-          Seq((1L, "platinum"), (7L, "bronze")).toDF("user_id", "segment"), "user_id")
-        .as[(Long, String)].collect().toSeq
-      io.write(v2.toDF("user_id", "segment"), "dim")
+      // the SCD loop: the next snapshot is derived from the latest with
+      // Upsert and PUBLISHED as a new version — no overwrite, so there
+      // is no self-read race and no reader ever sees a half-written dim
+      val v2 = StreamingEnrich.publishDim(io, spark,
+        Upsert.upsert(StreamingEnrich.latestDim(io, spark, "dim").get,
+          Seq((1L, "platinum"), (7L, "bronze")).toDF("user_id", "segment"), "user_id"),
+        "dim")
+      assert(v2 == 2)
       src.addData((1L, 11L), (7L, 71L))
       q.processAllAvailable()
 
@@ -45,12 +46,25 @@ class StreamingEnrichSpec extends AnyFunSuite {
       assert(rows == Set(
         (10L, Some("gold")),     // batch 1: dim v1
         (70L, None),             // batch 1: unmatched key survives, null-enriched
-        (11L, Some("platinum")), // batch 2: sees the upserted snapshot
+        (11L, Some("platinum")), // batch 2: sees the published v2 snapshot
         (71L, Some("bronze"))),  // batch 2: newly-added dim key now matches
         s"got $rows")
       // each batch carries its id — replayed batches are identifiable
       val batches = spark.read.parquet(out).select($"batch_id").distinct().count()
       assert(batches == 2)
     } finally q.stop()
+
+    // a HALF-WRITTEN newer version (no _SUCCESS) is invisible: the
+    // resolver keeps serving v2
+    val fake = new java.io.File(s"$root/dim_v3")
+    fake.mkdirs()
+    import spark.implicits._
+    val latest = StreamingEnrich.latestDim(io, spark, "dim").get
+      .where(col("user_id") === 1L).select(col("segment")).as[String].head()
+    assert(latest == "platinum", "incomplete dim version must not be served")
+
+    // pruning keeps the newest versions only
+    StreamingEnrich.pruneDimVersions(io, spark, "dim", retain = 1)
+    assert(!io.exists(spark, "dim_v1") && io.exists(spark, "dim_v2"))
   }
 }
