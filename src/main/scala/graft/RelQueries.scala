@@ -233,6 +233,24 @@ object RelQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // bloom-filter semi-join reduction: the big side is pruned by a
+    // fixed-size sketch of the dim keys BEFORE the shuffle join
+    // (BloomJoin; plan shape locked in BloomJoinSpec). No false
+    // negatives + the join removing false positives ⇒ the result is
+    // EXACTLY the plain join, which is what the oracle computes
+    "q_bloom_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val bigParts = t(s, dir, "part").where(col("p_size") >= 45)
+        .select(col("p_partkey"), col("p_size"))
+      graft.operators.BloomJoin.prefilteredJoin(
+          li, bigParts, "l_partkey", "p_partkey",
+          expectedItems = 100000L, fpp = 0.01)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("p_partkey"), col("p_size"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // EXACT percentiles (sort-based, not the approx sketch) per group —
     // both engines interpolate (1−f)·lower + f·upper; rounded to 6dp
     "q_percentiles" -> ((s, dir) => {
@@ -386,6 +404,11 @@ object RelQueries {
         |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
         |FROM documents GROUP BY ROLLUP(lang, source)
         |ORDER BY gid, lang, source""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l_orderkey, l_linenumber, p_partkey, p_size
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size >= 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.25), 6) AS p25,

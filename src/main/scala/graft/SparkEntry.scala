@@ -19,8 +19,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ErQueries.queries ++ RelQueries.queries ++ TextQueries.queries ++ SimQueries.queries
+    ErQueries.queries ++ RelQueries.queries ++ TextQueries.queries ++
+      SimQueries.queries ++ SketchQueries.queries
 
   def oracleSql: Map[String, String] =
-    ErQueries.oracleSql ++ RelQueries.oracleSql ++ TextQueries.oracleSql ++ SimQueries.oracleSql
+    ErQueries.oracleSql ++ RelQueries.oracleSql ++ TextQueries.oracleSql ++
+      SimQueries.oracleSql ++ SketchQueries.oracleSql
 }

@@ -29,7 +29,8 @@ object Verify {
     // from these independently (many oracles read '{OUT}/...' paths)
     Seq[(String, (SparkSession, String, String) => Unit)](
       ("er", ErQueries.dumpAux), ("text", TextQueries.dumpAux),
-      ("sim", SimQueries.dumpAux)).foreach { case (tag, dump) =>
+      ("sim", SimQueries.dumpAux),
+      ("sketch", SketchQueries.dumpAux)).foreach { case (tag, dump) =>
       try dump(spark, sfDir, outDir)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $tag aux dump failed: ${e.getMessage}")
