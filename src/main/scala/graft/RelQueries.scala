@@ -251,6 +251,35 @@ object RelQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // SCD type-2 merge: full-history dimension versioning. Updates for
+    // 3-multiples (6-multiples actually change segment, the rest are
+    // no-ops), 50-multiples re-keyed as brand-new customers. The
+    // oracle replays close/open/no-op with LEFT JOIN + NOT EXISTS
+    "q_scd2" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val dim = cust.select(
+        col("c_custkey").as("key"), col("c_mktsegment").as("seg"),
+        lit("2020-01-01").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"),
+        lit(true).as("is_current"))
+      val upd = cust.where(pmod(col("c_custkey"), lit(3)) === 0)
+        .select(col("c_custkey").as("key"),
+          when(pmod(col("c_custkey"), lit(6)) === 0, reverse(col("c_mktsegment")))
+            .otherwise(col("c_mktsegment")).as("seg"),
+          lit("2021-06-01").cast("timestamp").as("ts"))
+        .unionByName(cust.where(pmod(col("c_custkey"), lit(50)) === 0)
+          .select((col("c_custkey") + 1000000L).as("key"),
+            lit("SEGNEW").as("seg"), lit("2021-06-01").cast("timestamp").as("ts")))
+      graft.operators.Upsert.scd2Merge(dim, upd, "key", Seq("seg"), "ts")
+        // ISO strings, not raw timestamps: the parquet↔pandas↔DuckDB
+        // roundtrip disagrees on timestamp resolution (ns vs us)
+        .select(col("key"), col("seg"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+          col("is_current"))
+        .orderBy(col("key"), col("valid_from"), col("is_current"))
+    }),
+
     // EXACT percentiles (sort-based, not the approx sketch) per group —
     // both engines interpolate (1−f)·lower + f·upper; rounded to 6dp
     "q_percentiles" -> ((s, dir) => {
@@ -409,6 +438,38 @@ object RelQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size >= 45
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scd2" ->
+      """WITH dim AS (
+        |  SELECT c_custkey AS key, c_mktsegment AS seg,
+        |    TIMESTAMP '2020-01-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+        |    true AS is_current
+        |  FROM customer),
+        |u AS (
+        |  SELECT c_custkey AS key,
+        |    CASE WHEN c_custkey % 6 = 0 THEN reverse(c_mktsegment)
+        |         ELSE c_mktsegment END AS seg,
+        |    TIMESTAMP '2021-06-01' AS ts
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'SEGNEW', TIMESTAMP '2021-06-01'
+        |  FROM customer WHERE c_custkey % 50 = 0),
+        |mapped AS (
+        |  SELECT d.key, d.seg, d.valid_from,
+        |    CASE WHEN u.key IS NOT NULL AND u.seg <> d.seg
+        |         THEN u.ts ELSE d.valid_to END AS valid_to,
+        |    NOT (u.key IS NOT NULL AND u.seg <> d.seg) AS is_current
+        |  FROM dim d LEFT JOIN u ON d.key = u.key),
+        |opened AS (
+        |  SELECT u.key, u.seg, u.ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+        |    true AS is_current
+        |  FROM u JOIN dim d ON u.key = d.key AND u.seg <> d.seg
+        |  UNION ALL
+        |  SELECT u.key, u.seg, u.ts, CAST(NULL AS TIMESTAMP), true
+        |  FROM u WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.key = u.key))
+        |SELECT key, seg, strftime(valid_from, '%Y-%m-%d') AS valid_from,
+        |  strftime(valid_to, '%Y-%m-%d') AS valid_to, is_current
+        |FROM (SELECT * FROM mapped UNION ALL SELECT * FROM opened) AS m
+        |ORDER BY key, valid_from, is_current""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.25), 6) AS p25,

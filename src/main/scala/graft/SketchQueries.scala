@@ -29,6 +29,11 @@ object SketchQueries {
   private val AcdRelErrBound = 0.15
   private val QuantilePs = Seq(0.25, 0.5, 0.75)
   private val QuantileAccuracy = 1000
+  private val CmsEps = 0.005
+  private val CmsConfidence = 0.99
+  private val CmsSeed = 42
+  /** Deterministic metadata-sized candidate key set for CMS probes. */
+  private val CmsKeyMod = 17
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // single-pass HLL++ distinct per group, verified against exact
@@ -50,6 +55,17 @@ object SketchQueries {
         .withColumn("within",
           abs(col("est") - col("exact")) <= lit(AcdRelErrBound) * col("exact"))
         .orderBy(col("event_type"))
+    }),
+
+    // count-min point-frequency estimates for a deterministic candidate
+    // key set, next to exact counts and the two CMS guarantees
+    // (no underestimate; overestimate ≤ eps·N at the sketch confidence)
+    "q_cms_freq" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Sketches.cmsChecked(ev, "user_id",
+          ev.where(pmod(col("user_id"), lit(CmsKeyMod)) === 0).select(col("user_id")),
+          CmsEps, CmsConfidence, CmsSeed)
+        .orderBy(col("key"))
     }),
 
     // GK approximate quantiles with a rank-error verdict per (group, p)
@@ -74,6 +90,10 @@ object SketchQueries {
     dump(Sketches.approxQuantilesChecked(ev, Seq("event_type"), "value",
         QuantilePs, QuantileAccuracy)
       .select(col("event_type"), col("p"), col("est")), "gk_est")
+    dump(Sketches.cmsChecked(ev, "user_id",
+        ev.where(pmod(col("user_id"), lit(CmsKeyMod)) === 0).select(col("user_id")),
+        CmsEps, CmsConfidence, CmsSeed)
+      .select(col("key"), col("est")), "cms_est")
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -99,6 +119,18 @@ object SketchQueries {
          |SELECT a.event_type, x.n_shards, a.est, x.exact,
          |  abs(a.est - x.exact) <= $AcdRelErrBound * x.exact AS within
          |FROM a JOIN x USING (event_type) ORDER BY a.event_type""".stripMargin,
+    // the dumped CMS estimate is judged against DuckDB's own exact
+    // count and total-N bound arithmetic
+    "q_cms_freq" ->
+      s"""WITH a AS (SELECT key, est
+         |           FROM read_parquet('{OUT}/_aux/cms_est/*.parquet')),
+         |x AS (SELECT user_id AS key, count(*) AS exact
+         |      FROM events WHERE user_id % $CmsKeyMod = 0 GROUP BY user_id),
+         |n AS (SELECT count(*) AS total FROM events WHERE user_id IS NOT NULL)
+         |SELECT a.key, a.est, x.exact,
+         |  a.est >= x.exact AS no_underestimate,
+         |  a.est <= x.exact + $CmsEps * n.total AS bound_ok
+         |FROM a JOIN x USING (key) CROSS JOIN n ORDER BY a.key""".stripMargin,
     // the rank of the dumped estimate within its group is recomputed
     // from the raw values; the GK guarantee |rank/n − p| ≤ ε + 1/n is
     // re-judged in DuckDB arithmetic

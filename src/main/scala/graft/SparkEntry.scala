@@ -20,9 +20,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ErQueries.queries ++ RelQueries.queries ++ TextQueries.queries ++
-      SimQueries.queries ++ SketchQueries.queries
+      SimQueries.queries ++ SketchQueries.queries ++ LayoutQueries.queries
 
   def oracleSql: Map[String, String] =
     ErQueries.oracleSql ++ RelQueries.oracleSql ++ TextQueries.oracleSql ++
-      SimQueries.oracleSql ++ SketchQueries.oracleSql
+      SimQueries.oracleSql ++ SketchQueries.oracleSql ++ LayoutQueries.oracleSql
 }

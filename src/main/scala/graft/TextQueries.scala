@@ -30,6 +30,8 @@ object TextQueries {
   private val SampleHexEn = "40"
   private val SampleHexRest = "c0"
   private val RepetitionMaxFrac = 0.6
+  private val Bm25Terms = Seq("spark", "merge", "window")
+  private val Bm25K = 20
 
   private def dedupBatch(c: DataFrame, b: Int): DataFrame =
     c.where(pmod(col("doc_id"), lit(IncDedupBatches)) === b)
@@ -100,6 +102,12 @@ object TextQueries {
           md5(col("text")).as("text_md5"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+
+    // Okapi BM25 keyword retrieval — top-k docs for a fixed term set;
+    // the oracle replays tokenize/tf/df/idf/score, ln() included
+    // (Retrieval.bm25Sql is generated from the same constants)
+    "q_bm25" -> ((s, dir) =>
+      graft.operators.Retrieval.bm25TopK(docs(s, dir), Bm25Terms, Bm25K)),
 
     // exact-dedup summary — md5 grouping, oracle-checked
     "q_exact_dedup" -> ((s, dir) => {
@@ -424,6 +432,7 @@ object TextQueries {
       """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
         |  count(*) - count(DISTINCT md5(text)) AS n_dup_rows
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_bm25" -> graft.operators.Retrieval.bm25Sql(Bm25Terms, Bm25K),
     "q_upsert" ->
       """WITH patched AS (
         |  SELECT doc_id, upper(text) AS text, lang, 'patched' AS source, n_chars

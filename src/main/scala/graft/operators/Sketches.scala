@@ -71,6 +71,42 @@ object Sketches {
     df.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_sketch_agg(col(valueCol))).as("est"))
 
+  /** Build a count-min sketch over `valueCol` (long keys) in ONE
+    * distributed pass — partials merge map-side, only the fixed
+    * (w·d counters) sketch reaches the driver. The CMS answers
+    * point-frequency queries for ANY key in O(1) with the one-sided
+    * guarantee est ≥ exact and est ≤ exact + eps·N (w.p. `confidence`)
+    * — heavy-hitter detection without a per-key groupBy state. */
+  def cmsBuild(df: DataFrame, valueCol: String, eps: Double,
+               confidence: Double, seed: Int): Array[Byte] =
+    df.agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence),
+      lit(seed)).as("s")).head().getAs[Array[Byte]](0)
+
+  /** Probe the sketch for each candidate key next to the exact count
+    * and the two CMS guarantee verdicts. `candidates` must be a
+    * metadata-sized key set (it is collected to probe the driver-held
+    * sketch — same residency class as a pruned file list); the exact
+    * side is the verification yardstick, dropped at production scale.
+    */
+  def cmsChecked(df: DataFrame, valueCol: String, candidates: DataFrame,
+                 eps: Double, confidence: Double, seed: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(cmsBuild(df, valueCol, eps, confidence, seed)))
+    val keys = candidates.select(col(candidates.columns.head).cast("long"))
+      .distinct().as[Long].collect().sorted
+    val est = keys.map(k => (k, cms.estimateCount(java.lang.Long.valueOf(k))))
+      .toSeq.toDF("key", "est")
+    val exact = df.groupBy(col(valueCol).cast("long").as("key"))
+      .agg(count(lit(1)).as("exact"))
+    val total = df.where(col(valueCol).isNotNull).count()
+    est.join(exact, Seq("key"), "left")
+      .na.fill(0L, Seq("exact"))
+      .withColumn("no_underestimate", col("est") >= col("exact"))
+      .withColumn("bound_ok", col("est") <= col("exact") + lit(eps * total))
+  }
+
   /** Per-group approximate quantiles with a rank-error verdict. For
     * each requested p, the Greenwald–Khanna sketch (`accuracy` = 1/ε)
     * guarantees the returned element's rank r satisfies

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout + file-level min/max skipping —
+  * the multi-dimensional clustering a 100 TB table needs so that
+  * selective filters on EITHER of two dimensions prune most files
+  * before any row is read.
+  *
+  * A single-dimension sort layout serves filters on its sort key and
+  * nothing else: a predicate on the second column scans every file. A
+  * z-order layout interleaves the bits of both (rank-normalized)
+  * dimensions, so rows that are close in ANY dimension land in few
+  * z-contiguous files; a file-level (min, max) index per dimension then
+  * prunes by simple interval overlap. This is the layout behind
+  * Delta/Iceberg `OPTIMIZE ZORDER BY` — re-expressed here as plain
+  * deterministic column arithmetic so the whole path (normalize →
+  * interleave → prefix-bucket → index → prune) is exactly replayable by
+  * the DuckDB oracle (no sampling-based range partitioner, whose
+  * boundaries are not reproducible cross-engine).
+  *
+  * Scale shape: normalization needs one tiny min/max agg per dimension
+  * (map-side-combined, O(1) rows out); z-value + file id are narrow
+  * per-row expressions (whole-stage codegen, zero shuffle); the write
+  * is `partitionBy(zfile)`; the index is one groupBy over file ids
+  * (output = #files rows, metadata-sized). Reads prune with a
+  * planning-time partition filter from the index — the only driver
+  * residency is the pruned FILE LIST, never row data.
+  */
+object ZOrder {
+
+  /** Bits kept per dimension after rank normalization. 2·bits total
+    * z-bits. 10 bits ⇒ 1024 cells per dim — plenty of resolution for
+    * any file count while keeping the interleave expression small. */
+  val DimBits = 10
+
+  /** z-file id = top `prefixBits` bits of the z-value: a Morton-curve
+    * tile. 6 ⇒ up to 64 files. */
+  val PrefixBits = 6
+
+  /** Exact integer division (BIGINT `div`, codegen'd) — NOT `/`, which
+    * casts to double and loses exactness past 2^53 at real key scales. */
+  private def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+
+  /** Normalize `x` (known inclusive range [mn, mx]) to [0, 2^bits). All
+    * integer arithmetic; deterministic; identical in DuckDB as
+    * `((x - mn) * (2^bits - 1)) // (mx - mn)`. */
+  def normalize(x: Column, mn: Column, mx: Column, bits: Int = DimBits): Column =
+    when(mx === mn, lit(0L)).otherwise(
+      idiv((x.cast("long") - mn) * lit((1L << bits) - 1), mx - mn))
+
+  /** Morton interleave of two already-normalized dims (x gets the even
+    * bit positions, y the odd). Pure shift/and/or builtins — one
+    * codegen'd expression, no UDF. */
+  def interleave(xn: Column, yn: Column, bits: Int = DimBits): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xn, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(yn, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** The DuckDB-side expression for [[interleave]] — generated from the
+    * same constants so the two engines cannot drift. `xn`/`yn` are SQL
+    * sub-expressions. */
+  def interleaveSql(xn: String, yn: String, bits: Int = DimBits): String =
+    (0 until bits).map { i =>
+      s"(((($xn >> $i) & 1) << ${2 * i}) | ((($yn >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString("(", " | ", ")")
+
+  /** Attach `zfile` (z-order tile id) for dims `x`, `y` whose global
+    * min/max have been precomputed (one O(1)-row agg — pass them in so
+    * callers can reuse a stats table instead of re-scanning). */
+  def withZFile(df: DataFrame, x: Column, y: Column,
+                xMin: Long, xMax: Long, yMin: Long, yMax: Long,
+                bits: Int = DimBits, prefixBits: Int = PrefixBits): DataFrame = {
+    val z = interleave(
+      normalize(x, lit(xMin), lit(xMax), bits),
+      normalize(y, lit(yMin), lit(yMax), bits), bits)
+    df.withColumn("zfile", shiftright(z, 2 * bits - prefixBits))
+  }
+
+  /** One (min, max, rows) index row per file id — the metadata table a
+    * reader prunes against. `fileCol` is any layout's file id. */
+  def minMaxIndex(df: DataFrame, fileCol: String, x: Column, y: Column): DataFrame =
+    df.groupBy(col(fileCol))
+      .agg(min(x).as("x_min"), max(x).as("x_max"),
+        min(y).as("y_min"), max(y).as("y_max"),
+        count(lit(1)).as("n_rows"))
+
+  /** File ids whose (min, max) envelope intersects the query box — the
+    * planning-time prune. Pass None for an unconstrained dimension. */
+  def overlappingFiles(index: DataFrame, fileCol: String,
+                       xRange: Option[(Long, Long)],
+                       yRange: Option[(Long, Long)]): DataFrame = {
+    val xOk = xRange.map { case (lo, hi) =>
+      col("x_max") >= lo && col("x_min") <= hi }.getOrElse(lit(true))
+    val yOk = yRange.map { case (lo, hi) =>
+      col("y_max") >= lo && col("y_min") <= hi }.getOrElse(lit(true))
+    index.where(xOk && yOk).select(col(fileCol))
+  }
+
+  /** Write `df` z-ordered on (x, y): one partition directory per
+    * z-tile. The directory layout IS the clustering — a pruned read
+    * turns the index's file list into a partition filter. */
+  def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,
+                    xMin: Long, xMax: Long, yMin: Long, yMax: Long): Unit =
+    withZFile(df, x, y, xMin, xMax, yMin, yMax)
+      .write.mode("overwrite").partitionBy("zfile").parquet(path)
+
+  /** Read only the z-tiles whose envelope intersects the box: consult
+    * the index (metadata-sized), collect the matching FILE IDS (driver
+    * residency = #files longs, never rows), and push them as a
+    * partition-pruning IN-filter on the scan. The residual predicate
+    * stays on top — the result is exactly the full-scan filter. */
+  def prunedRead(spark: SparkSession, path: String, index: DataFrame,
+                 xRange: Option[(Long, Long)], yRange: Option[(Long, Long)]): DataFrame = {
+    val files = overlappingFiles(index, "zfile", xRange, yRange)
+      .collect().map(_.getLong(0))
+    spark.read.parquet(path).where(col("zfile").isin(files: _*))
+  }
+}

@@ -60,6 +60,35 @@ class SketchesSpec extends AnyFunSuite {
       values.contains((r.getString(0), r.getAs[Double]("est")))))
   }
 
+  test("count-min estimates never underestimate and respect the eps·N bound") {
+    val cands = events.select(col("user_id")).distinct()
+    val rows = Sketches.cmsChecked(events, "user_id", cands,
+      eps = 0.005, confidence = 0.99, seed = 42).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("no_underestimate")),
+      "CMS underestimated a frequency — impossible by construction")
+    assert(rows.forall(_.getAs[Boolean]("bound_ok")))
+  }
+
+  test("count-min sketches are exactly mergeable: sum of per-shard sketches == one-pass sketch") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    def readCms(b: Array[Byte]) = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b))
+    val lo = Sketches.cmsBuild(events.where(col("event_id") % 2 === 0),
+      "user_id", 0.005, 0.99, 42)
+    val hi = Sketches.cmsBuild(events.where(col("event_id") % 2 =!= 0),
+      "user_id", 0.005, 0.99, 42)
+    val full = readCms(Sketches.cmsBuild(events, "user_id", 0.005, 0.99, 42))
+    val merged = readCms(lo)
+    merged.mergeInPlace(readCms(hi))
+    import spark.implicits._
+    val keys = events.select(col("user_id")).distinct().as[Long].collect()
+    keys.foreach { k =>
+      assert(merged.estimateCount(java.lang.Long.valueOf(k)) ==
+        full.estimateCount(java.lang.Long.valueOf(k)),
+        s"merge changed the estimate for key $k")
+    }
+  }
+
   test("sketch aggregation plans are single-pass with map-side partials (no distinct expand)") {
     import org.apache.spark.sql.execution.FormattedMode
     val s = Sketches.hllDirectEstimate(events, Seq("event_type"), "event_id")

@@ -60,4 +60,76 @@ class UpsertSpec extends AnyFunSuite {
     val expected = docs.where(col("lang") === "es").count()
     assert(q.count() == expected)
   }
+
+  // ---- SCD type-2 -------------------------------------------------------
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+
+  private def dim1 = {
+    import spark.implicits._
+    Seq(
+      (1L, "a", ts("2020-01-01"), Option.empty[java.sql.Timestamp], true),
+      (2L, "b", ts("2020-01-01"), Option.empty[java.sql.Timestamp], true),
+      (3L, "c", ts("2019-01-01"), Option(ts("2020-01-01")), false), // history
+      (3L, "c2", ts("2020-01-01"), Option.empty[java.sql.Timestamp], true))
+      .toDF("key", "attr", "valid_from", "valid_to", "is_current")
+  }
+
+  test("scd2Merge closes changed rows, opens new versions, passes no-ops and history through") {
+    import spark.implicits._
+    val updates = Seq(
+      (1L, "a9", ts("2021-06-01")), // changed → close + open
+      (2L, "b", ts("2021-06-01")),  // identical → no-op
+      (9L, "z", ts("2021-06-01"))) // new key → first open version
+      .toDF("key", "attr", "uts")
+    val got = graft.operators.Upsert.scd2Merge(dim1, updates, "key", Seq("attr"), "uts")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect().toSet
+    assert(got == Set(
+      (1L, "a", ts("2020-01-01"), Some(ts("2021-06-01")), false),
+      (1L, "a9", ts("2021-06-01"), None, true),
+      (2L, "b", ts("2020-01-01"), None, true),
+      (3L, "c", ts("2019-01-01"), Some(ts("2020-01-01")), false),
+      (3L, "c2", ts("2020-01-01"), None, true),
+      (9L, "z", ts("2021-06-01"), None, true)))
+  }
+
+  test("scd2Merge invariants survive chained merges: one open row per key, contiguous intervals") {
+    import spark.implicits._
+    val u1 = Seq((1L, "a9", ts("2021-01-01")), (9L, "z", ts("2021-01-01"))).toDF("key", "attr", "uts")
+    val u2 = Seq((1L, "a10", ts("2022-01-01")), (9L, "z", ts("2022-01-01"))).toDF("key", "attr", "uts")
+    val m2 = graft.operators.Upsert.scd2Merge(
+      graft.operators.Upsert.scd2Merge(dim1, u1, "key", Seq("attr"), "uts"),
+      u2, "key", Seq("attr"), "uts").persist()
+    // exactly one open version per key
+    val openCounts = m2.where(col("is_current"))
+      .groupBy(col("key")).count().where(col("count") =!= 1).count()
+    assert(openCounts == 0)
+    // open rows have null valid_to; closed rows don't
+    assert(m2.where(col("is_current") && col("valid_to").isNotNull).count() == 0)
+    assert(m2.where(!col("is_current") && col("valid_to").isNull).count() == 0)
+    // key 1 history: 2020→2021 closed, 2021→2022 closed, 2022 open
+    val k1 = m2.where(col("key") === 1).orderBy(col("valid_from"))
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect()
+    assert(k1.map(_._2).toSeq == Seq("a", "a9", "a10"))
+    // contiguity: each close ts equals the next version's valid_from
+    k1.sliding(2).foreach { case Array(prev, next) =>
+      assert(prev._4.contains(next._3), s"gap between $prev and $next") }
+    // 9's second identical update was a no-op
+    assert(m2.where(col("key") === 9).count() == 1)
+    m2.unpersist()
+  }
+
+  test("scd2Merge classifies via ONE broadcast join of the update batch") {
+    import org.apache.spark.sql.execution.FormattedMode
+    import spark.implicits._
+    val updates = Seq((1L, "a9", ts("2021-06-01"))).toDF("key", "attr", "uts")
+    val plan = graft.operators.Upsert.scd2Merge(dim1, updates, "key", Seq("attr"), "uts")
+      .queryExecution.explainString(FormattedMode)
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 1, s"expected the update batch broadcast\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"SCD-2 merge must not shuffle the dimension for a patch batch\n$plan")
+  }
 }
