@@ -25,6 +25,10 @@ object LayoutQueries {
   private val Boxes: Seq[(String, Boolean, Boolean)] =
     Seq(("xy", true, true), ("x", true, false), ("y", false, true))
 
+  /** Point-lookup key for the bloom-index query (an order present at
+    * every SF — orderkeys start at 0). */
+  private val BloomLookupKey = 42L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // z-order vs single-dim-sort layout: per-file min/max index pruning
     // stats for a 2-D box, an x-only and a y-only predicate. The
@@ -69,6 +73,31 @@ object LayoutQueries {
       rows.reduce(_ unionByName _).orderBy(col("layout"), col("box"))
     }),
 
+    // per-tile bloom sidecar over a NON-layout column: the layout
+    // serves (part, supplier) analytics; the bloom serves "this
+    // order's lines" point lookups — an order's few lines scatter into
+    // few tiles, so most files prune. No false negatives, so the
+    // result is EXACTLY the plain filter — which is what the oracle
+    // computes. The pruning level itself is asserted in ZOrderSpec
+    // (bloom bits aren't cross-engine reproducible)
+    "q_bloom_index" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey").cast("long").as("x"),
+          col("l_suppkey").cast("long").as("y"),
+          col("l_orderkey"), col("l_linenumber"))
+      val st = li.agg(min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head()
+      val zfiled = ZOrder.withZFile(li, col("x"), col("y"),
+        st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3)).persist()
+      val idx = ZOrder.bloomIndex(zfiled, "zfile", "l_orderkey",
+        expectedPerFile = 65536L)
+      val files = ZOrder.bloomPrunedFiles(idx, "zfile", BloomLookupKey)
+      zfiled.where(col("zfile").isin(files: _*) &&
+          col("l_orderkey") === BloomLookupKey)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("x").as("l_partkey"), col("y").as("l_suppkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    }),
+
     // one-scan data-quality suite + the shuffle-bearing checks
     // (composite-key uniqueness — genuinely violated in this data —
     // and referential integrity)
@@ -94,6 +123,12 @@ object LayoutQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_zorder_skipping" -> zorderSql,
+    "q_bloom_index" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(l_partkey AS BIGINT) AS l_partkey,
+         |  CAST(l_suppkey AS BIGINT) AS l_suppkey
+         |FROM lineitem WHERE l_orderkey = $BloomLookupKey
+         |ORDER BY l_linenumber, l_partkey, l_suppkey""".stripMargin,
     "q_dq_checks" ->
       """WITH row_checks AS (
         |  SELECT 'complete_l_orderkey' AS check_name, round(avg(CASE WHEN l_orderkey IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS metric, true AS needs_full FROM lineitem

@@ -114,8 +114,71 @@ object ZOrder {
     * stays on top — the result is exactly the full-scan filter. */
   def prunedRead(spark: SparkSession, path: String, index: DataFrame,
                  xRange: Option[(Long, Long)], yRange: Option[(Long, Long)]): DataFrame = {
+    // getAs[Number]: an index computed over a partitioned READ sees the
+    // path-inferred int zfile, one computed before the write sees long
     val files = overlappingFiles(index, "zfile", xRange, yRange)
-      .collect().map(_.getLong(0))
-    spark.read.parquet(path).where(col("zfile").isin(files: _*))
+      .collect().map(_.getAs[Number](0).longValue)
+    spark.read.parquet(path).where(col("zfile").isin(files.toIndexedSeq: _*))
+  }
+
+  /** Append a new batch into an EXISTING z layout using the layout's
+    * ORIGINAL stats — incremental maintenance without re-clustering.
+    * Out-of-range values clamp to the boundary tiles (the layout
+    * stays valid because the file index is recomputed from actual
+    * row min/max, which may now exceed the normalization envelope);
+    * re-cluster with fresh stats when drift makes boundary tiles hot.
+    * This is the OPTIMIZE-ZORDER maintenance split: cheap clamped
+    * appends between full rewrites. */
+  def appendZOrdered(df: DataFrame, path: String, x: Column, y: Column,
+                     xMin: Long, xMax: Long, yMin: Long, yMax: Long): Unit = {
+    val cx = least(greatest(x.cast("long"), lit(xMin)), lit(xMax))
+    val cy = least(greatest(y.cast("long"), lit(yMin)), lit(yMax))
+    withZFile(df.withColumn("__cx", cx).withColumn("__cy", cy),
+      col("__cx"), col("__cy"), xMin, xMax, yMin, yMax)
+      .drop("__cx", "__cy")
+      .write.mode("append").partitionBy("zfile").parquet(path)
+  }
+
+  /** Per-tile bloom sidecar over a NON-layout column: point lookups on
+    * `keyCol` prune files the min/max envelope cannot (the envelope
+    * serves the layout dims; the bloom serves everything else). One
+    * distributed aggregation; the index is #files rows of a few KB
+    * each — the same metadata class as the min/max index. */
+  def bloomIndex(df: DataFrame, fileCol: String, keyCol: String,
+                 expectedPerFile: Long, fpp: Double = 0.01): DataFrame = {
+    BloomJoin.register(df.sparkSession)
+    df.groupBy(col(fileCol))
+      .agg(call_function("graft_bloom_agg", col(keyCol),
+        lit(expectedPerFile),
+        lit(BloomJoin.optimalNumBits(expectedPerFile, fpp))).as("bloom"))
+  }
+
+  /** File ids whose bloom might contain `value` — no false negatives,
+    * so a read over these files then filtered on `keyCol = value` is
+    * EXACTLY the full-scan filter. The membership test runs
+    * driver-side over the collected index (metadata-sized by
+    * construction; Spark's `might_contain` expression only accepts a
+    * CONSTANT bloom, which fits the planner-injected runtime-filter
+    * use, not a per-file sidecar). Hash = the same seeded XxHash64 the
+    * aggregate inserted. */
+  def bloomPrunedFiles(index: DataFrame, fileCol: String, value: Long): Seq[Long] = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      java.lang.Long.valueOf(value), org.apache.spark.sql.types.LongType, 42L)
+    index.select(col(fileCol), col("bloom")).collect().toIndexedSeq
+      .filter { r =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+          .mightContainLong(h)
+      }
+      .map(_.getAs[Number](0).longValue)
+  }
+
+  /** Point-lookup read path: bloom-prune the file list (metadata), read
+    * the surviving partitions, apply the exact predicate on top. */
+  def pointRead(spark: SparkSession, path: String, index: DataFrame,
+                keyCol: String, value: Long): DataFrame = {
+    val files = bloomPrunedFiles(index, "zfile", value)
+    spark.read.parquet(path)
+      .where(col("zfile").isin(files: _*) && col(keyCol) === value)
   }
 }

@@ -82,4 +82,51 @@ class ZOrderSpec extends AnyFunSuite {
     val nRead = ZOrder.overlappingFiles(index, "zfile", xr, yr).count()
     assert(nRead < nAll / 4, s"box read $nRead of $nAll partitions — not selective")
   }
+
+  test("bloom sidecar prunes files for a point lookup; read ≡ plain filter") {
+    // layout on (partkey, suppkey); bloom sidecar on the NON-layout
+    // high-cardinality l_orderkey — an order's ~4 lines land in few of
+    // the 64 tiles, so the bloom prunes most files
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey").cast("long").as("x"),
+        col("l_suppkey").cast("long").as("y"), col("l_orderkey"))
+    val r = li.agg(min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head()
+    val zfiled = ZOrder.withZFile(li, col("x"), col("y"),
+      r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)).persist()
+    val idx = ZOrder.bloomIndex(zfiled, "zfile", "l_orderkey", expectedPerFile = 512L)
+    val nAll = idx.count()
+    val kept = ZOrder.bloomPrunedFiles(idx, "zfile", 42L)
+    assert(kept.length * 2 < nAll, s"bloom pruned too little (${kept.length}/$nAll)")
+    // no false negatives: every row with the key lives in a kept file
+    val missed = zfiled.where(col("l_orderkey") === 42L &&
+      !col("zfile").isin(kept: _*)).count()
+    assert(missed == 0, "bloom dropped a file containing the key")
+    // and the pruned result is exactly the plain filter
+    val pruned = zfiled.where(col("zfile").isin(kept: _*) && col("l_orderkey") === 42L)
+    assert(pruned.count() == li.where(col("l_orderkey") === 42L).count())
+    zfiled.unpersist()
+  }
+
+  test("appendZOrdered clamps out-of-range rows into boundary tiles; pruned read stays exact") {
+    import spark.implicits._
+    val (xmn, xmx, ymn, ymx) = st
+    val root = java.nio.file.Files.createTempDirectory("graft_zappend").toString
+    ZOrder.writeZOrdered(pts, root, col("x"), col("y"), xmn, xmx, ymn, ymx)
+    // a late batch with keys beyond the original envelope
+    val late = Seq((xmx + 100L, ymx + 500L, 99, 1.0), (xmn - 5L, ymn, 98, 2.0))
+      .toDF("x", "y", "l_linenumber", "l_quantity")
+    ZOrder.appendZOrdered(late, root, col("x"), col("y"), xmn, xmx, ymn, ymx)
+
+    val all = spark.read.parquet(root)
+    assert(all.count() == pts.count() + 2)
+    // the index is recomputed from ACTUAL row min/max, so it still
+    // covers the clamped rows' true values and pruning loses nothing
+    val index = ZOrder.minMaxIndex(all, "zfile", col("x"), col("y"))
+    val xr = Some((xmx - 10L, xmx + 200L)) // touches the appended range
+    val pruned = ZOrder.prunedRead(spark, root, index, xr, None)
+      .where(col("x") >= xr.get._1 && col("x") <= xr.get._2)
+    val full = all.where(col("x") >= xr.get._1 && col("x") <= xr.get._2)
+    assert(pruned.count() == full.count() && full.count() >= 1)
+    assert(pruned.select(col("x"), col("y")).except(full.select(col("x"), col("y"))).isEmpty)
+  }
 }
