@@ -1,15 +1,16 @@
 package graft
 
-import graft.operators.{QualityChecks, ZOrder}
+import graft.operators.{IncrementalAgg, QualityChecks, TableDiff, ZOrder}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Data-layout and data-quality coverage: z-order multi-dimensional
-  * file skipping and the single-pass constraint-validation suite. Both
-  * are pure deterministic relational algebra, so the DuckDB oracle
-  * replays every derivation (the z-value bit interleave SQL is
-  * GENERATED from the same constants as the Scala expression — one
-  * definition, two engines).
+/** Data-layout, data-quality, and table-maintenance coverage: z-order
+  * multi-dimensional file skipping, the single-pass constraint
+  * validation suite, snapshot diff (CDC), and incremental aggregate
+  * maintenance. All pure deterministic relational algebra, so the
+  * DuckDB oracle replays every derivation (the z-value bit interleave
+  * SQL is GENERATED from the same constants as the Scala expression —
+  * one definition, two engines).
   */
 object LayoutQueries {
 
@@ -98,6 +99,39 @@ object LayoutQueries {
         .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
     }),
 
+    // snapshot diff (CDC): deterministic mutations of the documents
+    // table classified as insert/update/delete via narrow
+    // (key, row-hash) streams — the engine compares hashes, the oracle
+    // replays the mutation rules directly; both must agree exactly
+    "q_table_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newSnap = docs.where(pmod(col("doc_id"), lit(13)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0, upper(col("text")))
+            .otherwise(col("text")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(11)) === 3)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      TableDiff.diff(docs, newSnap, Seq("doc_id"))
+        .orderBy(col("doc_id"), col("op"))
+    }),
+
+    // incremental exact-aggregate maintenance: state over 3/4 of the
+    // events ⊕ the remaining delta == one aggregation over everything
+    // (count/decimal-sum monoids — the oracle computes the full agg)
+    "q_incr_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val state = IncrementalAgg.aggregate(
+        ev.where(pmod(col("event_id"), lit(4)) =!= 0), Seq("event_type"), Seq("value"))
+      val deltaAgg = IncrementalAgg.aggregate(
+        ev.where(pmod(col("event_id"), lit(4)) === 0), Seq("event_type"), Seq("value"))
+      IncrementalAgg.withAvg(
+          IncrementalAgg.merge(state, deltaAgg, Seq("event_type"), Seq("value")),
+          Seq("value"))
+        .select(col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value"), col("avg_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // one-scan data-quality suite + the shuffle-bearing checks
     // (composite-key uniqueness — genuinely violated in this data —
     // and referential integrity)
@@ -129,6 +163,23 @@ object LayoutQueries {
          |  CAST(l_suppkey AS BIGINT) AS l_suppkey
          |FROM lineitem WHERE l_orderkey = $BloomLookupKey
          |ORDER BY l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    // the oracle replays the mutation RULES; the engine must reach the
+    // same classification through its row-hash compare
+    "q_table_diff" ->
+      """SELECT doc_id, 'delete' AS op FROM documents WHERE doc_id % 13 = 0
+        |UNION ALL
+        |SELECT doc_id, 'update' FROM documents
+        |WHERE doc_id % 13 <> 0 AND doc_id % 7 = 0 AND upper(text) <> text
+        |UNION ALL
+        |SELECT doc_id + 100000, 'insert' FROM documents WHERE doc_id % 11 = 3
+        |ORDER BY doc_id, op""".stripMargin,
+    // the oracle aggregates the FULL events table in one pass — the
+    // incremental state ⊕ delta must equal it exactly (decimal monoid)
+    "q_incr_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_dq_checks" ->
       """WITH row_checks AS (
         |  SELECT 'complete_l_orderkey' AS check_name, round(avg(CASE WHEN l_orderkey IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS metric, true AS needs_full FROM lineitem
