@@ -106,6 +106,24 @@ object RelQueries {
       li.intersect(big).except(cheap).orderBy(col("k"))
     }),
 
+    // JSON scalar functions: parse the props column with an explicit
+    // schema (from_json → struct field), aggregate the extracted value
+    // — the semi-structured half of the scalar surface. Parsing runs
+    // map-side inside codegen; only (type, k) reaches the aggregate
+    "q_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // scalar functions: date parts, string ops, math — grouped counts
     "q_scalars" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -356,6 +374,12 @@ object RelQueries {
         |  upper(substring(o_orderpriority, 1, 1)) AS prio,
         |  o_totalprice > 100000.0 AS is_big, count(*) AS n
         |FROM orders GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_topk_per_group" ->
       """SELECT l_suppkey, l_partkey, qty, rk FROM (
         |  SELECT l_suppkey, l_partkey, qty,

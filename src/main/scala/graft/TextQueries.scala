@@ -32,6 +32,7 @@ object TextQueries {
   private val RepetitionMaxFrac = 0.6
   private val Bm25Terms = Seq("spark", "merge", "window")
   private val Bm25K = 20
+  private val SampleExactK = 20
 
   private def dedupBatch(c: DataFrame, b: Int): DataFrame =
     c.where(pmod(col("doc_id"), lit(IncDedupBatches)) === b)
@@ -68,6 +69,20 @@ object TextQueries {
           when(col("lang") === "en", lit(SampleHexEn)).otherwise(lit(SampleHexRest)))
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // exact-k deterministic per-stratum sample: the k docs with the
+    // smallest seeded hash per lang — unlike the threshold sample, the
+    // stratum size is EXACT; still zero RNG state, retry/resume-stable,
+    // and the oracle reproduces the selection identically
+    "q_sample_exact_k" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("ks:"), col("doc_id").cast("string"))), col("doc_id"))
+      docs(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= SampleExactK)
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
     }),
 
     // Gopher-style repetition quality filter: duplicate-word fraction
@@ -447,6 +462,13 @@ object TextQueries {
         |  UNION ALL SELECT * FROM upd)
         |SELECT doc_id, lang, source, md5(text) AS text_md5, n_chars
         |FROM merged ORDER BY doc_id""".stripMargin,
+    "q_sample_exact_k" ->
+      s"""SELECT lang, doc_id, CAST(row_number() OVER w AS INT) AS rk
+         |FROM documents
+         |WINDOW w AS (PARTITION BY lang
+         |             ORDER BY md5('ks:' || CAST(doc_id AS VARCHAR)), doc_id)
+         |QUALIFY rk <= $SampleExactK
+         |ORDER BY lang, rk""".stripMargin,
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE substring(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 2) <
