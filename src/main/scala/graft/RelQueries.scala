@@ -236,6 +236,30 @@ object RelQueries {
         .orderBy(col("gid"), col("lang"), col("source"))
     }),
 
+    // cube: all 2^k grouping-set combinations (rollup's superset —
+    // adds the (·, source) marginal), disambiguated by grouping_id
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("lang"), col("source"))
+    }),
+
+    // time-RANGE window frame: per-user moving 1-hour event-value sum
+    // ordered by event time — RANGE semantics (all rows within the
+    // interval, not a fixed row count), decimal-exact
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"))
+        .rangeBetween(-WindowRangeSec, 0)
+      t(s, dir, "events")
+        .withColumn("ts_sec", unix_timestamp(col("ts")))
+        .withColumn("moving_sum",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("user_id"), col("event_id"), col("moving_sum"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // unpivot (melt): the inverse reshape — unpivot(pivot(events)) must
     // equal the plain groupBy, which is exactly what the oracle
     // computes (the roundtrip IS the check). Null cells (user never did
@@ -322,6 +346,7 @@ object RelQueries {
   /** q_sessions gap — ONE definition for the Scala query and the
     * interpolated oracle SQL. */
   private val SessionGapSec = 1800L
+  private val WindowRangeSec = 3600L
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -457,6 +482,18 @@ object RelQueries {
         |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
         |FROM documents GROUP BY ROLLUP(lang, source)
         |ORDER BY gid, lang, source""".stripMargin,
+    "q_cube" ->
+      """SELECT lang, source, count(*) AS n,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
+        |FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY gid, lang, source""".stripMargin,
+    "q_window_range" ->
+      s"""SELECT user_id, event_id,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+         |    PARTITION BY user_id ORDER BY epoch(ts)
+         |    RANGE BETWEEN $WindowRangeSec PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS moving_sum
+         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q_bloom_join" ->
       """SELECT l_orderkey, l_linenumber, p_partkey, p_size
         |FROM lineitem JOIN part ON l_partkey = p_partkey
