@@ -50,6 +50,32 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(s.contains("xxhash64"), "hash projection missing")
   }
 
+  test("randomized differential: diff matches an in-memory reference model across seeds") {
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val oldRows = (0 until 300).map(i => (i.toLong, rnd.nextInt(5).toString, rnd.nextInt(100)))
+      // mutate: ~1/5 deleted, ~1/5 updated, ~1/10 new keys
+      val kept = oldRows.filterNot(_ => rnd.nextInt(5) == 0)
+      val mutated = kept.map { case (id, v, n) =>
+        if (rnd.nextInt(5) == 0) (id, v + "x", n) else (id, v, n)
+      }
+      val inserted = (0 until 30).map(i => (1000L + i, "new", i))
+      val newRows = mutated ++ inserted
+      // reference model: plain Scala maps
+      val om = oldRows.map(r => r._1 -> ((r._2, r._3))).toMap
+      val nm = newRows.map(r => r._1 -> ((r._2, r._3))).toMap
+      val expect =
+        nm.collect { case (k, v) if !om.contains(k) => k -> "insert"
+                     case (k, v) if om(k) != v => k -> "update" } ++
+        om.collect { case (k, _) if !nm.contains(k) => k -> "delete" }
+      val got = TableDiff.diff(
+          oldRows.toDF("id", "v", "n"), newRows.toDF("id", "v", "n"), Seq("id"))
+        .as[(Long, String)].collect().toMap
+      assert(got == expect.toMap, s"seed $seed")
+    }
+  }
+
   // ---- IncrementalAgg ---------------------------------------------------
 
   private def stateFor(pred: org.apache.spark.sql.Column) =
