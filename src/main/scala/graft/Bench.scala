@@ -64,6 +64,13 @@ object Bench {
       try { TextQueries.warmStreamDedup(spark, sfDir); true } catch { case _: Throwable => false }
     val dstreamSec = (System.nanoTime() - tDStream) / 1e9
 
+    // and the frozen Datasketches estimate tables (five q_theta_*/q_kll_*/
+    // q_freq_* queries read them; the one-time build is its own line)
+    val tDs = System.nanoTime()
+    val dsOk =
+      try { DsSketchQueries.warm(spark, sfDir); true } catch { case _: Throwable => false }
+    val dsSec = (System.nanoTime() - tDs) / 1e9
+
     // A failed query reports elapsed -1 so breakage is visible in the
     // JSON instead of silently polluting the totals.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -86,7 +93,8 @@ object Bench {
         s""","bstream_build_ok":$bstreamOk,"edit_scripts_build_sec":$opsSec""" +
         s""","edit_scripts_build_ok":$opsOk,"semdedup_build_sec":$semSec""" +
         s""","semdedup_build_ok":$semOk,"dstream_build_sec":$dstreamSec""" +
-        s""","dstream_build_ok":$dstreamOk,"failed":${failed.mkString("[", ",", "]")}""" +
+        s""","dstream_build_ok":$dstreamOk,"dsketch_build_sec":$dsSec""" +
+        s""","dsketch_build_ok":$dsOk,"failed":${failed.mkString("[", ",", "]")}""" +
         s""","pairs_scored":${scoring.pairs}""" +
         s""","score_wall_sec":${scoring.wallSec},"pairs_per_sec":${scoring.pairsPerSec}""" +
         s""","dp_cells_per_sec":${scoring.cellsPerSec}}""")

@@ -1,0 +1,261 @@
+package graft
+
+import graft.operators.DsSketches
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Datasketches-library sketch coverage: theta set algebra, mergeable
+  * KLL quantile tables, Misra–Gries heavy hitters — over the events
+  * table.
+  *
+  * Oracle pattern (same as SketchQueries): estimates cannot be
+  * recomputed cross-engine, so each query emits the estimate NEXT TO
+  * independently recomputable columns and a bound verdict; the DuckDB
+  * oracle takes the DUMPED estimate/bounds as given, recomputes the
+  * exact side from the base table, and re-judges the verdict.
+  *
+  * Determinism: KLL compaction is randomized and Misra–Gries eviction
+  * is arrival-order-dependent, so re-evaluating the same aggregation
+  * can produce different (in-bounds) estimates. Production persists a
+  * sketch table once and reads bytes thereafter; here [[frozen]] mirrors
+  * that by materializing each estimate table exactly once per (session,
+  * sf-dir) — the query result and the aux dump are the SAME rows, so
+  * the driver's hash compare sees one consistent build. The frozen
+  * tables are metadata-sized by construction (≤ #groups·#ps rows of a
+  * few KB), the same driver-residency class as a collected file index.
+  */
+object DsSketchQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** ONE definition each for Scala queries and interpolated oracle SQL. */
+  private val QuantilePs = Seq(0.25, 0.5, 0.75)
+  private val KllEps = DsSketches.kllRankEps()
+  /** Skewed heavy-hitter key: bucket 10 absorbs every user with
+    * user_id % 100 ≥ 10 (~90 % of rows) so eviction + the error bounds
+    * genuinely engage at FreqMapSize = 8 < 11 distinct keys. */
+  private val FreqKeySql = "least(user_id % 100, 10)"
+  private def freqKey = least(col("user_id") % 100, lit(10)).cast("long")
+
+  // ---- frozen (build-once) estimate tables --------------------------------
+
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+  private def frozen(s: SparkSession, dir: String, key: String)
+                    (build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, dir, key), {
+      val df = build
+      val rows = java.util.Arrays.asList(df.collect(): _*)
+      s.createDataFrame(rows, df.schema)
+    })
+
+  private val freqMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[Byte]]
+  private def freqBytes(s: SparkSession, dir: String): Array[Byte] =
+    freqMemo.getOrElseUpdate((s, dir),
+      DsSketches.freqSketch(t(s, dir, "events"), freqKey))
+
+  private def setopsEst(s: SparkSession, dir: String): DataFrame =
+    frozen(s, dir, "theta_setops") {
+      DsSketches.thetaCohortSetOps(t(s, dir, "events"), "event_type", "user_id")
+    }
+
+  private def mergeEst(s: SparkSession, dir: String): DataFrame =
+    frozen(s, dir, "theta_merge") {
+      DsSketches.thetaMergeEstimate(
+        DsSketches.thetaPartials(t(s, dir, "events"), Seq("event_type"),
+          to_date(col("ts")), "user_id"),
+        Seq("event_type"))
+    }
+
+  private def kllEst(s: SparkSession, dir: String): DataFrame =
+    frozen(s, dir, "kll_est") {
+      DsSketches.kllMergedQuantiles(
+        DsSketches.kllPartials(t(s, dir, "events"), Seq("event_type"),
+          to_date(col("ts")), "value"),
+        Seq("event_type"), QuantilePs)
+    }
+
+  private def freqItemsEst(s: SparkSession, dir: String): DataFrame =
+    frozen(s, dir, "freq_items") {
+      DsSketches.freqItems(s, freqBytes(s, dir)).orderBy(col("item"))
+    }
+
+  // ---- queries ------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // theta set algebra per cohort pair: union / intersection / A-not-B
+    // estimates next to exact set-algebra counts and ±2σ bound verdicts
+    "q_theta_setops" -> ((s, dir) => {
+      val est = setopsEst(s, dir)
+      val sets = t(s, dir, "events")
+        .select(col("event_type").as("tt"), col("user_id").as("u")).distinct()
+      val pj = est.select(col("cohort_a"), col("cohort_b"))
+        .join(sets, col("tt") === col("cohort_a") || col("tt") === col("cohort_b"))
+        .groupBy(col("cohort_a"), col("cohort_b"), col("u"))
+        .agg(max(when(col("tt") === col("cohort_a"), 1).otherwise(0)).as("ina"),
+          max(when(col("tt") === col("cohort_b"), 1).otherwise(0)).as("inb"))
+      val exact = pj.groupBy(col("cohort_a"), col("cohort_b"))
+        .agg(count(lit(1)).as("exact_union"),
+          count(when(col("ina") === 1 && col("inb") === 1, 1)).as("exact_intersect"),
+          count(when(col("ina") === 1 && col("inb") === 0, 1)).as("exact_diff"))
+      est.join(exact, Seq("cohort_a", "cohort_b"))
+        .select(col("cohort_a"), col("cohort_b"),
+          col("est_union"), col("est_intersect"), col("est_diff"),
+          col("exact_union"), col("exact_intersect"), col("exact_diff"),
+          (col("lb_union") <= col("exact_union") &&
+            col("exact_union") <= col("ub_union")).as("union_ok"),
+          (col("lb_intersect") <= col("exact_intersect") &&
+            col("exact_intersect") <= col("ub_intersect")).as("intersect_ok"),
+          (col("lb_diff") <= col("exact_diff") &&
+            col("exact_diff") <= col("ub_diff")).as("diff_ok"))
+        .orderBy(col("cohort_a"), col("cohort_b"))
+    }),
+
+    // theta sketch table: per-(type, day) partials merged back to one
+    // estimate per type — only sketches cross the second exchange
+    "q_theta_merge" -> ((s, dir) => {
+      val exact = t(s, dir, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact"))
+      mergeEst(s, dir).join(exact, "event_type")
+        .select(col("event_type"), col("n_shards"), col("est"), col("exact"),
+          (col("lb") <= col("exact") && col("exact") <= col("ub")).as("within"))
+        .orderBy(col("event_type"))
+    }),
+
+    // mergeable KLL quantiles (per-(type, day) partials → merged) with a
+    // rank-error verdict per (group, p) recomputed from the raw rows
+    "q_kll_quantiles" -> ((s, dir) => {
+      DsSketches.rankCheck(t(s, dir, "events"), kllEst(s, dir),
+          Seq("event_type"), "value", KllEps)
+        .orderBy(col("event_type"), col("p"))
+    }),
+
+    // Misra–Gries heavy hitters: every reported item next to its exact
+    // count and the deterministic lb ≤ exact ≤ ub verdict
+    "q_freq_items" -> ((s, dir) => {
+      val exact = t(s, dir, "events").groupBy(freqKey.as("item"))
+        .agg(count(lit(1)).as("exact"))
+      freqItemsEst(s, dir).join(exact, Seq("item"), "left")
+        .na.fill(0L, Seq("exact"))
+        .select(col("item"), col("est"), col("lb"), col("ub"), col("exact"),
+          (col("lb") <= col("exact") && col("exact") <= col("ub")).as("bounds_ok"))
+        .orderBy(col("item"))
+    }),
+
+    // NO_FALSE_NEGATIVES completeness: no key with true count above the
+    // sketch's maxError may be missing from the reported item set
+    "q_freq_complete" -> ((s, dir) => {
+      val threshold = DsSketches.freqMaxError(freqBytes(s, dir))
+      val x = t(s, dir, "events").groupBy(freqKey.as("k"))
+        .agg(count(lit(1)).as("c"))
+      val joined = x.join(
+        freqItemsEst(s, dir).select(col("item").as("k"), lit(1).as("present")),
+        Seq("k"), "left")
+      joined.agg(
+          count(when(col("c") > threshold, 1)).as("n_heavy"),
+          count(when(col("c") > threshold && col("present").isNull, 1)).as("n_missed"))
+        .select(lit(threshold).as("threshold"), col("n_heavy"), col("n_missed"),
+          (col("n_missed") === 0).as("complete_ok"))
+    })
+  )
+
+  /** Build every frozen estimate table (Bench calls this before the
+    * sweep so sketch-query lines time reads, not the one-time build). */
+  def warm(spark: SparkSession, sfDir: String): Unit = {
+    setopsEst(spark, sfDir); mergeEst(spark, sfDir); kllEst(spark, sfDir)
+    freqItemsEst(spark, sfDir); freqBytes(spark, sfDir); ()
+  }
+
+  /** Estimate-bearing tables the oracle reads back (it cannot recompute
+    * a sketch, only judge one). Same frozen instances the queries use. */
+  def dumpAux(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    def dump(df: DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/$name")
+    import spark.implicits._
+    dump(setopsEst(spark, sfDir), "ds_theta_setops")
+    dump(mergeEst(spark, sfDir), "ds_theta_merge")
+    dump(kllEst(spark, sfDir), "ds_kll_est")
+    dump(freqItemsEst(spark, sfDir), "ds_freq_items")
+    dump(Seq(DsSketches.freqMaxError(freqBytes(spark, sfDir)))
+      .toDF("threshold"), "ds_freq_threshold")
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    // est/lb/ub are taken from the dump; the three exact set-algebra
+    // counts and all verdicts are DuckDB's own
+    "q_theta_setops" ->
+      s"""WITH a AS (SELECT * FROM read_parquet('{OUT}/_aux/ds_theta_setops/*.parquet')),
+         |s AS (SELECT DISTINCT event_type AS tt, user_id AS u FROM events),
+         |pj AS (
+         |  SELECT a.cohort_a, a.cohort_b, s.u,
+         |    max(CASE WHEN s.tt = a.cohort_a THEN 1 ELSE 0 END) AS ina,
+         |    max(CASE WHEN s.tt = a.cohort_b THEN 1 ELSE 0 END) AS inb
+         |  FROM a JOIN s ON s.tt IN (a.cohort_a, a.cohort_b)
+         |  GROUP BY 1, 2, 3),
+         |x AS (
+         |  SELECT cohort_a, cohort_b,
+         |    count(*) AS exact_union,
+         |    count(*) FILTER (WHERE ina = 1 AND inb = 1) AS exact_intersect,
+         |    count(*) FILTER (WHERE ina = 1 AND inb = 0) AS exact_diff
+         |  FROM pj GROUP BY 1, 2)
+         |SELECT a.cohort_a, a.cohort_b,
+         |  a.est_union, a.est_intersect, a.est_diff,
+         |  x.exact_union, x.exact_intersect, x.exact_diff,
+         |  a.lb_union <= x.exact_union AND x.exact_union <= a.ub_union AS union_ok,
+         |  a.lb_intersect <= x.exact_intersect
+         |    AND x.exact_intersect <= a.ub_intersect AS intersect_ok,
+         |  a.lb_diff <= x.exact_diff AND x.exact_diff <= a.ub_diff AS diff_ok
+         |FROM a JOIN x USING (cohort_a, cohort_b)
+         |ORDER BY cohort_a, cohort_b""".stripMargin,
+    // n_shards (distinct days) and exact are recomputed; the merged
+    // estimate is judged against its own dumped ±2σ interval
+    "q_theta_merge" ->
+      s"""WITH a AS (SELECT * FROM read_parquet('{OUT}/_aux/ds_theta_merge/*.parquet')),
+         |x AS (SELECT event_type,
+         |        count(DISTINCT CAST(ts AS DATE)) AS n_shards,
+         |        count(DISTINCT user_id) AS exact
+         |      FROM events GROUP BY event_type)
+         |SELECT a.event_type, x.n_shards, a.est, x.exact,
+         |  a.lb <= x.exact AND x.exact <= a.ub AS within
+         |FROM a JOIN x USING (event_type) ORDER BY a.event_type""".stripMargin,
+    // the rank of each dumped merged-KLL estimate is recomputed from the
+    // raw values; n_shards is recomputed as distinct days per group
+    "q_kll_quantiles" ->
+      s"""WITH a AS (SELECT event_type, p, est
+         |           FROM read_parquet('{OUT}/_aux/ds_kll_est/*.parquet')),
+         |d AS (SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_shards
+         |      FROM events GROUP BY event_type),
+         |r AS (SELECT a.event_type, d.n_shards, a.p, a.est,
+         |        count(*) AS n,
+         |        CAST(sum(CASE WHEN e.value <= a.est THEN 1 ELSE 0 END) AS BIGINT) AS rnk
+         |      FROM a JOIN events e USING (event_type) JOIN d USING (event_type)
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT event_type, n_shards, p, est, n, rnk,
+         |  abs(CAST(rnk AS DOUBLE) / n - p) <= $KllEps + 1.0 / n AS rank_ok
+         |FROM r ORDER BY event_type, p""".stripMargin,
+    // exact per-item counts and the lb/ub verdict are DuckDB's own
+    "q_freq_items" ->
+      s"""WITH a AS (SELECT * FROM read_parquet('{OUT}/_aux/ds_freq_items/*.parquet')),
+         |x AS (SELECT $FreqKeySql AS item, count(*) AS exact
+         |      FROM events GROUP BY 1)
+         |SELECT a.item, a.est, a.lb, a.ub, coalesce(x.exact, 0) AS exact,
+         |  a.lb <= coalesce(x.exact, 0) AND coalesce(x.exact, 0) <= a.ub AS bounds_ok
+         |FROM a LEFT JOIN x USING (item) ORDER BY a.item""".stripMargin,
+    // completeness of NO_FALSE_NEGATIVES: DuckDB recomputes every true
+    // count and checks nothing above the dumped threshold was missed
+    "q_freq_complete" ->
+      s"""WITH th AS (SELECT threshold
+         |            FROM read_parquet('{OUT}/_aux/ds_freq_threshold/*.parquet')),
+         |it AS (SELECT item FROM read_parquet('{OUT}/_aux/ds_freq_items/*.parquet')),
+         |x AS (SELECT $FreqKeySql AS k, count(*) AS c FROM events GROUP BY 1)
+         |SELECT th.threshold,
+         |  count(*) FILTER (WHERE x.c > th.threshold) AS n_heavy,
+         |  count(*) FILTER (WHERE x.c > th.threshold
+         |    AND x.k NOT IN (SELECT item FROM it)) AS n_missed,
+         |  count(*) FILTER (WHERE x.c > th.threshold
+         |    AND x.k NOT IN (SELECT item FROM it)) = 0 AS complete_ok
+         |FROM x CROSS JOIN th GROUP BY th.threshold""".stripMargin
+  )
+}

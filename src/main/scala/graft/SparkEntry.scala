@@ -20,9 +20,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ErQueries.queries ++ RelQueries.queries ++ TextQueries.queries ++
-      SimQueries.queries ++ SketchQueries.queries ++ LayoutQueries.queries
+      SimQueries.queries ++ SketchQueries.queries ++ LayoutQueries.queries ++
+      DsSketchQueries.queries
 
   def oracleSql: Map[String, String] =
     ErQueries.oracleSql ++ RelQueries.oracleSql ++ TextQueries.oracleSql ++
-      SimQueries.oracleSql ++ SketchQueries.oracleSql ++ LayoutQueries.oracleSql
+      SimQueries.oracleSql ++ SketchQueries.oracleSql ++ LayoutQueries.oracleSql ++
+      DsSketchQueries.oracleSql
 }

@@ -30,7 +30,8 @@ object Verify {
     Seq[(String, (SparkSession, String, String) => Unit)](
       ("er", ErQueries.dumpAux), ("text", TextQueries.dumpAux),
       ("sim", SimQueries.dumpAux),
-      ("sketch", SketchQueries.dumpAux)).foreach { case (tag, dump) =>
+      ("sketch", SketchQueries.dumpAux),
+      ("dsketch", DsSketchQueries.dumpAux)).foreach { case (tag, dump) =>
       try dump(spark, sfDir, outDir)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $tag aux dump failed: ${e.getMessage}")

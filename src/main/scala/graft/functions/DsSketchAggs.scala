@@ -1,0 +1,196 @@
+package graft.functions
+
+import org.apache.datasketches.frequencies.LongsSketch
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{CompactSketch, SetOperation, Union}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Datasketches-backed Catalyst aggregate functions — the mergeable
+  * sketch families Spark's builtins don't cover:
+  *
+  *   - **Theta** (KMV set sketches): unlike HLL, theta sketches support
+  *     set ALGEBRA — union, intersection, A-not-B — each with error
+  *     bounds, so "distinct users in cohort A but not B" is answerable
+  *     from two kilobyte sketches instead of a distinct-shuffle of both
+  *     cohorts' rows.
+  *   - **KLL** (quantiles): like `percentile_approx` (Greenwald–Khanna)
+  *     but with a PERSISTABLE, mergeable binary form — per-shard
+  *     partials in a sketch table merge to full-table quantiles without
+  *     re-scanning rows (the quantile analogue of `hll_sketch_agg`).
+  *   - **Frequencies** (Misra–Gries LongsSketch): heavy hitters with
+  *     deterministic error bounds (lb ≤ true ≤ ub) and a
+  *     no-false-negatives guarantee above the sketch's max error —
+  *     mergeable, unlike a top-k groupBy which needs the full key space.
+  *
+  * All three follow Spark's own Datasketches-HLL integration shape
+  * (`TypedImperativeAggregate`, e.g. HllSketchAgg in
+  * catalyst's datasketchesAggregates.scala): partials fold rows into a
+  * fixed-size native sketch per partition, only sketch bytes cross the
+  * exchange (ObjectHashAggregate / SortAggregate), and each aggregate
+  * DOUBLES as its own merge function — a BinaryType child is unioned as
+  * a pre-built sketch, anything else is updated as a raw value. That
+  * one-function-two-modes design is what makes the two-level sketch
+  * table (partials per shard → merged estimate) a plain re-aggregation.
+  *
+  * The reference library (SURVEY.md §3a) has no aggregation layer;
+  * these are pipeline-category operators for the 100 TB engine.
+  */
+object DsSketchAggs {
+
+  /** Register the three aggregates for `call_function` / SQL use.
+    * Second argument of each is the (literal) size parameter. */
+  def register(spark: SparkSession): Unit = {
+    def litInt(e: Expression): Int = e.eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => throw new IllegalArgumentException(
+        s"size parameter must be an integer literal, got $other")
+    }
+    val reg = spark.sessionState.functionRegistry
+    // idempotent: re-registering identical builders is harmless but noisy
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_theta_agg"))) return
+    reg.createOrReplaceTempFunction("graft_theta_agg",
+      exprs => ThetaSketchAgg(exprs.head, litInt(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_kll_agg",
+      exprs => KllDoublesAgg(exprs.head, litInt(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_freq_agg",
+      exprs => FreqLongsAgg(exprs.head, litInt(exprs(1))), "scala_udf")
+  }
+
+  private[graft] def wrapTheta(bytes: Array[Byte]): CompactSketch =
+    CompactSketch.wrap(Memory.wrap(bytes))
+}
+
+/** Theta sketch aggregate: raw values (long/int/string/double) or
+  * pre-built sketch bytes → compact theta sketch bytes. `lgK` = log2
+  * nominal entries (sketch is EXACT below 2^lgK distinct values). */
+case class ThetaSketchAgg(child: Expression, lgK: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_theta_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def update(buf: Union, row: InternalRow): Union = {
+    val v = child.eval(row)
+    if (v != null) child.dataType match {
+      case BinaryType  => buf.union(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+      case LongType    => buf.update(v.asInstanceOf[Long])
+      case IntegerType => buf.update(v.asInstanceOf[Int].toLong)
+      case DoubleType  => buf.update(v.asInstanceOf[Double])
+      case StringType  => buf.update(v.asInstanceOf[UTF8String].toString)
+      case dt => throw new UnsupportedOperationException(s"theta_agg: $dt")
+    }
+    buf
+  }
+
+  override def merge(a: Union, b: Union): Union = { a.union(b.getResult); a }
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = createAggregationBuffer(); u.union(Memory.wrap(bytes)); u
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): ThetaSketchAgg =
+    copy(child = newChild)
+}
+
+/** KLL doubles-quantile sketch aggregate: raw numeric values or
+  * pre-built sketch bytes → KLL sketch bytes. `k` controls rank error
+  * (`KllSketch.getNormalizedRankError(k, false)`); a sketch with
+  * n ≤ k retains every value (exact quantiles). */
+case class KllDoublesAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_kll_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch, row: InternalRow): KllDoublesSketch = {
+    val v = child.eval(row)
+    if (v != null) child.dataType match {
+      case BinaryType =>
+        buf.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+      case DoubleType  => buf.update(v.asInstanceOf[Double])
+      case FloatType   => buf.update(v.asInstanceOf[Float].toDouble)
+      case LongType    => buf.update(v.asInstanceOf[Long].toDouble)
+      case IntegerType => buf.update(v.asInstanceOf[Int].toDouble)
+      case dt => throw new UnsupportedOperationException(s"kll_agg: $dt")
+    }
+    buf
+  }
+
+  override def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch = {
+    a.merge(b); a
+  }
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(n: Int): KllDoublesAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KllDoublesAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): KllDoublesAgg =
+    copy(child = newChild)
+}
+
+/** Misra–Gries frequent-items aggregate over long keys (or pre-built
+  * sketch bytes). `maxMapSize` (power of 2) bounds memory AND the error:
+  * true − estimate ≤ getMaximumError ≤ 3.5·n/maxMapSize. */
+case class FreqLongsAgg(child: Expression, maxMapSize: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[LongsSketch] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_freq_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): LongsSketch = new LongsSketch(maxMapSize)
+
+  override def update(buf: LongsSketch, row: InternalRow): LongsSketch = {
+    val v = child.eval(row)
+    if (v != null) child.dataType match {
+      case BinaryType =>
+        buf.merge(LongsSketch.getInstance(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+      case LongType    => buf.update(v.asInstanceOf[Long])
+      case IntegerType => buf.update(v.asInstanceOf[Int].toLong)
+      case dt => throw new UnsupportedOperationException(s"freq_agg: $dt")
+    }
+    buf
+  }
+
+  override def merge(a: LongsSketch, b: LongsSketch): LongsSketch = a.merge(b)
+  override def eval(buf: LongsSketch): Any = buf.toByteArray
+  override def serialize(buf: LongsSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): LongsSketch =
+    LongsSketch.getInstance(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(n: Int): FreqLongsAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): FreqLongsAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): FreqLongsAgg =
+    copy(child = newChild)
+}

@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.functions.DsSketchAggs
+import org.apache.datasketches.frequencies.{ErrorType, LongsSketch}
+import org.apache.datasketches.kll.{KllDoublesSketch, KllSketch}
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+import org.apache.datasketches.theta.SetOperation
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch operators over the Datasketches aggregates
+  * ([[graft.functions.DsSketchAggs]]) — theta set algebra, KLL quantile
+  * sketch tables, and Misra–Gries heavy hitters.
+  *
+  * Scale shape shared by all three: the only distributed passes are
+  * map-side-combinable aggregations (per-partition native sketches,
+  * only kilobyte sketch bytes cross the exchange); everything after
+  * operates on SKETCH TABLES — one row per (group, shard), metadata-
+  * sized — so set algebra over 100 TB cohorts is arithmetic over a few
+  * KB of bytes. The scalar set-op/estimate functions below are Scala
+  * UDFs by design: they run on sketch-table rows (#groups², never row
+  * data), outside any hot path, where a native Expression would buy
+  * nothing.
+  *
+  * Determinism note (matters for the oracle): theta sketches are exact
+  * and order-insensitive below 2^lgK distinct values, but KLL compaction
+  * is randomized and Misra–Gries eviction is arrival-order-dependent, so
+  * re-evaluating the same plan can legally produce slightly different
+  * (still in-bounds) estimates. At scale a sketch table is built ONCE
+  * and persisted — consumers read bytes, they never re-aggregate — and
+  * the query layer (DsSketchQueries) mirrors that by materializing each
+  * estimate table once per run before the verification joins.
+  */
+object DsSketches {
+
+  /** log2 nominal entries: theta sketches are EXACT below 4096 distinct
+    * values and ~1.6 KB compact at or above it. */
+  val ThetaLgK = 12
+
+  /** KLL k: ~1.65 % normalized rank error; exact below 200 values. */
+  val KllK = 200
+
+  /** Misra–Gries map size (power of 2). Deliberately small so eviction
+    * (and therefore the error-bound machinery) actually engages on the
+    * test tables; at 100 TB you would size this to the heavy-hitter
+    * count you care about (memory is 16·maxMapSize bytes). */
+  val FreqMapSize = 8
+
+  /** Bound width for theta estimate intervals (±2 std dev ≈ 95.4 %). */
+  val ThetaStdDev = 2
+
+  def register(spark: SparkSession): Unit = DsSketchAggs.register(spark)
+
+  // ---- theta: sketch building -------------------------------------------
+
+  /** One compact theta sketch per group over `valueCol`'s distinct set. */
+  def thetaSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  lgK: Int = ThetaLgK): DataFrame = {
+    register(df.sparkSession)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_theta_agg", col(valueCol), lit(lgK)).as("sketch"))
+  }
+
+  /** Per-(group, shard) theta partials — the persistable sketch table. */
+  def thetaPartials(df: DataFrame, groupCols: Seq[String], shard: Column,
+                    valueCol: String, lgK: Int = ThetaLgK): DataFrame = {
+    register(df.sparkSession)
+    df.groupBy((groupCols.map(col) :+ shard.as("shard")): _*)
+      .agg(call_function("graft_theta_agg", col(valueCol), lit(lgK)).as("sketch"))
+  }
+
+  /** Merge per-shard partials back to one sketch per group: the SAME
+    * aggregate, binary input = pre-built-sketch union mode. */
+  def thetaMerge(partials: DataFrame, groupCols: Seq[String],
+                 lgK: Int = ThetaLgK): DataFrame = {
+    register(partials.sparkSession)
+    partials.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_shards"),
+        call_function("graft_theta_agg", col("sketch"), lit(lgK)).as("sketch"))
+  }
+
+  // ---- theta: estimates + set algebra (sketch-table domain) --------------
+
+  val thetaEstimate: UserDefinedFunction =
+    udf((b: Array[Byte]) => DsSketchAggs.wrapTheta(b).getEstimate)
+  val thetaLower: UserDefinedFunction =
+    udf((b: Array[Byte]) => DsSketchAggs.wrapTheta(b).getLowerBound(ThetaStdDev))
+  val thetaUpper: UserDefinedFunction =
+    udf((b: Array[Byte]) => DsSketchAggs.wrapTheta(b).getUpperBound(ThetaStdDev))
+
+  val thetaUnionPair: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte]) => {
+    val u = SetOperation.builder().setLogNominalEntries(ThetaLgK).buildUnion()
+    u.union(DsSketchAggs.wrapTheta(a)); u.union(DsSketchAggs.wrapTheta(b))
+    u.getResult.toByteArray
+  })
+  val thetaIntersectPair: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte]) => {
+    val i = SetOperation.builder().buildIntersection()
+    i.intersect(DsSketchAggs.wrapTheta(a)); i.intersect(DsSketchAggs.wrapTheta(b))
+    i.getResult.toByteArray
+  })
+  val thetaDiffPair: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte]) =>
+    SetOperation.builder().buildANotB()
+      .aNotB(DsSketchAggs.wrapTheta(a), DsSketchAggs.wrapTheta(b)).toByteArray)
+
+  /** Full pairwise set-algebra table over per-cohort sketches: for each
+    * cohort pair (a < b), the union / intersection / A-not-B estimates
+    * with ±2σ bounds. Input = the base rows; one distributed sketch agg,
+    * then #cohorts² sketch-row arithmetic (metadata-sized). */
+  def thetaCohortSetOps(df: DataFrame, cohortCol: String,
+                        valueCol: String): DataFrame = {
+    val sk = thetaSketch(df, Seq(cohortCol), valueCol)
+    val a = sk.select(col(cohortCol).as("cohort_a"), col("sketch").as("sk_a"))
+    val b = sk.select(col(cohortCol).as("cohort_b"), col("sketch").as("sk_b"))
+    def triple(prefix: String, c: Column): Seq[Column] = Seq(
+      thetaEstimate(c).as(s"est_$prefix"),
+      thetaLower(c).as(s"lb_$prefix"),
+      thetaUpper(c).as(s"ub_$prefix"))
+    a.join(b, col("cohort_a") < col("cohort_b"))
+      .withColumn("sk_union", thetaUnionPair(col("sk_a"), col("sk_b")))
+      .withColumn("sk_intersect", thetaIntersectPair(col("sk_a"), col("sk_b")))
+      .withColumn("sk_diff", thetaDiffPair(col("sk_a"), col("sk_b")))
+      .select(Seq(col("cohort_a"), col("cohort_b")) ++
+        triple("union", col("sk_union")) ++
+        triple("intersect", col("sk_intersect")) ++
+        triple("diff", col("sk_diff")): _*)
+  }
+
+  /** Merged-estimate table with bounds: (group…, n_shards, est, lb, ub). */
+  def thetaMergeEstimate(partials: DataFrame, groupCols: Seq[String]): DataFrame =
+    thetaMerge(partials, groupCols)
+      .select(groupCols.map(col) ++ Seq(col("n_shards"),
+        thetaEstimate(col("sketch")).as("est"),
+        thetaLower(col("sketch")).as("lb"),
+        thetaUpper(col("sketch")).as("ub")): _*)
+
+  // ---- KLL: mergeable quantile sketch table ------------------------------
+
+  /** Per-(group, shard) KLL partials over a numeric column. */
+  def kllPartials(df: DataFrame, groupCols: Seq[String], shard: Column,
+                  valueCol: String, k: Int = KllK): DataFrame = {
+    register(df.sparkSession)
+    df.groupBy((groupCols.map(col) :+ shard.as("shard")): _*)
+      .agg(call_function("graft_kll_agg", col(valueCol).cast("double"), lit(k))
+        .as("sketch"))
+  }
+
+  /** Merge partials per group and read the requested quantiles:
+    * (group…, n_shards, p, est). Only sketches cross the exchange. */
+  def kllMergedQuantiles(partials: DataFrame, groupCols: Seq[String],
+                         ps: Seq[Double], k: Int = KllK): DataFrame = {
+    register(partials.sparkSession)
+    val quantile = udf((b: Array[Byte], p: Double) =>
+      KllDoublesSketch.heapify(Memory.wrap(b))
+        .getQuantile(p, QuantileSearchCriteria.INCLUSIVE))
+    partials.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_shards"),
+        call_function("graft_kll_agg", col("sketch"), lit(k)).as("sketch"))
+      .select(groupCols.map(col) ++
+        Seq(col("n_shards"), explode(array(ps.map(lit): _*)).as("p"),
+          col("sketch")): _*)
+      .withColumn("est", quantile(col("sketch"), col("p")))
+      .drop("sketch")
+  }
+
+  /** KLL's published normalized rank error for `k` (quantile mode). */
+  def kllRankEps(k: Int = KllK): Double = KllSketch.getNormalizedRankError(k, false)
+
+  /** Re-check each (group, p, est) against the RAW rows: the actual rank
+    * of est within its group must sit within eps (+1/n discretization)
+    * of p. One broadcast-join pass — a verification yardstick, not part
+    * of the production read (consumers read the sketch table alone). */
+  def rankCheck(df: DataFrame, est: DataFrame, groupCols: Seq[String],
+                valueCol: String, eps: Double): DataFrame = {
+    val gs = groupCols.map(col)
+    df.join(broadcast(est), groupCols)
+      .groupBy(gs ++ Seq(col("n_shards"), col("p"), col("est")): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(valueCol) <= col("est"), 1L).otherwise(0L)).as("rnk"))
+      .withColumn("rank_ok",
+        abs(col("rnk").cast("double") / col("n") - col("p")) <=
+          lit(eps) + lit(1.0) / col("n"))
+  }
+
+  // ---- Misra–Gries frequent items ----------------------------------------
+
+  /** One merged LongsSketch over `keyExpr` — a single distributed
+    * aggregation; only the fixed-size sketch reaches the driver (same
+    * residency class as a broadcast bloom). */
+  def freqSketch(df: DataFrame, keyExpr: Column,
+                 maxMapSize: Int = FreqMapSize): Array[Byte] = {
+    register(df.sparkSession)
+    df.agg(call_function("graft_freq_agg", keyExpr, lit(maxMapSize)).as("s"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** The sketch's deterministic error bound: true − est ≤ maxError. */
+  def freqMaxError(bytes: Array[Byte]): Long =
+    LongsSketch.getInstance(Memory.wrap(bytes)).getMaximumError
+
+  /** Frequent items under NO_FALSE_NEGATIVES: every key whose true
+    * count exceeds the sketch's maxError is guaranteed present; each row
+    * carries lb ≤ true ≤ ub. Returns (item, est, lb, ub). */
+  def freqItems(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
+    import spark.implicits._
+    LongsSketch.getInstance(Memory.wrap(bytes))
+      .getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+      .toSeq.toDF("item", "est", "lb", "ub")
+  }
+}

@@ -1,0 +1,154 @@
+package graft
+
+import graft.operators.DsSketches
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DsSketchesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+  private def events = spark.read.parquet(s"$dir/events.parquet")
+
+  // ---- theta ---------------------------------------------------------------
+
+  test("theta exact mode: estimate equals exact distinct count below 2^lgK") {
+    val est = DsSketches.thetaSketch(events, Seq("event_type"), "user_id")
+      .select(col("event_type"), DsSketches.thetaEstimate(col("sketch")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, x) => assert(est(k) == x.toDouble, k) }
+  }
+
+  test("theta shard-merge invariance: partials unioned == direct sketch, for ANY sharding") {
+    val direct = DsSketches.thetaSketch(events, Seq("event_type"), "user_id")
+      .select(col("event_type"), DsSketches.thetaEstimate(col("sketch")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (shard <- Seq(to_date(col("ts")), pmod(col("event_id"), lit(7)))) {
+      val merged = DsSketches.thetaMergeEstimate(
+          DsSketches.thetaPartials(events, Seq("event_type"), shard, "user_id"),
+          Seq("event_type"))
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("est")).toMap
+      assert(merged == direct, s"sharded-merge estimate diverged for $shard")
+    }
+  }
+
+  test("theta set algebra matches exact set algebra in exact mode") {
+    // deterministic overlapping cohorts: A = 0..599, B = 400..999
+    val df = ((0 until 600).map(i => ("a", i.toLong)) ++
+      (400 until 1000).map(i => ("b", i.toLong))).toDF("cohort", "v")
+      .repartition(7) // force partial merges across partitions
+    val row = DsSketches.thetaCohortSetOps(df, "cohort", "v").collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert(r.getAs[Double]("est_union") == 1000.0)
+    assert(r.getAs[Double]("est_intersect") == 200.0)
+    assert(r.getAs[Double]("est_diff") == 400.0) // a \ b = 0..399
+    // exact mode: bounds collapse onto the estimate
+    assert(r.getAs[Double]("lb_union") == 1000.0 && r.getAs[Double]("ub_union") == 1000.0)
+  }
+
+  test("theta estimation mode: bounds bracket the truth on 100k distinct values") {
+    // 100k >> 2^12 nominal entries — the sketch is genuinely estimating
+    val df = (0 until 100000).map(_.toLong).toDF("v").repartition(13)
+      .withColumn("g", lit("all"))
+    val sk = DsSketches.thetaSketch(df, Seq("g"), "v")
+      .select(DsSketches.thetaEstimate(col("sketch")).as("est"),
+        DsSketches.thetaLower(col("sketch")).as("lb"),
+        DsSketches.thetaUpper(col("sketch")).as("ub")).head()
+    val (est, lb, ub) = (sk.getDouble(0), sk.getDouble(1), sk.getDouble(2))
+    assert(lb <= 100000.0 && 100000.0 <= ub, s"[$lb, $ub] misses truth (est=$est)")
+    assert(math.abs(est - 100000.0) / 100000.0 < 0.10, s"est=$est off by >10%")
+  }
+
+  // ---- KLL -----------------------------------------------------------------
+
+  test("KLL exact below k: merged quantiles are exact order statistics") {
+    // 150 values < k=200 — the sketch retains everything, so the merged
+    // INCLUSIVE quantile is the exact smallest value with rank >= p
+    val vals = scala.util.Random.shuffle((1 to 150).toList).map(_.toDouble)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i % 5, v) }
+      .toDF("g", "shard", "v").repartition(5)
+    val partials = DsSketches.kllPartials(df, Seq("g"), col("shard"), "v")
+    val qs = DsSketches.kllMergedQuantiles(partials, Seq("g"), Seq(0.1, 0.5, 0.9))
+      .collect().map(r => r.getAs[Double]("p") -> r.getAs[Double]("est")).toMap
+    assert(qs(0.1) == 15.0 && qs(0.5) == 75.0 && qs(0.9) == 135.0, qs.toString)
+  }
+
+  test("KLL merged rank check holds on the events table across shardings") {
+    for (shard <- Seq(to_date(col("ts")), pmod(col("event_id"), lit(7)))) {
+      val est = DsSketches.kllMergedQuantiles(
+        DsSketches.kllPartials(events, Seq("event_type"), shard, "value"),
+        Seq("event_type"), Seq(0.25, 0.5, 0.75))
+      val rows = DsSketches.rankCheck(events, est, Seq("event_type"), "value",
+        DsSketches.kllRankEps()).collect()
+      assert(rows.length == 15) // 5 types × 3 ps
+      assert(rows.forall(_.getAs[Boolean]("rank_ok")),
+        rows.filterNot(_.getAs[Boolean]("rank_ok")).mkString("; "))
+    }
+  }
+
+  // ---- frequent items --------------------------------------------------------
+
+  test("Misra-Gries: bounds bracket exact counts and nothing heavy is missed") {
+    // skewed stream over 32 keys: key 0 gets ~50%, 1 gets ~25%, rest noise;
+    // map size 8 < 32 forces eviction so the bounds machinery engages
+    val keys = (0 until 20000).map { i =>
+      if (i % 2 == 0) 0L else if (i % 4 == 1) 1L else (i % 32).toLong
+    }
+    val df = keys.toDF("k").repartition(9)
+    val bytes = DsSketches.freqSketch(df, col("k"), maxMapSize = 8)
+    val items = DsSketches.freqItems(spark, bytes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // every reported item's true count within [lb, ub]
+    items.foreach { case (item, _, lb, ub) =>
+      val x = exact.getOrElse(item, 0L)
+      assert(lb <= x && x <= ub, s"item $item: exact=$x outside [$lb,$ub]")
+    }
+    // NO_FALSE_NEGATIVES: every key above maxError is present
+    val threshold = DsSketches.freqMaxError(bytes)
+    val reported = items.map(_._1).toSet
+    exact.filter(_._2 > threshold).keys.foreach(k =>
+      assert(reported.contains(k), s"heavy key $k (exact=${exact(k)}) missed"))
+    // the two genuinely heavy keys must be reported with good estimates
+    assert(reported.contains(0L) && reported.contains(1L))
+  }
+
+  test("freq sketch merges across shards like any partial") {
+    // build two shard sketches via the aggregate's binary mode and check
+    // the merged heavy-hitter set still contains the global heavy key
+    val a = (0 until 5000).map(i => if (i % 2 == 0) 7L else (i % 16).toLong).toDF("k")
+    val b = (0 until 5000).map(i => if (i % 3 == 0) 7L else ((i % 16) + 16).toLong).toDF("k")
+    DsSketches.register(spark)
+    val partials = a.agg(call_function("graft_freq_agg", col("k"), lit(8)).as("s"))
+      .union(b.agg(call_function("graft_freq_agg", col("k"), lit(8)).as("s")))
+    val merged = partials
+      .agg(call_function("graft_freq_agg", col("s"), lit(8)).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val items = DsSketches.freqItems(spark, merged).as[(Long, Long, Long, Long)].collect()
+    assert(items.map(_._1).contains(7L))
+    val seven = items.find(_._1 == 7L).get
+    val exact7 = 2500L + (0 until 5000).count(_ % 3 == 0)
+    // merged bounds still bracket the cross-shard exact count... lb can
+    // undershoot after merge but ub >= truth must hold (one-sided MG bound)
+    assert(seven._3 <= exact7 && exact7 <= seven._4,
+      s"exact=$exact7 outside [${seven._3}, ${seven._4}]")
+  }
+
+  // ---- query layer ----------------------------------------------------------
+
+  test("DsSketchQueries: all five queries verdict-green at sf0.001") {
+    for ((name, fn) <- DsSketchQueries.queries) {
+      val rows = fn(spark, dir).collect()
+      assert(rows.nonEmpty, s"$name returned 0 rows")
+      val verdictCols = rows.head.schema.fieldNames.filter(f =>
+        f.endsWith("_ok") || f == "within")
+      for (r <- rows; c <- verdictCols)
+        assert(r.getAs[Boolean](c), s"$name: $c false in $r")
+    }
+  }
+}

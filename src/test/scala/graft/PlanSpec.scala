@@ -95,6 +95,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("FullOuter"), s"upsert degraded to a full-outer merge\n$s")
   }
 
+  test("sketch partials aggregate map-side: only sketch bytes cross the exchange") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    for (plan <- Seq(
+      graft.operators.DsSketches.thetaPartials(ev, Seq("event_type"),
+        to_date(col("ts")), "user_id"),
+      graft.operators.DsSketches.kllPartials(ev, Seq("event_type"),
+        to_date(col("ts")), "value"))) {
+      val s = fmt(plan)
+      // TypedImperativeAggregate → ObjectHashAggregate with a partial
+      // pass BEFORE the exchange: per-partition native sketches fold
+      // rows locally; only kilobyte sketch bytes shuffle
+      assert(s.contains("ObjectHashAggregate"), s"sketch agg not object-hash\n$s")
+      val firstAgg = s.linesIterator.indexWhere(_.contains("ObjectHashAggregate"))
+      assert(firstAgg >= 0 && s.contains("partial_graft_"),
+        s"map-side partial sketch aggregation lost\n$s")
+      assert(s.linesIterator.count(_.matches(".*\\bExchange \\(\\d+\\)")) == 1,
+        s"sketch partials must shuffle exactly once\n$s")
+    }
+  }
+
   test("scoring input: persisted pairs reused, not recomputed") {
     val trees = ParseStage.parse(CorpusGen.corpus(spark, dir))
     val pairs = Blocking.candidatePairs(trees).persist()
