@@ -1,8 +1,8 @@
 package graft.streaming
 
-import graft.operators.Sketches
+import graft.operators.{DsSketches, Sketches}
 import graft.sources.TableIO
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -23,6 +23,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * at-least-once re-delivery of a batch overwrites the same table with
   * the same sketch — idempotent, like the other foreachBatch state
   * machines here (StreamingDedup, StreamingEr).
+  *
+  * The same batch-numbered shape carries the three Datasketches
+  * families ([[graft.operators.DsSketches]]): theta (live distinct sets
+  * that support set ALGEBRA across streamed groups at read time), KLL
+  * (live quantiles), and Misra–Gries (live heavy hitters). Theta/HLL
+  * reads reproduce the one-pass sketch exactly; KLL/freq replays may
+  * legally shift estimates within bounds (randomized compaction /
+  * arrival-order eviction) — the spec pins the guarantees, not bytes.
   */
 object StreamingSketch {
 
@@ -40,7 +48,10 @@ object StreamingSketch {
   /** All persisted partials (complete batches only — `_SUCCESS`-gated
     * by TableIO). */
   def partials(spark: SparkSession, io: TableIO): DataFrame =
-    io.listTables(spark, TablePrefix)
+    partialsOf(spark, io, TablePrefix)
+
+  private def partialsOf(spark: SparkSession, io: TableIO, prefix: String): DataFrame =
+    io.listTables(spark, prefix)
       .map(t => io.read(spark, t))
       .reduce(_ unionByName _)
 
@@ -52,11 +63,72 @@ object StreamingSketch {
   /** foreachBatch wiring for a streaming source. */
   def start[T](stream: Dataset[T], groupCols: Seq[String], valueCol: String,
                io: TableIO, checkpointDir: String): StreamingQuery =
+    startWith(stream, checkpointDir) { (batch, batchId) =>
+      processBatch(batch, batchId, groupCols, valueCol, io)
+    }
+
+  /** Generic foreachBatch wiring: any batch-numbered sketch processor. */
+  def startWith[T](stream: Dataset[T], checkpointDir: String)
+                  (process: (DataFrame, Long) => Unit): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[T], batchId: Long) =>
-        processBatch(batch.toDF(), batchId, groupCols, valueCol, io)
+        process(batch.toDF(), batchId)
       }
       .start()
+
+  // ---- Datasketches families: same batch-numbered idempotent shape ----
+
+  val ThetaPrefix = "theta_shard_b"
+  val KllPrefix = "kll_shard_b"
+  val FreqPrefix = "freq_shard_b"
+
+  /** Theta twin: live distinct sets that additionally support set
+    * ALGEBRA at read time — two streamed groups' sketches intersect /
+    * difference without touching any row (exact below 2^lgK). */
+  def processBatchTheta(batch: DataFrame, batchId: Long, groupCols: Seq[String],
+                        valueCol: String, io: TableIO): Unit =
+    io.write(DsSketches.thetaPartials(batch, groupCols,
+      lit(batchId).as("shard"), valueCol), s"$ThetaPrefix$batchId")
+
+  /** Merged per-group theta estimate (+2σ bounds) from sketches alone. */
+  def thetaEstimate(spark: SparkSession, io: TableIO,
+                    groupCols: Seq[String]): DataFrame =
+    DsSketches.thetaMergeEstimate(partialsOf(spark, io, ThetaPrefix), groupCols)
+
+  /** Merged per-group theta SKETCHES — input for set algebra across the
+    * streamed groups (DsSketches.theta*Pair). */
+  def thetaSketches(spark: SparkSession, io: TableIO,
+                    groupCols: Seq[String]): DataFrame =
+    DsSketches.thetaMerge(partialsOf(spark, io, ThetaPrefix), groupCols)
+
+  /** KLL twin: live quantiles per group from a mergeable sketch table. */
+  def processBatchKll(batch: DataFrame, batchId: Long, groupCols: Seq[String],
+                      valueCol: String, io: TableIO): Unit =
+    io.write(DsSketches.kllPartials(batch, groupCols,
+      lit(batchId).as("shard"), valueCol), s"$KllPrefix$batchId")
+
+  def kllQuantiles(spark: SparkSession, io: TableIO, groupCols: Seq[String],
+                   ps: Seq[Double]): DataFrame =
+    DsSketches.kllMergedQuantiles(partialsOf(spark, io, KllPrefix), groupCols, ps)
+
+  /** Frequent-items twin: one Misra–Gries partial row per batch; the
+    * read merges #batches kilobyte rows into live heavy hitters. */
+  def processBatchFreq(batch: DataFrame, batchId: Long, keyCol: Column,
+                       io: TableIO, maxMapSize: Int = DsSketches.FreqMapSize): Unit = {
+    DsSketches.register(batch.sparkSession)
+    io.write(batch.agg(call_function("graft_freq_agg", keyCol,
+      lit(maxMapSize)).as("sketch")), s"$FreqPrefix$batchId")
+  }
+
+  /** Live heavy hitters (item, est, lb, ub) from the streamed partials. */
+  def freqItems(spark: SparkSession, io: TableIO,
+                maxMapSize: Int = DsSketches.FreqMapSize): DataFrame = {
+    DsSketches.register(spark)
+    val merged = partialsOf(spark, io, FreqPrefix)
+      .agg(call_function("graft_freq_agg", col("sketch"), lit(maxMapSize)).as("s"))
+      .head().getAs[Array[Byte]](0)
+    DsSketches.freqItems(spark, merged)
+  }
 }

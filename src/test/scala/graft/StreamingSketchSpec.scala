@@ -45,6 +45,101 @@ class StreamingSketchSpec extends AnyFunSuite {
     assert(nShardRows <= 3 * 5, s"expected ≤ (batches × groups) sketch rows, got $nShardRows")
   }
 
+  test("theta stream: merged estimate == one-pass batch sketch; streamed sketches do set algebra") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.DsSketches
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sktheta").toString
+    val io = new ParquetTableIO(root)
+
+    val rows = events.select($"event_type", $"user_id").as[(String, Long)].collect()
+    val stream = MemoryStream[(String, Long)]
+    val q = StreamingSketch.startWith(
+      stream.toDS().toDF("event_type", "user_id"), s"$root/_ckpt") { (b, id) =>
+      StreamingSketch.processBatchTheta(b, id, Seq("event_type"), "user_id", io)
+    }
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+        stream.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // exact mode: streamed-merged == direct == exact distinct, exactly
+    val streamed = StreamingSketch.thetaEstimate(spark, io, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est")).toMap
+    val exact = events.groupBy($"event_type").agg(countDistinct($"user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(streamed == exact, "streamed theta diverged from exact distinct")
+
+    // set algebra straight off the STREAMED sketch table: |click ∩ view|
+    val sk = StreamingSketch.thetaSketches(spark, io, Seq("event_type"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Array[Byte]]("sketch")).toMap
+    val inter = DsSketches.thetaIntersectPair(lit(sk("click")), lit(sk("view")))
+    val got = spark.range(1).select(DsSketches.thetaEstimate(inter)).head().getDouble(0)
+    val want = events.where($"event_type" === "click").select($"user_id").distinct()
+      .intersect(events.where($"event_type" === "view").select($"user_id").distinct())
+      .count().toDouble
+    assert(got == want, s"streamed-sketch intersection $got != exact $want")
+
+    // replay idempotency: re-fold a full copy of the data as one more
+    // batch — a theta UNION of an already-included set changes nothing
+    StreamingSketch.processBatchTheta(events, 99L, Seq("event_type"), "user_id", io)
+    val after = StreamingSketch.thetaEstimate(spark, io, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est")).toMap
+    assert(after == streamed)
+  }
+
+  test("kll + freq streams: live quantiles rank-green, heavy hitters bounded, replay-safe") {
+    import graft.operators.DsSketches
+    val root = java.nio.file.Files.createTempDirectory("graft_skkf").toString
+    val io = new ParquetTableIO(root)
+    val b0 = events.where(col("event_id") % 3 === 0)
+    val b1 = events.where(col("event_id") % 3 === 1)
+    val b2 = events.where(col("event_id") % 3 === 2)
+    val key = least(col("user_id") % 100, lit(10)).cast("long")
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      StreamingSketch.processBatchKll(b, i, Seq("event_type"), "value", io)
+      StreamingSketch.processBatchFreq(b, i, key, io)
+    }
+    // live quantiles from the streamed sketch table pass the rank check
+    val est = StreamingSketch.kllQuantiles(spark, io, Seq("event_type"),
+      Seq(0.25, 0.5, 0.75))
+    val checked = DsSketches.rankCheck(events, est, Seq("event_type"), "value",
+      DsSketches.kllRankEps()).collect()
+    assert(checked.length == 15)
+    assert(checked.forall(_.getAs[Boolean]("rank_ok")),
+      checked.filterNot(_.getAs[Boolean]("rank_ok")).mkString("; "))
+    // live heavy hitters: bounds bracket exact counts of the full table
+    val exact = events.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val items = StreamingSketch.freqItems(spark, io).collect()
+    assert(items.nonEmpty)
+    items.foreach { r =>
+      val (item, lb, ub) = (r.getAs[Long]("item"), r.getAs[Long]("lb"), r.getAs[Long]("ub"))
+      val x = exact.getOrElse(item, 0L)
+      assert(lb <= x && x <= ub, s"item $item: exact=$x outside [$lb,$ub]")
+    }
+    // at-least-once replay: batch 2 re-delivered — the batch-numbered
+    // table OVERWRITES (no double count), so the guarantees still hold
+    // against the unchanged exact counts. Est values may legally shift
+    // (Misra-Gries is arrival-order-dependent); the bounds may not.
+    StreamingSketch.processBatchKll(b2, 2, Seq("event_type"), "value", io)
+    StreamingSketch.processBatchFreq(b2, 2, key, io)
+    val items2 = StreamingSketch.freqItems(spark, io).collect()
+    items2.foreach { r =>
+      val x = exact.getOrElse(r.getAs[Long]("item"), 0L)
+      assert(r.getAs[Long]("lb") <= x && x <= r.getAs[Long]("ub"),
+        s"post-replay item ${r.getAs[Long]("item")}: exact=$x outside bounds")
+    }
+    // the dominant key (bucket 10 absorbs ~90% of rows) must survive replay
+    assert(items2.map(_.getAs[Long]("item")).contains(10L))
+    val rechecked = DsSketches.rankCheck(events,
+      StreamingSketch.kllQuantiles(spark, io, Seq("event_type"), Seq(0.25, 0.5, 0.75)),
+      Seq("event_type"), "value", DsSketches.kllRankEps()).collect()
+    assert(rechecked.forall(_.getAs[Boolean]("rank_ok")))
+  }
+
   test("replaying a batch overwrites the same shard table — estimate unchanged (idempotent)") {
     val root = java.nio.file.Files.createTempDirectory("graft_skrep").toString
     val io = new ParquetTableIO(root)
