@@ -82,6 +82,38 @@ object DsSketchQueries {
       DsSketches.freqItems(s, freqBytes(s, dir)).orderBy(col("item"))
     }
 
+  /** Per-cohort tuple sketches (distinct user_id, summary = Σ value):
+    * kept as sketches so both the per-cohort metrics AND the pairwise
+    * intersection query derive from ONE frozen build. */
+  private def tupleSk(s: SparkSession, dir: String): DataFrame =
+    frozen(s, dir, "tuple_sk") {
+      DsSketches.tupleSketch(t(s, dir, "events"), Seq("event_type"),
+        "user_id", "value")
+    }
+
+  private def tupleEst(s: SparkSession, dir: String): DataFrame =
+    frozen(s, dir, "tuple_est") {
+      tupleSk(s, dir).select(col("event_type"),
+        DsSketches.tupleEstimate(col("sketch")).as("est_users"),
+        DsSketches.tupleLower(col("sketch")).as("lb"),
+        DsSketches.tupleUpper(col("sketch")).as("ub"),
+        DsSketches.tupleSumEstimate(col("sketch")).as("sum_est"))
+    }
+
+  private def tupleOverlapEst(s: SparkSession, dir: String): DataFrame =
+    frozen(s, dir, "tuple_overlap") {
+      val sk = tupleSk(s, dir)
+      val a = sk.select(col("event_type").as("cohort_a"), col("sketch").as("sk_a"))
+      val b = sk.select(col("event_type").as("cohort_b"), col("sketch").as("sk_b"))
+      a.join(b, col("cohort_a") < col("cohort_b"))
+        .withColumn("sk_i", DsSketches.tupleIntersectPair(col("sk_a"), col("sk_b")))
+        .select(col("cohort_a"), col("cohort_b"),
+          DsSketches.tupleEstimate(col("sk_i")).as("est_common"),
+          DsSketches.tupleLower(col("sk_i")).as("lb"),
+          DsSketches.tupleUpper(col("sk_i")).as("ub"),
+          DsSketches.tupleSumEstimate(col("sk_i")).as("sum_common_est"))
+    }
+
   // ---- queries ------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -144,6 +176,51 @@ object DsSketchQueries {
         .orderBy(col("item"))
     }),
 
+    // tuple sketch: distinct users AND the value total they carry, per
+    // cohort — both judged against exact sides (decimal-exact sum)
+    "q_tuple_metrics" -> ((s, dir) => {
+      val exact = t(s, dir, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("exact_sum"))
+      tupleEst(s, dir).join(exact, "event_type")
+        .select(col("event_type"), col("est_users"), col("sum_est"),
+          col("exact_users"), col("exact_sum"),
+          (col("lb") <= col("exact_users") &&
+            col("exact_users") <= col("ub")).as("users_ok"),
+          (abs(col("sum_est") - col("exact_sum")) <=
+            lit(1e-6) * abs(col("exact_sum")) + lit(1e-6)).as("sum_ok"))
+        .orderBy(col("event_type"))
+    }),
+
+    // tuple set algebra: for each cohort pair, the OVERLAP's distinct
+    // users and the combined value they carry across both cohorts —
+    // answered from two kilobyte sketches, judged against exact SQL
+    "q_tuple_overlap" -> ((s, dir) => {
+      val est = tupleOverlapEst(s, dir)
+      val sets = t(s, dir, "events")
+        .select(col("event_type").as("tt"), col("user_id").as("u"),
+          col("value").cast("decimal(18,6)").as("v"))
+      val pj = est.select(col("cohort_a"), col("cohort_b"))
+        .join(sets, col("tt") === col("cohort_a") || col("tt") === col("cohort_b"))
+        .groupBy(col("cohort_a"), col("cohort_b"), col("u"))
+        .agg(max(when(col("tt") === col("cohort_a"), 1).otherwise(0)).as("ina"),
+          max(when(col("tt") === col("cohort_b"), 1).otherwise(0)).as("inb"),
+          sum(col("v")).as("sv"))
+      val exact = pj.groupBy(col("cohort_a"), col("cohort_b"))
+        .agg(count(when(col("ina") === 1 && col("inb") === 1, 1)).as("exact_common"),
+          coalesce(sum(when(col("ina") === 1 && col("inb") === 1, col("sv"))),
+            lit(BigDecimal(0))).cast("double").as("exact_sum_common"))
+      est.join(exact, Seq("cohort_a", "cohort_b"))
+        .select(col("cohort_a"), col("cohort_b"),
+          col("est_common"), col("sum_common_est"),
+          col("exact_common"), col("exact_sum_common"),
+          (col("lb") <= col("exact_common") &&
+            col("exact_common") <= col("ub")).as("users_ok"),
+          (abs(col("sum_common_est") - col("exact_sum_common")) <=
+            lit(1e-6) * abs(col("exact_sum_common")) + lit(1e-6)).as("sum_ok"))
+        .orderBy(col("cohort_a"), col("cohort_b"))
+    }),
+
     // NO_FALSE_NEGATIVES completeness: no key with true count above the
     // sketch's maxError may be missing from the reported item set
     "q_freq_complete" -> ((s, dir) => {
@@ -165,7 +242,8 @@ object DsSketchQueries {
     * sweep so sketch-query lines time reads, not the one-time build). */
   def warm(spark: SparkSession, sfDir: String): Unit = {
     setopsEst(spark, sfDir); mergeEst(spark, sfDir); kllEst(spark, sfDir)
-    freqItemsEst(spark, sfDir); freqBytes(spark, sfDir); ()
+    freqItemsEst(spark, sfDir); freqBytes(spark, sfDir)
+    tupleEst(spark, sfDir); tupleOverlapEst(spark, sfDir); ()
   }
 
   /** Estimate-bearing tables the oracle reads back (it cannot recompute
@@ -180,6 +258,8 @@ object DsSketchQueries {
     dump(freqItemsEst(spark, sfDir), "ds_freq_items")
     dump(Seq(DsSketches.freqMaxError(freqBytes(spark, sfDir)))
       .toDF("threshold"), "ds_freq_threshold")
+    dump(tupleEst(spark, sfDir), "ds_tuple_est")
+    dump(tupleOverlapEst(spark, sfDir), "ds_tuple_overlap")
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -243,6 +323,43 @@ object DsSketchQueries {
          |SELECT a.item, a.est, a.lb, a.ub, coalesce(x.exact, 0) AS exact,
          |  a.lb <= coalesce(x.exact, 0) AND coalesce(x.exact, 0) <= a.ub AS bounds_ok
          |FROM a LEFT JOIN x USING (item) ORDER BY a.item""".stripMargin,
+    // est/lb/ub/sum_est come from the dump; exact distinct-user counts
+    // and the decimal-exact value sums are DuckDB's own
+    "q_tuple_metrics" ->
+      s"""WITH a AS (SELECT * FROM read_parquet('{OUT}/_aux/ds_tuple_est/*.parquet')),
+         |x AS (SELECT event_type,
+         |        count(DISTINCT user_id) AS exact_users,
+         |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS exact_sum
+         |      FROM events GROUP BY event_type)
+         |SELECT a.event_type, a.est_users, a.sum_est, x.exact_users, x.exact_sum,
+         |  a.lb <= x.exact_users AND x.exact_users <= a.ub AS users_ok,
+         |  abs(a.sum_est - x.exact_sum)
+         |    <= 1e-6 * abs(x.exact_sum) + 1e-6 AS sum_ok
+         |FROM a JOIN x USING (event_type) ORDER BY a.event_type""".stripMargin,
+    // the overlap's exact user count and combined value sum are redone
+    // from scratch in SQL; the sketch-intersection estimates are judged
+    "q_tuple_overlap" ->
+      s"""WITH a AS (SELECT * FROM read_parquet('{OUT}/_aux/ds_tuple_overlap/*.parquet')),
+         |pj AS (
+         |  SELECT a.cohort_a, a.cohort_b, e.user_id,
+         |    max(CASE WHEN e.event_type = a.cohort_a THEN 1 ELSE 0 END) AS ina,
+         |    max(CASE WHEN e.event_type = a.cohort_b THEN 1 ELSE 0 END) AS inb,
+         |    sum(CAST(e.value AS DECIMAL(18,6))) AS sv
+         |  FROM a JOIN events e ON e.event_type IN (a.cohort_a, a.cohort_b)
+         |  GROUP BY 1, 2, 3),
+         |x AS (
+         |  SELECT cohort_a, cohort_b,
+         |    count(*) FILTER (WHERE ina = 1 AND inb = 1) AS exact_common,
+         |    CAST(coalesce(sum(sv) FILTER (WHERE ina = 1 AND inb = 1), 0)
+         |      AS DOUBLE) AS exact_sum_common
+         |  FROM pj GROUP BY 1, 2)
+         |SELECT a.cohort_a, a.cohort_b, a.est_common, a.sum_common_est,
+         |  x.exact_common, x.exact_sum_common,
+         |  a.lb <= x.exact_common AND x.exact_common <= a.ub AS users_ok,
+         |  abs(a.sum_common_est - x.exact_sum_common)
+         |    <= 1e-6 * abs(x.exact_sum_common) + 1e-6 AS sum_ok
+         |FROM a JOIN x USING (cohort_a, cohort_b)
+         |ORDER BY a.cohort_a, a.cohort_b""".stripMargin,
     // completeness of NO_FALSE_NEGATIVES: DuckDB recomputes every true
     // count and checks nothing above the dumped threshold was missed
     "q_freq_complete" ->

@@ -4,11 +4,12 @@ import org.apache.datasketches.frequencies.LongsSketch
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.theta.{CompactSketch, SetOperation, Union}
+import org.apache.datasketches.tuple.arrayofdoubles.{ArrayOfDoublesSetOperationBuilder, ArrayOfDoublesSketch, ArrayOfDoublesUnion, ArrayOfDoublesUpdatableSketch, ArrayOfDoublesUpdatableSketchBuilder}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -63,10 +64,112 @@ object DsSketchAggs {
       exprs => KllDoublesAgg(exprs.head, litInt(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("graft_freq_agg",
       exprs => FreqLongsAgg(exprs.head, litInt(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_tuple_agg",
+      exprs => TupleSumAgg(exprs.head, exprs(1), litInt(exprs(2))), "scala_udf")
   }
 
   private[graft] def wrapTheta(bytes: Array[Byte]): CompactSketch =
     CompactSketch.wrap(Memory.wrap(bytes))
+}
+
+/** Mutable buffer for [[TupleSumAgg]]: raw rows fold into an updatable
+  * sketch; pre-built sketches fold into a union. Either side may be
+  * absent; [[current]] reconciles them at merge/eval/serialize time.
+  * This tolerates EVERY call order the aggregation framework can
+  * produce (update after deserialize included — sort-based fallback). */
+final class TupleBuf(lgK: Int) {
+  var upd: ArrayOfDoublesUpdatableSketch = _
+  var uni: ArrayOfDoublesUnion = _
+  def update(key: Long, value: Double): Unit = {
+    if (upd == null)
+      upd = new ArrayOfDoublesUpdatableSketchBuilder()
+        .setNominalEntries(1 << lgK).setNumberOfValues(1).build()
+    upd.update(key, Array(value))
+  }
+  def union(sk: ArrayOfDoublesSketch): Unit = {
+    if (uni == null)
+      uni = new ArrayOfDoublesSetOperationBuilder()
+        .setNominalEntries(1 << lgK).setNumberOfValues(1).buildUnion()
+    uni.union(sk)
+  }
+  /** Fold any raw-update side into the union and return one sketch. */
+  def current: ArrayOfDoublesSketch = {
+    if (upd != null) {
+      union(upd.compact())
+      upd = null
+    }
+    if (uni == null)
+      new ArrayOfDoublesUpdatableSketchBuilder()
+        .setNominalEntries(1 << lgK).setNumberOfValues(1).build().compact()
+    else uni.getResult
+  }
+}
+
+/** Tuple (theta-with-summaries) sketch aggregate: per DISTINCT `key`,
+  * the element-wise SUM of `value` rides along with the retained hash —
+  * so a sketch table answers "how many distinct keys, and how much
+  * metric do they carry" INCLUDING under set algebra (the summary of a
+  * key in an intersection combines both cohorts' sums). Exact below
+  * 2^lgK distinct keys; above it, retained sums scale by 1/θ to
+  * estimate the population total. Binary input = pre-built-sketch merge
+  * mode, like the other families. */
+case class TupleSumAgg(key: Expression, value: Expression, lgK: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TupleBuf] with BinaryLike[Expression] {
+
+  override def prettyName: String = "graft_tuple_agg"
+  override def left: Expression = key
+  override def right: Expression = value
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TupleBuf = new TupleBuf(lgK)
+
+  override def update(buf: TupleBuf, row: InternalRow): TupleBuf = {
+    val k = key.eval(row)
+    if (k != null) key.dataType match {
+      case BinaryType =>
+        buf.union(ArrayOfDoublesSketch.heapify(
+          Memory.wrap(k.asInstanceOf[Array[Byte]])))
+      case _ =>
+        val v = value.eval(row)
+        if (v != null) {
+          val kl = key.dataType match {
+            case LongType    => k.asInstanceOf[Long]
+            case IntegerType => k.asInstanceOf[Int].toLong
+            case dt => throw new UnsupportedOperationException(s"tuple_agg key: $dt")
+          }
+          val vd = value.dataType match {
+            case DoubleType  => v.asInstanceOf[Double]
+            case FloatType   => v.asInstanceOf[Float].toDouble
+            case LongType    => v.asInstanceOf[Long].toDouble
+            case IntegerType => v.asInstanceOf[Int].toDouble
+            case dt => throw new UnsupportedOperationException(s"tuple_agg value: $dt")
+          }
+          buf.update(kl, vd)
+        }
+    }
+    buf
+  }
+
+  override def merge(a: TupleBuf, b: TupleBuf): TupleBuf = {
+    a.union(b.current); a
+  }
+  override def eval(buf: TupleBuf): Any = buf.current.toByteArray
+  override def serialize(buf: TupleBuf): Array[Byte] = buf.current.toByteArray
+  override def deserialize(bytes: Array[Byte]): TupleBuf = {
+    val b = new TupleBuf(lgK)
+    b.union(ArrayOfDoublesSketch.heapify(Memory.wrap(bytes)))
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): TupleSumAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): TupleSumAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): TupleSumAgg =
+    copy(key = newLeft, value = newRight)
 }
 
 /** Theta sketch aggregate: raw values (long/int/string/double) or

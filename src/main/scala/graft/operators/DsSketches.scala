@@ -183,6 +183,57 @@ object DsSketches {
           lit(eps) + lit(1.0) / col("n"))
   }
 
+  // ---- tuple (theta-with-summaries) ----------------------------------------
+
+  /** log2 nominal entries for tuple sketches (exact below 4096 keys). */
+  val TupleLgK = 12
+
+  private def heapifyTuple(b: Array[Byte]) =
+    org.apache.datasketches.tuple.arrayofdoubles.ArrayOfDoublesSketch
+      .heapify(org.apache.datasketches.memory.Memory.wrap(b))
+
+  /** One tuple sketch per group: distinct `keyCol` set, each retained
+    * key carrying the SUM of its `valueCol` as the summary. */
+  def tupleSketch(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                  valueCol: String, lgK: Int = TupleLgK): DataFrame = {
+    register(df.sparkSession)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_tuple_agg", col(keyCol),
+        col(valueCol).cast("double"), lit(lgK)).as("sketch"))
+  }
+
+  val tupleEstimate: UserDefinedFunction =
+    udf((b: Array[Byte]) => heapifyTuple(b).getEstimate)
+  val tupleLower: UserDefinedFunction =
+    udf((b: Array[Byte]) => heapifyTuple(b).getLowerBound(ThetaStdDev))
+  val tupleUpper: UserDefinedFunction =
+    udf((b: Array[Byte]) => heapifyTuple(b).getUpperBound(ThetaStdDev))
+
+  /** Estimated population total of the summaries: Σ retained sums / θ.
+    * In exact mode (θ = 1) this IS the exact sum over all keys. */
+  val tupleSumEstimate: UserDefinedFunction = udf((b: Array[Byte]) => {
+    val sk = heapifyTuple(b)
+    var s = 0.0
+    val it = sk.iterator()
+    while (it.next()) s += it.getValues()(0)
+    s / sk.getTheta
+  })
+
+  /** Intersection of two tuple sketches with element-wise-SUM summary
+    * combining: the result's keys are the cohort overlap, each carrying
+    * the combined metric from BOTH sides. */
+  val tupleIntersectPair: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte]) => {
+    val sum = new org.apache.datasketches.tuple.arrayofdoubles.ArrayOfDoublesCombiner {
+      def combine(x: Array[Double], y: Array[Double]): Array[Double] =
+        Array(x(0) + y(0))
+    }
+    val i = new org.apache.datasketches.tuple.arrayofdoubles
+      .ArrayOfDoublesSetOperationBuilder().setNumberOfValues(1).buildIntersection()
+    i.intersect(heapifyTuple(a), sum)
+    i.intersect(heapifyTuple(b), sum)
+    i.getResult.toByteArray
+  })
+
   // ---- Misra–Gries frequent items ----------------------------------------
 
   /** One merged LongsSketch over `keyExpr` — a single distributed

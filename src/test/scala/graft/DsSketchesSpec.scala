@@ -91,6 +91,47 @@ class DsSketchesSpec extends AnyFunSuite {
     }
   }
 
+  // ---- tuple (theta-with-summaries) ------------------------------------------
+
+  test("tuple sketch: exact-mode distinct + per-key value totals, intersection combines") {
+    import org.apache.spark.sql.functions.col
+    // cohort a: keys 0..299 each appearing TWICE with v=1.0 (per-key sum 2.0)
+    // cohort b: keys 200..799 once with v=2.0 — overlap keys 200..299
+    val df = ((0 until 600).map(i => ("a", (i % 300).toLong, 1.0)) ++
+      (200 until 800).map(i => ("b", i.toLong, 2.0))).toDF("cohort", "u", "v")
+      .repartition(7)
+    val sk = DsSketches.tupleSketch(df, Seq("cohort"), "u", "v")
+    val est = sk.select(col("cohort"),
+        DsSketches.tupleEstimate(col("sketch")).as("d"),
+        DsSketches.tupleSumEstimate(col("sketch")).as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(est("a") == ((300.0, 600.0)), s"cohort a: ${est("a")}")
+    assert(est("b") == ((600.0, 1200.0)), s"cohort b: ${est("b")}")
+    // intersection: 100 common keys, each carrying 2.0 (a) + 2.0 (b) = 4.0
+    val bySk = sk.collect().map(r =>
+      r.getString(0) -> r.getAs[Array[Byte]]("sketch")).toMap
+    val inter = DsSketches.tupleIntersectPair(lit(bySk("a")), lit(bySk("b")))
+    val r = spark.range(1).select(
+      DsSketches.tupleEstimate(inter), DsSketches.tupleSumEstimate(inter)).head()
+    assert(r.getDouble(0) == 100.0, s"common keys ${r.getDouble(0)}")
+    assert(r.getDouble(1) == 400.0, s"combined sum ${r.getDouble(1)}")
+  }
+
+  test("tuple sketch estimation mode: sum/theta estimator tracks the population total") {
+    val df = (0 until 100000).map(i => ("all", i.toLong, 1.0)).toDF("g", "u", "v")
+      .repartition(13)
+    val sk = DsSketches.tupleSketch(df, Seq("g"), "u", "v")
+    val r = sk.select(
+      DsSketches.tupleEstimate(col("sketch")),
+      DsSketches.tupleLower(col("sketch")),
+      DsSketches.tupleUpper(col("sketch")),
+      DsSketches.tupleSumEstimate(col("sketch"))).head()
+    assert(r.getDouble(1) <= 100000.0 && 100000.0 <= r.getDouble(2),
+      s"bounds [${r.getDouble(1)}, ${r.getDouble(2)}] miss truth")
+    assert(math.abs(r.getDouble(3) - 100000.0) / 100000.0 < 0.10,
+      s"sum estimate ${r.getDouble(3)} off by >10%")
+  }
+
   // ---- frequent items --------------------------------------------------------
 
   test("Misra-Gries: bounds bracket exact counts and nothing heavy is missed") {
@@ -141,7 +182,7 @@ class DsSketchesSpec extends AnyFunSuite {
 
   // ---- query layer ----------------------------------------------------------
 
-  test("DsSketchQueries: all five queries verdict-green at sf0.001") {
+  test("DsSketchQueries: every query verdict-green at sf0.001") {
     for ((name, fn) <- DsSketchQueries.queries) {
       val rows = fn(spark, dir).collect()
       assert(rows.nonEmpty, s"$name returned 0 rows")
