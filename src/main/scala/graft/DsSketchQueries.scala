@@ -82,6 +82,16 @@ object DsSketchQueries {
       DsSketches.freqItems(s, freqBytes(s, dir)).orderBy(col("item"))
     }
 
+  /** One frozen row per (cohort, retained sample): the reservoir's
+    * exact stream length rides along for the n_ok verdict. */
+  private def reservoirEst(s: SparkSession, dir: String): DataFrame =
+    frozen(s, dir, "reservoir") {
+      DsSketches.reservoirSketch(t(s, dir, "events"), Seq("event_type"), "event_id")
+        .select(col("event_type"),
+          DsSketches.reservoirN(col("sketch")).as("n_stream"),
+          explode(DsSketches.reservoirSamples(col("sketch"))).as("sample_id"))
+    }
+
   /** Per-cohort tuple sketches (distinct user_id, summary = Σ value):
     * kept as sketches so both the per-cohort metrics AND the pairwise
     * intersection query derive from ONE frozen build. */
@@ -221,6 +231,27 @@ object DsSketchQueries {
         .orderBy(col("cohort_a"), col("cohort_b"))
     }),
 
+    // mergeable uniform reservoir: every retained sample must be a real
+    // member of its cohort, the sketch's n must equal the exact stream
+    // length, and the sample size must be exactly min(k, n)
+    "q_reservoir_sample" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val est = reservoirEst(s, dir)
+      val sizes = est.groupBy(col("event_type")).agg(count(lit(1)).as("n_samples"))
+      val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+      val members = ev.select(col("event_type"), col("event_id").as("sample_id"))
+        .distinct().withColumn("present", lit(1))
+      est.join(sizes, "event_type").join(exact, "event_type")
+        .join(members, Seq("event_type", "sample_id"), "left")
+        .select(col("event_type"), col("sample_id"), col("n_stream"),
+          col("n_samples"), col("exact_n"),
+          (col("n_stream") === col("exact_n")).as("n_ok"),
+          col("present").isNotNull.as("member_ok"),
+          (col("n_samples") ===
+            least(lit(DsSketches.ReservoirK.toLong), col("exact_n"))).as("size_ok"))
+        .orderBy(col("event_type"), col("sample_id"))
+    }),
+
     // NO_FALSE_NEGATIVES completeness: no key with true count above the
     // sketch's maxError may be missing from the reported item set
     "q_freq_complete" -> ((s, dir) => {
@@ -243,7 +274,8 @@ object DsSketchQueries {
   def warm(spark: SparkSession, sfDir: String): Unit = {
     setopsEst(spark, sfDir); mergeEst(spark, sfDir); kllEst(spark, sfDir)
     freqItemsEst(spark, sfDir); freqBytes(spark, sfDir)
-    tupleEst(spark, sfDir); tupleOverlapEst(spark, sfDir); ()
+    tupleEst(spark, sfDir); tupleOverlapEst(spark, sfDir)
+    reservoirEst(spark, sfDir); ()
   }
 
   /** Estimate-bearing tables the oracle reads back (it cannot recompute
@@ -260,6 +292,7 @@ object DsSketchQueries {
       .toDF("threshold"), "ds_freq_threshold")
     dump(tupleEst(spark, sfDir), "ds_tuple_est")
     dump(tupleOverlapEst(spark, sfDir), "ds_tuple_overlap")
+    dump(reservoirEst(spark, sfDir), "ds_reservoir")
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -360,6 +393,22 @@ object DsSketchQueries {
          |    <= 1e-6 * abs(x.exact_sum_common) + 1e-6 AS sum_ok
          |FROM a JOIN x USING (cohort_a, cohort_b)
          |ORDER BY a.cohort_a, a.cohort_b""".stripMargin,
+    // the dumped samples are judged for membership, stream-length
+    // exactness, and size = min(k, n) against DuckDB's own base counts
+    "q_reservoir_sample" ->
+      s"""WITH a AS (SELECT * FROM read_parquet('{OUT}/_aux/ds_reservoir/*.parquet')),
+         |sz AS (SELECT event_type, count(*) AS n_samples FROM a GROUP BY 1),
+         |x AS (SELECT event_type, count(*) AS exact_n FROM events GROUP BY 1),
+         |m AS (SELECT DISTINCT event_type, event_id FROM events)
+         |SELECT a.event_type, a.sample_id, a.n_stream, sz.n_samples, x.exact_n,
+         |  a.n_stream = x.exact_n AS n_ok,
+         |  m.event_id IS NOT NULL AS member_ok,
+         |  sz.n_samples = least(${DsSketches.ReservoirK}, x.exact_n) AS size_ok
+         |FROM a
+         |JOIN sz USING (event_type)
+         |JOIN x USING (event_type)
+         |LEFT JOIN m ON m.event_type = a.event_type AND m.event_id = a.sample_id
+         |ORDER BY a.event_type, a.sample_id""".stripMargin,
     // completeness of NO_FALSE_NEGATIVES: DuckDB recomputes every true
     // count and checks nothing above the dumped threshold was missed
     "q_freq_complete" ->

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.datasketches.frequencies.LongsSketch
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.sampling.ReservoirLongsUnion
 import org.apache.datasketches.theta.{CompactSketch, SetOperation, Union}
 import org.apache.datasketches.tuple.arrayofdoubles.{ArrayOfDoublesSetOperationBuilder, ArrayOfDoublesSketch, ArrayOfDoublesUnion, ArrayOfDoublesUpdatableSketch, ArrayOfDoublesUpdatableSketchBuilder}
 import org.apache.spark.sql.SparkSession
@@ -66,10 +67,59 @@ object DsSketchAggs {
       exprs => FreqLongsAgg(exprs.head, litInt(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("graft_tuple_agg",
       exprs => TupleSumAgg(exprs.head, exprs(1), litInt(exprs(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_reservoir_agg",
+      exprs => ReservoirLongsAgg(exprs.head, litInt(exprs(1))), "scala_udf")
   }
 
   private[graft] def wrapTheta(bytes: Array[Byte]): CompactSketch =
     CompactSketch.wrap(Memory.wrap(bytes))
+}
+
+/** Mergeable uniform reservoir sample of a long column: each partition
+  * folds its rows into a k-slot reservoir, reservoirs union into a
+  * statistically valid k-sample of the COMBINED stream (weighted by
+  * each side's n) — the one-pass distributed sampling primitive a
+  * 100 TB table needs (a naive per-partition sample then limit(k) is
+  * NOT uniform; the union's n-weighting is what makes this one valid).
+  * Binary input = pre-built-sketch merge mode like the other families.
+  */
+case class ReservoirLongsAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ReservoirLongsUnion] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_reservoir_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): ReservoirLongsUnion =
+    ReservoirLongsUnion.newInstance(k)
+
+  override def update(buf: ReservoirLongsUnion, row: InternalRow): ReservoirLongsUnion = {
+    val v = child.eval(row)
+    if (v != null) child.dataType match {
+      case BinaryType =>
+        buf.update(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+      case LongType    => buf.update(v.asInstanceOf[Long])
+      case IntegerType => buf.update(v.asInstanceOf[Int].toLong)
+      case dt => throw new UnsupportedOperationException(s"reservoir_agg: $dt")
+    }
+    buf
+  }
+
+  override def merge(a: ReservoirLongsUnion, b: ReservoirLongsUnion): ReservoirLongsUnion = {
+    a.update(b.getResult); a
+  }
+  override def eval(buf: ReservoirLongsUnion): Any = buf.getResult.toByteArray
+  override def serialize(buf: ReservoirLongsUnion): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): ReservoirLongsUnion =
+    ReservoirLongsUnion.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(n: Int): ReservoirLongsAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): ReservoirLongsAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): ReservoirLongsAgg =
+    copy(child = newChild)
 }
 
 /** Mutable buffer for [[TupleSumAgg]]: raw rows fold into an updatable

@@ -234,6 +234,37 @@ object DsSketches {
     i.getResult.toByteArray
   })
 
+  // ---- mergeable reservoir sample -------------------------------------------
+
+  /** Default reservoir size. */
+  val ReservoirK = 32
+
+  private def heapifyReservoir(b: Array[Byte]) =
+    org.apache.datasketches.sampling.ReservoirLongsSketch
+      .heapify(org.apache.datasketches.memory.Memory.wrap(b))
+
+  /** One k-slot uniform reservoir per group over a long column — the
+    * ONE-PASS distributed sample (per-partition reservoirs union with
+    * n-weighting, which is what keeps the combined sample uniform;
+    * `limit(k)` or per-partition take(k) is NOT). Complements the
+    * deterministic hash samplers (q_stratified_sample/q_sample_exact_k):
+    * those trade uniformity-per-retry for replay stability; the
+    * reservoir gives true uniform inclusion at fixed memory. */
+  def reservoirSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                      k: Int = ReservoirK): DataFrame = {
+    register(df.sparkSession)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_reservoir_agg", col(valueCol), lit(k)).as("sketch"))
+  }
+
+  /** Total stream length the reservoir has seen (exact). */
+  val reservoirN: UserDefinedFunction =
+    udf((b: Array[Byte]) => heapifyReservoir(b).getN)
+
+  /** The retained sample values (min(k, n) of them). */
+  val reservoirSamples: UserDefinedFunction =
+    udf((b: Array[Byte]) => heapifyReservoir(b).getSamples)
+
   // ---- Misra–Gries frequent items ----------------------------------------
 
   /** One merged LongsSketch over `keyExpr` — a single distributed

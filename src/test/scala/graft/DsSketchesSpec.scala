@@ -180,6 +180,30 @@ class DsSketchesSpec extends AnyFunSuite {
       s"exact=$exact7 outside [${seven._3}, ${seven._4}]")
   }
 
+  // ---- reservoir sampling ------------------------------------------------------
+
+  test("reservoir: below k it retains everything; above k the union stays a valid k-sample") {
+    import org.apache.spark.sql.functions.col
+    // n < k: the reservoir IS the stream
+    val small = (0 until 20).map(i => ("g", i.toLong)).toDF("g", "v").repartition(5)
+    val sk1 = DsSketches.reservoirSketch(small, Seq("g"), "v", k = 32)
+      .select(DsSketches.reservoirN(col("sketch")),
+        DsSketches.reservoirSamples(col("sketch"))).head()
+    assert(sk1.getLong(0) == 20L)
+    assert(sk1.getSeq[Long](1).sorted == (0L until 20L))
+    // n >> k across partitions: n exact, |sample| = k, all real members,
+    // no duplicates (the stream had none)
+    val big = (0 until 100000).map(i => ("g", i.toLong)).toDF("g", "v").repartition(13)
+    val sk2 = DsSketches.reservoirSketch(big, Seq("g"), "v", k = 64)
+      .select(DsSketches.reservoirN(col("sketch")),
+        DsSketches.reservoirSamples(col("sketch"))).head()
+    assert(sk2.getLong(0) == 100000L)
+    val samples = sk2.getSeq[Long](1)
+    assert(samples.length == 64)
+    assert(samples.distinct.length == 64)
+    assert(samples.forall(v => v >= 0 && v < 100000))
+  }
+
   // ---- query layer ----------------------------------------------------------
 
   test("DsSketchQueries: every query verdict-green at sf0.001") {
