@@ -107,9 +107,18 @@ case class ReservoirLongsAgg(child: Expression, k: Int,
   }
 
   override def merge(a: ReservoirLongsUnion, b: ReservoirLongsUnion): ReservoirLongsUnion = {
-    a.update(b.getResult); a
+    val r = b.getResult
+    if (r != null) a.update(r)
+    a
   }
-  override def eval(buf: ReservoirLongsUnion): Any = buf.getResult.toByteArray
+  // an all-NULL (or empty) group leaves the union empty and getResult
+  // returns null — emit a real empty reservoir instead of an NPE
+  override def eval(buf: ReservoirLongsUnion): Any = {
+    val r = buf.getResult
+    if (r == null)
+      org.apache.datasketches.sampling.ReservoirLongsSketch.newInstance(k).toByteArray
+    else r.toByteArray
+  }
   override def serialize(buf: ReservoirLongsUnion): Array[Byte] = buf.toByteArray
   override def deserialize(bytes: Array[Byte]): ReservoirLongsUnion =
     ReservoirLongsUnion.heapify(Memory.wrap(bytes))
@@ -182,22 +191,23 @@ case class TupleSumAgg(key: Expression, value: Expression, lgK: Int,
         buf.union(ArrayOfDoublesSketch.heapify(
           Memory.wrap(k.asInstanceOf[Array[Byte]])))
       case _ =>
-        val v = value.eval(row)
-        if (v != null) {
-          val kl = key.dataType match {
-            case LongType    => k.asInstanceOf[Long]
-            case IntegerType => k.asInstanceOf[Int].toLong
-            case dt => throw new UnsupportedOperationException(s"tuple_agg key: $dt")
-          }
-          val vd = value.dataType match {
-            case DoubleType  => v.asInstanceOf[Double]
-            case FloatType   => v.asInstanceOf[Float].toDouble
-            case LongType    => v.asInstanceOf[Long].toDouble
-            case IntegerType => v.asInstanceOf[Int].toDouble
-            case dt => throw new UnsupportedOperationException(s"tuple_agg value: $dt")
-          }
-          buf.update(kl, vd)
+        val kl = key.dataType match {
+          case LongType    => k.asInstanceOf[Long]
+          case IntegerType => k.asInstanceOf[Int].toLong
+          case dt => throw new UnsupportedOperationException(s"tuple_agg key: $dt")
         }
+        // a NULL metric still counts the KEY (summary contribution 0.0)
+        // — distinct semantics match COUNT(DISTINCT key), and the sum
+        // matches SQL SUM, which ignores NULLs
+        val v = value.eval(row)
+        val vd = if (v == null) 0.0 else value.dataType match {
+          case DoubleType  => v.asInstanceOf[Double]
+          case FloatType   => v.asInstanceOf[Float].toDouble
+          case LongType    => v.asInstanceOf[Long].toDouble
+          case IntegerType => v.asInstanceOf[Int].toDouble
+          case dt => throw new UnsupportedOperationException(s"tuple_agg value: $dt")
+        }
+        buf.update(kl, vd)
     }
     buf
   }

@@ -110,7 +110,13 @@ object DsSketches {
     * then #cohorts² sketch-row arithmetic (metadata-sized). */
   def thetaCohortSetOps(df: DataFrame, cohortCol: String,
                         valueCol: String): DataFrame = {
-    val sk = thetaSketch(df, Seq(cohortCol), valueCol)
+    // ONE distributed sketch aggregation, then localize: the per-cohort
+    // sketch table is metadata-sized by construction (#cohorts rows of
+    // ~2^lgK·8 bytes), and referencing a lazy aggregation from both
+    // sides of the self-join would recompute the full input scan twice
+    val skDist = thetaSketch(df, Seq(cohortCol), valueCol)
+    val sk = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(skDist.collect(): _*), skDist.schema)
     val a = sk.select(col(cohortCol).as("cohort_a"), col("sketch").as("sk_a"))
     val b = sk.select(col(cohortCol).as("cohort_b"), col("sketch").as("sk_b"))
     def triple(prefix: String, c: Column): Seq[Column] = Seq(
@@ -151,9 +157,14 @@ object DsSketches {
   def kllMergedQuantiles(partials: DataFrame, groupCols: Seq[String],
                          ps: Seq[Double], k: Int = KllK): DataFrame = {
     register(partials.sparkSession)
-    val quantile = udf((b: Array[Byte], p: Double) =>
-      KllDoublesSketch.heapify(Memory.wrap(b))
-        .getQuantile(p, QuantileSearchCriteria.INCLUSIVE))
+    // an all-NULL group yields an EMPTY merged sketch; getQuantile
+    // throws on those, so surface NULL for that group instead of
+    // aborting the whole read
+    val quantile = udf((b: Array[Byte], p: Double) => {
+      val sk = KllDoublesSketch.heapify(Memory.wrap(b))
+      if (sk.isEmpty) null
+      else java.lang.Double.valueOf(sk.getQuantile(p, QuantileSearchCriteria.INCLUSIVE))
+    })
     partials.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_shards"),
         call_function("graft_kll_agg", col("sketch"), lit(k)).as("sketch"))
@@ -261,9 +272,11 @@ object DsSketches {
   val reservoirN: UserDefinedFunction =
     udf((b: Array[Byte]) => heapifyReservoir(b).getN)
 
-  /** The retained sample values (min(k, n) of them). */
+  /** The retained sample values (min(k, n) of them; empty reservoirs
+    * report null from the library — normalized to an empty array). */
   val reservoirSamples: UserDefinedFunction =
-    udf((b: Array[Byte]) => heapifyReservoir(b).getSamples)
+    udf((b: Array[Byte]) =>
+      Option(heapifyReservoir(b).getSamples).getOrElse(Array.empty[Long]))
 
   // ---- Misra–Gries frequent items ----------------------------------------
 

@@ -53,7 +53,10 @@ object StreamingSketch {
   private def partialsOf(spark: SparkSession, io: TableIO, prefix: String): DataFrame =
     io.listTables(spark, prefix)
       .map(t => io.read(spark, t))
-      .reduce(_ unionByName _)
+      .reduceOption(_ unionByName _)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed sketch partials under prefix '$prefix' yet — " +
+          "the stream has not completed its first batch"))
 
   /** Current per-group distinct estimate from the sketch table alone —
     * the production read path: unions #batches kilobyte rows. */

@@ -204,6 +204,40 @@ class DsSketchesSpec extends AnyFunSuite {
     assert(samples.forall(v => v >= 0 && v < 100000))
   }
 
+  // ---- NULL / empty-group edges (review findings, regression-pinned) ---------
+
+  test("all-NULL groups: reservoir yields an empty sample, KLL a NULL quantile, tuple counts the key") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq[(String, java.lang.Long, java.lang.Double)](
+      ("full", 1L, 5.0), ("full", 2L, 7.0),
+      ("hollow", null, null), ("hollow", null, null)
+    ).toDF("g", "u", "v").repartition(3)
+    // reservoir over an entirely-NULL value column: empty sketch, not an NPE
+    val res = DsSketches.reservoirSketch(df, Seq("g"), "u", k = 8)
+      .select(col("g"), DsSketches.reservoirN(col("sketch")).as("n"),
+        DsSketches.reservoirSamples(col("sketch")).as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(res("hollow") == ((0L, Seq())))
+    assert(res("full")._1 == 2L && res("full")._2.sorted == Seq(1L, 2L))
+    // KLL over the same: the hollow group's quantile is NULL, the full
+    // group's is real — one bad group must not abort the read
+    val kll = DsSketches.kllMergedQuantiles(
+        DsSketches.kllPartials(df, Seq("g"), lit(0), "v"), Seq("g"), Seq(0.5))
+      .collect().map(r => r.getString(0) -> Option(r.get(r.length - 1))).toMap
+    assert(kll("hollow").isEmpty)
+    assert(kll("full").nonEmpty)
+    // tuple: a key whose metric is NULL still counts as a distinct key
+    // (summary 0.0) — matching COUNT(DISTINCT key) + SUM(value) SQL
+    val tdf = Seq[(String, java.lang.Long, java.lang.Double)](
+      ("g", 1L, 3.0), ("g", 2L, null), ("g", 2L, 4.0), ("g", 3L, null)
+    ).toDF("g", "u", "v")
+    val t = DsSketches.tupleSketch(tdf, Seq("g"), "u", "v")
+      .select(DsSketches.tupleEstimate(col("sketch")),
+        DsSketches.tupleSumEstimate(col("sketch"))).head()
+    assert(t.getDouble(0) == 3.0, s"distinct ${t.getDouble(0)}")
+    assert(t.getDouble(1) == 7.0, s"sum ${t.getDouble(1)}")
+  }
+
   // ---- query layer ----------------------------------------------------------
 
   test("DsSketchQueries: every query verdict-green at sf0.001") {
