@@ -92,6 +92,20 @@ object DsSketchQueries {
           explode(DsSketches.reservoirSamples(col("sketch"))).as("sample_id"))
     }
 
+  /** One frozen row per (cohort, retained weighted sample): the exact
+    * stream length and preserved total weight ride along. */
+  private def varoptEst(s: SparkSession, dir: String): DataFrame =
+    frozen(s, dir, "varopt") {
+      DsSketches.varoptSketch(t(s, dir, "events"), Seq("event_type"),
+          "event_id", "value")
+        .select(col("event_type"),
+          DsSketches.varoptN(col("sketch")).as("n_stream"),
+          DsSketches.varoptTotalWeight(col("sketch")).as("total_weight"),
+          explode(DsSketches.varoptSamples(col("sketch"))).as("sw"))
+        .select(col("event_type"), col("n_stream"), col("total_weight"),
+          col("sw._1").as("sample_id"), col("sw._2").as("adj_weight"))
+    }
+
   /** Per-cohort tuple sketches (distinct user_id, summary = Σ value):
     * kept as sketches so both the per-cohort metrics AND the pairwise
     * intersection query derive from ONE frozen build. */
@@ -252,6 +266,33 @@ object DsSketchQueries {
         .orderBy(col("event_type"), col("sample_id"))
     }),
 
+    // VarOpt weighted sample: membership, exact positive-weight stream
+    // length, size = min(k, n), and the weight-PRESERVATION invariant
+    // (the sketch's total weight == the cohort's exact value sum)
+    "q_varopt_sample" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val est = varoptEst(s, dir)
+      val sizes = est.groupBy(col("event_type")).agg(count(lit(1)).as("n_samples"))
+      val exact = ev.groupBy(col("event_type")).agg(
+        count(when(col("value") > 0, 1)).as("exact_n"),
+        sum(when(col("value") > 0, col("value").cast("decimal(18,6)")))
+          .cast("double").as("exact_weight"))
+      val members = ev.select(col("event_type"), col("event_id").as("sample_id"))
+        .distinct().withColumn("present", lit(1))
+      est.join(sizes, "event_type").join(exact, "event_type")
+        .join(members, Seq("event_type", "sample_id"), "left")
+        .select(col("event_type"), col("sample_id"), col("adj_weight"),
+          col("n_stream"), col("n_samples"), col("exact_n"),
+          col("total_weight"), col("exact_weight"),
+          (col("n_stream") === col("exact_n")).as("n_ok"),
+          col("present").isNotNull.as("member_ok"),
+          (abs(col("total_weight") - col("exact_weight")) <=
+            lit(1e-6) * abs(col("exact_weight")) + lit(1e-6)).as("weight_ok"),
+          (col("n_samples") ===
+            least(lit(DsSketches.VarOptK.toLong), col("exact_n"))).as("size_ok"))
+        .orderBy(col("event_type"), col("sample_id"))
+    }),
+
     // NO_FALSE_NEGATIVES completeness: no key with true count above the
     // sketch's maxError may be missing from the reported item set
     "q_freq_complete" -> ((s, dir) => {
@@ -275,7 +316,7 @@ object DsSketchQueries {
     setopsEst(spark, sfDir); mergeEst(spark, sfDir); kllEst(spark, sfDir)
     freqItemsEst(spark, sfDir); freqBytes(spark, sfDir)
     tupleEst(spark, sfDir); tupleOverlapEst(spark, sfDir)
-    reservoirEst(spark, sfDir); ()
+    reservoirEst(spark, sfDir); varoptEst(spark, sfDir); ()
   }
 
   /** Estimate-bearing tables the oracle reads back (it cannot recompute
@@ -293,6 +334,7 @@ object DsSketchQueries {
     dump(tupleEst(spark, sfDir), "ds_tuple_est")
     dump(tupleOverlapEst(spark, sfDir), "ds_tuple_overlap")
     dump(reservoirEst(spark, sfDir), "ds_reservoir")
+    dump(varoptEst(spark, sfDir), "ds_varopt")
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -404,6 +446,30 @@ object DsSketchQueries {
          |  a.n_stream = x.exact_n AS n_ok,
          |  m.event_id IS NOT NULL AS member_ok,
          |  sz.n_samples = least(${DsSketches.ReservoirK}, x.exact_n) AS size_ok
+         |FROM a
+         |JOIN sz USING (event_type)
+         |JOIN x USING (event_type)
+         |LEFT JOIN m ON m.event_type = a.event_type AND m.event_id = a.sample_id
+         |ORDER BY a.event_type, a.sample_id""".stripMargin,
+    // the dumped weighted samples are judged for membership, exact
+    // stream length, size, and weight preservation against DuckDB's
+    // own decimal-exact weight totals
+    "q_varopt_sample" ->
+      s"""WITH a AS (SELECT * FROM read_parquet('{OUT}/_aux/ds_varopt/*.parquet')),
+         |sz AS (SELECT event_type, count(*) AS n_samples FROM a GROUP BY 1),
+         |x AS (SELECT event_type,
+         |        count(*) FILTER (WHERE value > 0) AS exact_n,
+         |        CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE value > 0)
+         |          AS DOUBLE) AS exact_weight
+         |      FROM events GROUP BY 1),
+         |m AS (SELECT DISTINCT event_type, event_id FROM events)
+         |SELECT a.event_type, a.sample_id, a.adj_weight, a.n_stream,
+         |  sz.n_samples, x.exact_n, a.total_weight, x.exact_weight,
+         |  a.n_stream = x.exact_n AS n_ok,
+         |  m.event_id IS NOT NULL AS member_ok,
+         |  abs(a.total_weight - x.exact_weight)
+         |    <= 1e-6 * abs(x.exact_weight) + 1e-6 AS weight_ok,
+         |  sz.n_samples = least(${DsSketches.VarOptK}, x.exact_n) AS size_ok
          |FROM a
          |JOIN sz USING (event_type)
          |JOIN x USING (event_type)

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.datasketches.frequencies.LongsSketch
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
-import org.apache.datasketches.sampling.ReservoirLongsUnion
+import org.apache.datasketches.common.ArrayOfLongsSerDe
+import org.apache.datasketches.sampling.{ReservoirLongsUnion, VarOptItemsSketch, VarOptItemsUnion}
 import org.apache.datasketches.theta.{CompactSketch, SetOperation, Union}
 import org.apache.datasketches.tuple.arrayofdoubles.{ArrayOfDoublesSetOperationBuilder, ArrayOfDoublesSketch, ArrayOfDoublesUnion, ArrayOfDoublesUpdatableSketch, ArrayOfDoublesUpdatableSketchBuilder}
 import org.apache.spark.sql.SparkSession
@@ -69,6 +70,8 @@ object DsSketchAggs {
       exprs => TupleSumAgg(exprs.head, exprs(1), litInt(exprs(2))), "scala_udf")
     reg.createOrReplaceTempFunction("graft_reservoir_agg",
       exprs => ReservoirLongsAgg(exprs.head, litInt(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_varopt_agg",
+      exprs => VarOptLongsAgg(exprs.head, exprs(1), litInt(exprs(2))), "scala_udf")
   }
 
   private[graft] def wrapTheta(bytes: Array[Byte]): CompactSketch =
@@ -129,6 +132,96 @@ case class ReservoirLongsAgg(child: Expression, k: Int,
     copy(inputAggBufferOffset = n)
   override protected def withNewChildInternal(newChild: Expression): ReservoirLongsAgg =
     copy(child = newChild)
+}
+
+/** Mutable buffer for [[VarOptLongsAgg]] — same lazy raw-side/union-side
+  * reconciliation as [[TupleBuf]], safe under every aggregation call
+  * order. */
+final class VarOptBuf(k: Int) {
+  var upd: VarOptItemsSketch[java.lang.Long] = _
+  var uni: VarOptItemsUnion[java.lang.Long] = _
+  def update(key: Long, weight: Double): Unit = {
+    if (upd == null) upd = VarOptItemsSketch.newInstance[java.lang.Long](k)
+    upd.update(java.lang.Long.valueOf(key), weight)
+  }
+  def union(sk: VarOptItemsSketch[java.lang.Long]): Unit = {
+    if (uni == null) uni = VarOptItemsUnion.newInstance[java.lang.Long](k)
+    uni.update(sk)
+  }
+  def current: VarOptItemsSketch[java.lang.Long] = {
+    if (upd != null) { union(upd); upd = null }
+    if (uni == null) VarOptItemsSketch.newInstance[java.lang.Long](k)
+    else uni.getResult
+  }
+}
+
+/** VarOpt WEIGHTED sample aggregate over (long key, positive weight):
+  * a mergeable fixed-k sample whose inclusion probabilities are
+  * proportional to weight and whose retained (item, adjusted-weight)
+  * pairs preserve the stream's TOTAL weight exactly and give unbiased
+  * subset-sum estimates (Σ adjusted weights over any predicate ≈ the
+  * predicate's true weight). The weighted complement of
+  * [[ReservoirLongsAgg]] — e.g. sample documents ∝ length so the
+  * sample's token mass mirrors the corpus. NULL or non-positive
+  * weights skip the row (the library rejects them; SQL parity =
+  * `WHERE weight > 0`). Binary input = pre-built-sketch merge mode. */
+case class VarOptLongsAgg(key: Expression, weight: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VarOptBuf] with BinaryLike[Expression] {
+
+  override def prettyName: String = "graft_varopt_agg"
+  override def left: Expression = key
+  override def right: Expression = weight
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  private def serde = new ArrayOfLongsSerDe()
+
+  override def createAggregationBuffer(): VarOptBuf = new VarOptBuf(k)
+
+  override def update(buf: VarOptBuf, row: InternalRow): VarOptBuf = {
+    val kv = key.eval(row)
+    if (kv != null) key.dataType match {
+      case BinaryType =>
+        buf.union(VarOptItemsSketch.heapify(
+          Memory.wrap(kv.asInstanceOf[Array[Byte]]), serde))
+      case _ =>
+        val kl = key.dataType match {
+          case LongType    => kv.asInstanceOf[Long]
+          case IntegerType => kv.asInstanceOf[Int].toLong
+          case dt => throw new UnsupportedOperationException(s"varopt_agg key: $dt")
+        }
+        val w = weight.eval(row)
+        val wd = if (w == null) 0.0 else weight.dataType match {
+          case DoubleType  => w.asInstanceOf[Double]
+          case FloatType   => w.asInstanceOf[Float].toDouble
+          case LongType    => w.asInstanceOf[Long].toDouble
+          case IntegerType => w.asInstanceOf[Int].toDouble
+          case dt => throw new UnsupportedOperationException(s"varopt_agg weight: $dt")
+        }
+        if (wd > 0.0) buf.update(kl, wd)
+    }
+    buf
+  }
+
+  override def merge(a: VarOptBuf, b: VarOptBuf): VarOptBuf = {
+    a.union(b.current); a
+  }
+  override def eval(buf: VarOptBuf): Any = buf.current.toByteArray(serde)
+  override def serialize(buf: VarOptBuf): Array[Byte] = buf.current.toByteArray(serde)
+  override def deserialize(bytes: Array[Byte]): VarOptBuf = {
+    val b = new VarOptBuf(k)
+    b.union(VarOptItemsSketch.heapify(Memory.wrap(bytes), serde))
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): VarOptLongsAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): VarOptLongsAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VarOptLongsAgg =
+    copy(key = newLeft, weight = newRight)
 }
 
 /** Mutable buffer for [[TupleSumAgg]]: raw rows fold into an updatable

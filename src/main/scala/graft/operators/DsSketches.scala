@@ -278,6 +278,48 @@ object DsSketches {
     udf((b: Array[Byte]) =>
       Option(heapifyReservoir(b).getSamples).getOrElse(Array.empty[Long]))
 
+  // ---- VarOpt weighted sample -----------------------------------------------
+
+  /** Default VarOpt sample size. */
+  val VarOptK = 32
+
+  private def varoptSerde = new org.apache.datasketches.common.ArrayOfLongsSerDe()
+
+  private def heapifyVarOpt(b: Array[Byte]) =
+    org.apache.datasketches.sampling.VarOptItemsSketch
+      .heapify(org.apache.datasketches.memory.Memory.wrap(b), varoptSerde)
+
+  /** One k-slot WEIGHTED sample per group: inclusion ∝ `weightCol`,
+    * adjusted weights preserve the total and estimate subset sums
+    * unbiasedly. Rows with NULL/non-positive weight are skipped
+    * (SQL parity: `WHERE weight > 0`). */
+  def varoptSketch(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                   weightCol: String, k: Int = VarOptK): DataFrame = {
+    register(df.sparkSession)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_varopt_agg", col(keyCol),
+        col(weightCol).cast("double"), lit(k)).as("sketch"))
+  }
+
+  /** Exact count of (positive-weight) stream rows the sketch saw. */
+  val varoptN: UserDefinedFunction =
+    udf((b: Array[Byte]) => heapifyVarOpt(b).getN)
+
+  /** The stream's total weight — VarOpt preserves it through sampling
+    * (up to double addition order). */
+  val varoptTotalWeight: UserDefinedFunction =
+    udf((b: Array[Byte]) =>
+      heapifyVarOpt(b).estimateSubsetSum(_ => true).getTotalSketchWeight)
+
+  /** Retained (item, adjusted weight) pairs. */
+  val varoptSamples: UserDefinedFunction = udf((b: Array[Byte]) => {
+    val s = heapifyVarOpt(b).getSketchSamples
+    val items = s.items()
+    val ws = s.weights()
+    if (items == null) Array.empty[(Long, Double)]
+    else items.indices.map(i => (items(i).longValue, ws(i))).toArray
+  })
+
   // ---- Misra–Gries frequent items ----------------------------------------
 
   /** One merged LongsSketch over `keyExpr` — a single distributed

@@ -204,6 +204,42 @@ class DsSketchesSpec extends AnyFunSuite {
     assert(samples.forall(v => v >= 0 && v < 100000))
   }
 
+  // ---- VarOpt weighted sample ---------------------------------------------------
+
+  test("varopt: below k it retains raw weights; above k it preserves total weight and estimates subset sums") {
+    import org.apache.spark.sql.functions.col
+    // n < k: every (item, weight) retained verbatim
+    val small = (1 to 10).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "u", "w")
+      .repartition(3)
+    val s1 = DsSketches.varoptSketch(small, Seq("g"), "u", "w", k = 32)
+      .select(DsSketches.varoptN(col("sketch")),
+        DsSketches.varoptSamples(col("sketch"))).head()
+    assert(s1.getLong(0) == 10L)
+    val retained = s1.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(retained == (1 to 10).map(i => i.toLong -> i.toDouble).toMap)
+    // n >> k across partitions: n exact, size k, total weight preserved,
+    // and the subset-sum estimator brackets an exact subset total
+    val big = (0 until 50000).map(i => ("g", i.toLong, 1.0 + (i % 7)))
+      .toDF("g", "u", "w").repartition(13)
+    val bytes = DsSketches.varoptSketch(big, Seq("g"), "u", "w", k = 256)
+      .select(col("sketch")).head().getAs[Array[Byte]](0)
+    val sk = org.apache.datasketches.sampling.VarOptItemsSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(bytes),
+      new org.apache.datasketches.common.ArrayOfLongsSerDe())
+    assert(sk.getN == 50000L)
+    assert(sk.getNumSamples == 256)
+    val exactTotal = (0 until 50000).map(i => 1.0 + (i % 7)).sum
+    val total = sk.estimateSubsetSum(_ => true)
+    assert(math.abs(total.getTotalSketchWeight - exactTotal) < 1e-6 * exactTotal,
+      s"total weight ${total.getTotalSketchWeight} != $exactTotal")
+    // unbiased subset estimate: weight of even ids, bounds must bracket
+    val exactEven = (0 until 50000 by 2).map(i => 1.0 + (i % 7)).sum
+    val even = sk.estimateSubsetSum(l => l % 2 == 0)
+    assert(even.getLowerBound <= exactEven && exactEven <= even.getUpperBound,
+      s"[${even.getLowerBound}, ${even.getUpperBound}] misses $exactEven (est ${even.getEstimate})")
+  }
+
   // ---- NULL / empty-group edges (review findings, regression-pinned) ---------
 
   test("all-NULL groups: reservoir yields an empty sample, KLL a NULL quantile, tuple counts the key") {
