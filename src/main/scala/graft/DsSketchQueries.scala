@@ -38,6 +38,26 @@ object DsSketchQueries {
   private val FreqKeySql = "least(user_id % 100, 10)"
   private def freqKey = least(col("user_id") % 100, lit(10)).cast("long")
 
+  /** Token heavy hitters: one identical tokenizer on both engines. The
+    * synthetic corpus has ~31 distinct tokens, so map size 8 (< 31)
+    * forces genuine Misra–Gries eviction at every SF. */
+  private val FreqTokMapSize = 8
+  private def docTokens = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+  private val DocTokensSql = "regexp_extract_all(lower(text), '[a-z]+')"
+
+  /** Path-like ASCII string sort key (range-partition split points are
+    * the real-world use: file paths / URL keys). ASCII keeps Java
+    * natural String order == the byte order Spark/DuckDB `<=` use. */
+  private def pathKey =
+    concat(col("source"), lit("/"), lpad(col("doc_id").cast("string"), 8, "0"))
+  private val PathKeySql = "source || '/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')"
+  private val StrPs = Seq(0.25, 0.5, 0.75)
+
+  /** Range-count probe endpoints over events.value (≈32 % selectivity
+    * at sf0.01 — mid-range, so neither bound is degenerate). */
+  private val RangeLo = 50.0
+  private val RangeHi = 150.0
+
   // ---- frozen (build-once) estimate tables --------------------------------
 
   private val memo = scala.collection.concurrent.TrieMap
@@ -122,6 +142,37 @@ object DsSketchQueries {
         DsSketches.tupleLower(col("sketch")).as("lb"),
         DsSketches.tupleUpper(col("sketch")).as("ub"),
         DsSketches.tupleSumEstimate(col("sketch")).as("sum_est"))
+    }
+
+  private val freqTokMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[Byte]]
+  private def freqTokBytes(s: SparkSession, dir: String): Array[Byte] =
+    freqTokMemo.getOrElseUpdate((s, dir),
+      DsSketches.freqStringsSketch(t(s, dir, "documents"), docTokens, FreqTokMapSize))
+
+  private def freqTokensEst(s: SparkSession, dir: String): DataFrame =
+    frozen(s, dir, "freq_tokens") {
+      DsSketches.freqStringItems(s, freqTokBytes(s, dir)).orderBy(col("item"))
+    }
+
+  /** Merged per-lang string-quantile split points from per-shard
+    * partials (shard = doc_id % 8 — 8 "files" per lang). */
+  private def kllStrEst(s: SparkSession, dir: String): DataFrame =
+    frozen(s, dir, "kll_str") {
+      DsSketches.kllStringsMergedQuantiles(
+        DsSketches.kllStringsPartials(
+          t(s, dir, "documents").withColumn("path_key", pathKey),
+          Seq("lang"), pmod(col("doc_id"), lit(8)), "path_key"),
+        Seq("lang"), StrPs)
+    }
+
+  /** One metadata-only range-count row from per-day KLL partials. */
+  private def rangeCountEst(s: SparkSession, dir: String): DataFrame =
+    frozen(s, dir, "range_count") {
+      DsSketches.kllRangeCount(
+        DsSketches.kllPartials(t(s, dir, "events"), Seq.empty,
+          to_date(col("ts")), "value"),
+        RangeLo, RangeHi)
     }
 
   private def tupleOverlapEst(s: SparkSession, dir: String): DataFrame =
@@ -293,6 +344,56 @@ object DsSketchQueries {
         .orderBy(col("event_type"), col("sample_id"))
     }),
 
+    // corpus-wide token heavy hitters WITHOUT a token-grain shuffle:
+    // array elements update one string sketch in a single narrow pass;
+    // each reported token judged lb ≤ exact ≤ ub, plus the
+    // NO_FALSE_NEGATIVES completeness verdict riding along
+    "q_freq_tokens" -> ((s, dir) => {
+      val th = DsSketches.freqStringsMaxError(freqTokBytes(s, dir))
+      val exact = t(s, dir, "documents")
+        .select(explode(docTokens).as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).as("exact"))
+      val items = freqTokensEst(s, dir)
+      val miss = exact.join(
+          items.select(col("item"), lit(1).as("present")), Seq("item"), "left")
+        .agg(count(when(col("exact") > th && col("present").isNull, 1))
+          .as("n_missed"))
+      items.join(exact, Seq("item"), "left").na.fill(0L, Seq("exact"))
+        .crossJoin(broadcast(miss))
+        .select(col("item"), col("est"), col("lb"), col("ub"), col("exact"),
+          (col("lb") <= col("exact") && col("exact") <= col("ub")).as("bounds_ok"),
+          lit(th).as("threshold"), col("n_missed"),
+          (col("n_missed") === 0).as("complete_ok"))
+        .orderBy(col("item"))
+    }),
+
+    // mergeable STRING quantiles: per-shard sketch tables merged to
+    // range-partition split points of a path-like sort key; each split
+    // point's true rank recomputed from the raw rows
+    "q_kll_string_splits" -> ((s, dir) => {
+      DsSketches.rankCheck(
+          t(s, dir, "documents").withColumn("path_key", pathKey),
+          kllStrEst(s, dir), Seq("lang"), "path_key", KllEps)
+        .orderBy(col("lang"), col("p"))
+    }),
+
+    // metadata-only approximate range count: the per-day KLL sidecar
+    // alone answers count(lo ≤ v ≤ hi); DuckDB recomputes the exact
+    // count and the sidecar's row/file totals from the base table
+    "q_kll_range_count" -> ((s, dir) => {
+      val exact = t(s, dir, "events").agg(
+        count(lit(1)).as("n_total"),
+        countDistinct(to_date(col("ts"))).as("n_days"),
+        count(when(col("value") >= RangeLo && col("value") <= RangeHi, 1))
+          .as("exact"))
+      rangeCountEst(s, dir).crossJoin(exact)
+        .select(col("n_files"), col("n"), col("est"), col("lb"), col("ub"),
+          col("exact"), col("n_total"),
+          (col("n") === col("n_total")).as("n_ok"),
+          (col("n_files") === col("n_days")).as("files_ok"),
+          (col("lb") <= col("exact") && col("exact") <= col("ub")).as("range_ok"))
+    }),
+
     // NO_FALSE_NEGATIVES completeness: no key with true count above the
     // sketch's maxError may be missing from the reported item set
     "q_freq_complete" -> ((s, dir) => {
@@ -316,7 +417,9 @@ object DsSketchQueries {
     setopsEst(spark, sfDir); mergeEst(spark, sfDir); kllEst(spark, sfDir)
     freqItemsEst(spark, sfDir); freqBytes(spark, sfDir)
     tupleEst(spark, sfDir); tupleOverlapEst(spark, sfDir)
-    reservoirEst(spark, sfDir); varoptEst(spark, sfDir); ()
+    reservoirEst(spark, sfDir); varoptEst(spark, sfDir)
+    freqTokBytes(spark, sfDir); freqTokensEst(spark, sfDir)
+    kllStrEst(spark, sfDir); rangeCountEst(spark, sfDir); ()
   }
 
   /** Estimate-bearing tables the oracle reads back (it cannot recompute
@@ -335,6 +438,11 @@ object DsSketchQueries {
     dump(tupleOverlapEst(spark, sfDir), "ds_tuple_overlap")
     dump(reservoirEst(spark, sfDir), "ds_reservoir")
     dump(varoptEst(spark, sfDir), "ds_varopt")
+    dump(freqTokensEst(spark, sfDir), "ds_freq_tokens")
+    dump(Seq(DsSketches.freqStringsMaxError(freqTokBytes(spark, sfDir)))
+      .toDF("threshold"), "ds_freq_tok_threshold")
+    dump(kllStrEst(spark, sfDir), "ds_kll_str")
+    dump(rangeCountEst(spark, sfDir), "ds_range_count")
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -475,6 +583,54 @@ object DsSketchQueries {
          |JOIN x USING (event_type)
          |LEFT JOIN m ON m.event_type = a.event_type AND m.event_id = a.sample_id
          |ORDER BY a.event_type, a.sample_id""".stripMargin,
+    // every reported token's exact corpus count is recomputed by
+    // unnesting the SAME tokenizer; bounds + completeness re-judged
+    "q_freq_tokens" ->
+      s"""WITH a AS (SELECT * FROM read_parquet('{OUT}/_aux/ds_freq_tokens/*.parquet')),
+         |th AS (SELECT threshold
+         |       FROM read_parquet('{OUT}/_aux/ds_freq_tok_threshold/*.parquet')),
+         |x AS (SELECT tok AS item, count(*) AS exact
+         |      FROM (SELECT unnest($DocTokensSql) AS tok FROM documents)
+         |      GROUP BY 1),
+         |ms AS (SELECT count(*) FILTER (WHERE x.exact > th.threshold
+         |         AND x.item NOT IN (SELECT item FROM a)) AS n_missed
+         |       FROM x CROSS JOIN th)
+         |SELECT a.item, a.est, a.lb, a.ub, coalesce(x.exact, 0) AS exact,
+         |  a.lb <= coalesce(x.exact, 0)
+         |    AND coalesce(x.exact, 0) <= a.ub AS bounds_ok,
+         |  th.threshold, ms.n_missed, ms.n_missed = 0 AS complete_ok
+         |FROM a LEFT JOIN x USING (item) CROSS JOIN th CROSS JOIN ms
+         |ORDER BY a.item""".stripMargin,
+    // the rank of each dumped string split point is recomputed from the
+    // raw path keys; n_shards = distinct doc_id % 8 per lang
+    "q_kll_string_splits" ->
+      s"""WITH a AS (SELECT lang, p, est
+         |           FROM read_parquet('{OUT}/_aux/ds_kll_str/*.parquet')),
+         |d AS (SELECT lang, count(DISTINCT doc_id % 8) AS n_shards
+         |      FROM documents GROUP BY 1),
+         |r AS (SELECT a.lang, d.n_shards, a.p, a.est,
+         |        count(*) AS n,
+         |        CAST(sum(CASE WHEN ($PathKeySql) <= a.est THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS rnk
+         |      FROM a JOIN documents USING (lang) JOIN d USING (lang)
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT lang, n_shards, p, est, n, rnk,
+         |  abs(CAST(rnk AS DOUBLE) / n - p) <= $KllEps + 1.0 / n AS rank_ok
+         |FROM r ORDER BY lang, p""".stripMargin,
+    // the sidecar's est/lb/ub are taken from the dump; DuckDB recomputes
+    // the exact in-range count, total rows, and day (file) count
+    "q_kll_range_count" ->
+      s"""WITH a AS (SELECT * FROM read_parquet('{OUT}/_aux/ds_range_count/*.parquet')),
+         |x AS (SELECT count(*) AS n_total,
+         |        count(DISTINCT CAST(ts AS DATE)) AS n_days,
+         |        count(*) FILTER (WHERE value >= $RangeLo AND value <= $RangeHi)
+         |          AS exact
+         |      FROM events)
+         |SELECT a.n_files, a.n, a.est, a.lb, a.ub, x.exact, x.n_total,
+         |  a.n = x.n_total AS n_ok,
+         |  a.n_files = x.n_days AS files_ok,
+         |  a.lb <= x.exact AND x.exact <= a.ub AS range_ok
+         |FROM a CROSS JOIN x""".stripMargin,
     // completeness of NO_FALSE_NEGATIVES: DuckDB recomputes every true
     // count and checks nothing above the dumped threshold was missed
     "q_freq_complete" ->

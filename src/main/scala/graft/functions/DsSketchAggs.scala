@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.datasketches.frequencies.LongsSketch
-import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.frequencies.{ItemsSketch, LongsSketch}
+import org.apache.datasketches.kll.{KllDoublesSketch, KllItemsSketch}
 import org.apache.datasketches.memory.Memory
-import org.apache.datasketches.common.ArrayOfLongsSerDe
+import org.apache.datasketches.common.{ArrayOfLongsSerDe, ArrayOfStringsSerDe}
 import org.apache.datasketches.sampling.{ReservoirLongsUnion, VarOptItemsSketch, VarOptItemsUnion}
 import org.apache.datasketches.theta.{CompactSketch, SetOperation, Union}
 import org.apache.datasketches.tuple.arrayofdoubles.{ArrayOfDoublesSetOperationBuilder, ArrayOfDoublesSketch, ArrayOfDoublesUnion, ArrayOfDoublesUpdatableSketch, ArrayOfDoublesUpdatableSketchBuilder}
@@ -72,6 +72,10 @@ object DsSketchAggs {
       exprs => ReservoirLongsAgg(exprs.head, litInt(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("graft_varopt_agg",
       exprs => VarOptLongsAgg(exprs.head, exprs(1), litInt(exprs(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_freq_strings_agg",
+      exprs => FreqStringsAgg(exprs.head, litInt(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_kll_strings_agg",
+      exprs => KllStringsAgg(exprs.head, litInt(exprs(1))), "scala_udf")
   }
 
   private[graft] def wrapTheta(bytes: Array[Byte]): CompactSketch =
@@ -448,5 +452,111 @@ case class FreqLongsAgg(child: Expression, maxMapSize: Int,
   override def withNewInputAggBufferOffset(n: Int): FreqLongsAgg =
     copy(inputAggBufferOffset = n)
   override protected def withNewChildInternal(newChild: Expression): FreqLongsAgg =
+    copy(child = newChild)
+}
+
+/** Misra–Gries frequent-items aggregate over STRING items — the
+  * vocabulary analogue of [[FreqLongsAgg]] (same deterministic
+  * lb ≤ true ≤ ub and NO_FALSE_NEGATIVES guarantees), serialized with
+  * the library's `ArrayOfStringsSerDe`. Accepts three inputs:
+  * StringType rows (one item per row), ArrayType(StringType) rows —
+  * every element updates the sketch WITHOUT exploding tokens into rows,
+  * so corpus-wide token heavy hitters cost one narrow pass and a
+  * kilobyte-sketch exchange instead of a token-grain shuffle — and
+  * BinaryType (pre-built-sketch merge mode like the other families). */
+case class FreqStringsAgg(child: Expression, maxMapSize: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ItemsSketch[String]] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_freq_strings_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  private def serde = new ArrayOfStringsSerDe()
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+
+  override def update(buf: ItemsSketch[String], row: InternalRow): ItemsSketch[String] = {
+    val v = child.eval(row)
+    if (v != null) child.dataType match {
+      case BinaryType =>
+        buf.merge(ItemsSketch.getInstance(
+          Memory.wrap(v.asInstanceOf[Array[Byte]]), serde))
+      case StringType => buf.update(v.asInstanceOf[UTF8String].toString)
+      case ArrayType(StringType, _) =>
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        var i = 0
+        while (i < arr.numElements()) {
+          if (!arr.isNullAt(i)) buf.update(arr.getUTF8String(i).toString)
+          i += 1
+        }
+      case dt => throw new UnsupportedOperationException(s"freq_strings_agg: $dt")
+    }
+    buf
+  }
+
+  override def merge(a: ItemsSketch[String], b: ItemsSketch[String]): ItemsSketch[String] =
+    a.merge(b)
+  override def eval(buf: ItemsSketch[String]): Any = buf.toByteArray(serde)
+  override def serialize(buf: ItemsSketch[String]): Array[Byte] = buf.toByteArray(serde)
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(bytes), serde)
+
+  override def withNewMutableAggBufferOffset(n: Int): FreqStringsAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): FreqStringsAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): FreqStringsAgg =
+    copy(child = newChild)
+}
+
+/** KLL quantile sketch aggregate over STRING items under lexicographic
+  * order — mergeable string quantiles, i.e. the distributed primitive
+  * for RANGE-PARTITION SPLIT POINTS of a string sort key (what Spark's
+  * RangePartitioner approximates by sampling rows; here per-shard
+  * sketch tables merge to global split points without a row sample).
+  * Comparator = Java natural String order, which equals byte order for
+  * ASCII keys — keep keys ASCII so engine-side and SQL-side comparisons
+  * agree (the query layer's rank checks rely on it). Raw StringType
+  * input updates; BinaryType merges a pre-built sketch. */
+case class KllStringsAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllItemsSketch[String]] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_kll_strings_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  private def serde = new ArrayOfStringsSerDe()
+  private def cmp = java.util.Comparator.naturalOrder[String]()
+
+  override def createAggregationBuffer(): KllItemsSketch[String] =
+    KllItemsSketch.newHeapInstance[String](k, cmp, serde)
+
+  override def update(buf: KllItemsSketch[String], row: InternalRow): KllItemsSketch[String] = {
+    val v = child.eval(row)
+    if (v != null) child.dataType match {
+      case BinaryType =>
+        buf.merge(KllItemsSketch.heapify(
+          Memory.wrap(v.asInstanceOf[Array[Byte]]), cmp, serde))
+      case StringType => buf.update(v.asInstanceOf[UTF8String].toString)
+      case dt => throw new UnsupportedOperationException(s"kll_strings_agg: $dt")
+    }
+    buf
+  }
+
+  override def merge(a: KllItemsSketch[String],
+      b: KllItemsSketch[String]): KllItemsSketch[String] = { a.merge(b); a }
+  override def eval(buf: KllItemsSketch[String]): Any = buf.toByteArray
+  override def serialize(buf: KllItemsSketch[String]): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllItemsSketch[String] =
+    KllItemsSketch.heapify(Memory.wrap(bytes), cmp, serde)
+
+  override def withNewMutableAggBufferOffset(n: Int): KllStringsAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KllStringsAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): KllStringsAgg =
     copy(child = newChild)
 }

@@ -213,6 +213,16 @@ object DsSketches {
         col(valueCol).cast("double"), lit(lgK)).as("sketch"))
   }
 
+  /** Merge per-shard tuple partials back to one sketch per group (binary
+    * input = pre-built-sketch union mode; summaries element-wise-SUM). */
+  def tupleMerge(partials: DataFrame, groupCols: Seq[String],
+                 lgK: Int = TupleLgK): DataFrame = {
+    register(partials.sparkSession)
+    partials.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_tuple_agg", col("sketch"),
+        lit(0.0), lit(lgK)).as("sketch"))
+  }
+
   val tupleEstimate: UserDefinedFunction =
     udf((b: Array[Byte]) => heapifyTuple(b).getEstimate)
   val tupleLower: UserDefinedFunction =
@@ -268,6 +278,15 @@ object DsSketches {
       .agg(call_function("graft_reservoir_agg", col(valueCol), lit(k)).as("sketch"))
   }
 
+  /** Merge per-shard reservoir partials back to one valid k-sample per
+    * group (binary input = n-weighted union mode). */
+  def reservoirMerge(partials: DataFrame, groupCols: Seq[String],
+                     k: Int = ReservoirK): DataFrame = {
+    register(partials.sparkSession)
+    partials.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_reservoir_agg", col("sketch"), lit(k)).as("sketch"))
+  }
+
   /** Total stream length the reservoir has seen (exact). */
   val reservoirN: UserDefinedFunction =
     udf((b: Array[Byte]) => heapifyReservoir(b).getN)
@@ -301,6 +320,16 @@ object DsSketches {
         col(weightCol).cast("double"), lit(k)).as("sketch"))
   }
 
+  /** Merge per-shard VarOpt partials back to one weighted k-sample per
+    * group (binary input = union mode; total weight still preserved). */
+  def varoptMerge(partials: DataFrame, groupCols: Seq[String],
+                  k: Int = VarOptK): DataFrame = {
+    register(partials.sparkSession)
+    partials.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_varopt_agg", col("sketch"),
+        lit(1.0), lit(k)).as("sketch"))
+  }
+
   /** Exact count of (positive-weight) stream rows the sketch saw. */
   val varoptN: UserDefinedFunction =
     udf((b: Array[Byte]) => heapifyVarOpt(b).getN)
@@ -319,6 +348,121 @@ object DsSketches {
     if (items == null) Array.empty[(Long, Double)]
     else items.indices.map(i => (items(i).longValue, ws(i))).toArray
   })
+
+  // ---- string-item sketches (ArrayOfStringsSerDe families) ---------------
+
+  /** Misra–Gries map size for string items. Larger than [[FreqMapSize]]:
+    * token vocabularies are big, and the reported set (NO_FALSE_NEGATIVES)
+    * should hold the real head without drowning it in purge survivors. */
+  val FreqStrMapSize = 64
+
+  /** KLL k for string quantiles (same rank error as [[KllK]]). */
+  val KllStrK = 200
+
+  /** One merged string-items frequency sketch over `itemsExpr` — a
+    * StringType column (one item per row) or an ArrayType(StringType)
+    * column, whose ELEMENTS update the sketch directly: corpus-wide
+    * token heavy hitters in one narrow pass, no token-grain explode or
+    * shuffle anywhere (only kilobyte sketch bytes cross the exchange,
+    * and only the one merged sketch reaches the driver). */
+  def freqStringsSketch(df: DataFrame, itemsExpr: Column,
+                        maxMapSize: Int = FreqStrMapSize): Array[Byte] = {
+    register(df.sparkSession)
+    df.agg(call_function("graft_freq_strings_agg", itemsExpr, lit(maxMapSize)).as("s"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  private def strSerde = new org.apache.datasketches.common.ArrayOfStringsSerDe()
+
+  private def heapifyFreqStrings(b: Array[Byte]) =
+    org.apache.datasketches.frequencies.ItemsSketch.getInstance[String](
+      Memory.wrap(b), strSerde)
+
+  /** The string sketch's deterministic error bound. */
+  def freqStringsMaxError(bytes: Array[Byte]): Long =
+    heapifyFreqStrings(bytes).getMaximumError
+
+  /** Frequent string items under NO_FALSE_NEGATIVES: (item, est, lb, ub). */
+  def freqStringItems(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
+    import spark.implicits._
+    heapifyFreqStrings(bytes)
+      .getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+      .toSeq.toDF("item", "est", "lb", "ub")
+  }
+
+  /** Per-(group, shard) KLL string-quantile partials — mergeable split
+    * points for a string sort key (keep keys ASCII: the sketch orders by
+    * Java natural String order, which equals the byte order Spark's and
+    * DuckDB's `<=` use only there). */
+  def kllStringsPartials(df: DataFrame, groupCols: Seq[String], shard: Column,
+                         valueCol: String, k: Int = KllStrK): DataFrame = {
+    register(df.sparkSession)
+    df.groupBy((groupCols.map(col) :+ shard.as("shard")): _*)
+      .agg(call_function("graft_kll_strings_agg", col(valueCol), lit(k)).as("sketch"))
+  }
+
+  private def heapifyKllStrings(b: Array[Byte]) =
+    org.apache.datasketches.kll.KllItemsSketch.heapify[String](
+      Memory.wrap(b), java.util.Comparator.naturalOrder[String](), strSerde)
+
+  /** Merge string partials per group and read the requested quantiles:
+    * (group…, n_shards, p, est) — the distributed way to pick
+    * range-partition SPLIT POINTS for a string key (RangePartitioner's
+    * row sample replaced by a mergeable sketch table). */
+  def kllStringsMergedQuantiles(partials: DataFrame, groupCols: Seq[String],
+                                ps: Seq[Double], k: Int = KllStrK): DataFrame = {
+    register(partials.sparkSession)
+    val quantile = udf((b: Array[Byte], p: Double) => {
+      val sk = heapifyKllStrings(b)
+      if (sk.isEmpty) null
+      else sk.getQuantile(p, QuantileSearchCriteria.INCLUSIVE)
+    })
+    partials.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_shards"),
+        call_function("graft_kll_strings_agg", col("sketch"), lit(k)).as("sketch"))
+      .select(groupCols.map(col) ++
+        Seq(col("n_shards"), explode(array(ps.map(lit): _*)).as("p"),
+          col("sketch")): _*)
+      .withColumn("est", quantile(col("sketch"), col("p")))
+      .drop("sketch")
+  }
+
+  // ---- KLL range count from a per-tile sketch sidecar ---------------------
+
+  /** Metadata-only approximate range count: merge a per-file/tile KLL
+    * partial table (e.g. shard = z-tile id, the same sidecar shape as
+    * the min/max and bloom indexes) and answer
+    * `count(lo <= v AND v <= hi)` from sketch ranks alone — one row of
+    * (n_files, n, est, lb, ub), no data scan. At 100 TB the partial
+    * table is index-sized (one KB row per file), so a range-count probe
+    * reads kilobytes instead of terabytes; lb/ub budget the published
+    * normalized rank error once per endpoint (+1 retained-weight
+    * discretization step each). */
+  def kllRangeCount(partials: DataFrame, lo: Double, hi: Double,
+                    k: Int = KllK): DataFrame = {
+    register(partials.sparkSession)
+    val eps = kllRankEps(k)
+    val read = udf((b: Array[Byte]) => {
+      val sk = KllDoublesSketch.heapify(Memory.wrap(b))
+      if (sk.isEmpty) (0L, 0.0, 0L, 0L)
+      else {
+        val n = sk.getN
+        val rHi = sk.getRank(hi, QuantileSearchCriteria.INCLUSIVE)
+        val rLo = sk.getRank(lo, QuantileSearchCriteria.EXCLUSIVE)
+        val est = (rHi - rLo) * n
+        val margin = 2.0 * eps * n + 2.0
+        (n, est, math.max(0L, math.floor(est - margin).toLong),
+          math.min(n, math.ceil(est + margin).toLong))
+      }
+    })
+    partials
+      .agg(count(lit(1)).as("n_files"),
+        call_function("graft_kll_agg", col("sketch"), lit(k)).as("sketch"))
+      .withColumn("r", read(col("sketch")))
+      .select(col("n_files"), col("r._1").as("n"), col("r._2").as("est"),
+        col("r._3").as("lb"), col("r._4").as("ub"))
+  }
 
   // ---- Misra–Gries frequent items ----------------------------------------
 

@@ -134,4 +134,51 @@ object StreamingSketch {
       .head().getAs[Array[Byte]](0)
     DsSketches.freqItems(spark, merged)
   }
+
+  // ---- sampling + tuple twins: batch id is the shard, merge at read ----
+
+  val TuplePrefix = "tuple_shard_b"
+  val ReservoirPrefix = "res_shard_b"
+  val VarOptPrefix = "varopt_shard_b"
+
+  /** Tuple twin: live per-group distinct-key sets, each retained key
+    * carrying its running metric SUM — merged sketches still support
+    * read-time set algebra across streamed groups. */
+  def processBatchTuple(batch: DataFrame, batchId: Long, groupCols: Seq[String],
+                        keyCol: String, valueCol: String, io: TableIO): Unit =
+    io.write(DsSketches.tupleSketch(batch, groupCols, keyCol, valueCol),
+      s"$TuplePrefix$batchId")
+
+  /** Merged per-group tuple SKETCHES from the streamed partials. */
+  def tupleSketches(spark: SparkSession, io: TableIO,
+                    groupCols: Seq[String]): DataFrame =
+    DsSketches.tupleMerge(partialsOf(spark, io, TuplePrefix), groupCols)
+
+  /** Reservoir twin: a live uniform k-sample per group. Reservoir union
+    * is n-weighted, so the merged sample is a VALID uniform k-sample of
+    * everything streamed so far, for ANY batch split. */
+  def processBatchReservoir(batch: DataFrame, batchId: Long, groupCols: Seq[String],
+                            valueCol: String, io: TableIO,
+                            k: Int = DsSketches.ReservoirK): Unit =
+    io.write(DsSketches.reservoirSketch(batch, groupCols, valueCol, k),
+      s"$ReservoirPrefix$batchId")
+
+  /** Merged per-group reservoir SKETCHES from the streamed partials. */
+  def reservoirSketches(spark: SparkSession, io: TableIO, groupCols: Seq[String],
+                        k: Int = DsSketches.ReservoirK): DataFrame =
+    DsSketches.reservoirMerge(partialsOf(spark, io, ReservoirPrefix), groupCols, k)
+
+  /** VarOpt twin: a live WEIGHTED k-sample per group whose total weight
+    * stays exact under union — streaming importance sampling with
+    * unbiased subset-sum estimates at any read point. */
+  def processBatchVarOpt(batch: DataFrame, batchId: Long, groupCols: Seq[String],
+                         keyCol: String, weightCol: String, io: TableIO,
+                         k: Int = DsSketches.VarOptK): Unit =
+    io.write(DsSketches.varoptSketch(batch, groupCols, keyCol, weightCol, k),
+      s"$VarOptPrefix$batchId")
+
+  /** Merged per-group VarOpt SKETCHES from the streamed partials. */
+  def varoptSketches(spark: SparkSession, io: TableIO, groupCols: Seq[String],
+                     k: Int = DsSketches.VarOptK): DataFrame =
+    DsSketches.varoptMerge(partialsOf(spark, io, VarOptPrefix), groupCols, k)
 }

@@ -274,7 +274,161 @@ class DsSketchesSpec extends AnyFunSuite {
     assert(t.getDouble(1) == 7.0, s"sum ${t.getDouble(1)}")
   }
 
-  // ---- query layer ----------------------------------------------------------
+  // ---- string-item sketches ---------------------------------------------------
+
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+  private def toks = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+
+  test("freq strings: array-element updates keep both Misra–Gries guarantees") {
+    val bytes = DsSketches.freqStringsSketch(docs, toks, maxMapSize = 8)
+    val exact = docs.select(explode(toks).as("t")).groupBy(col("t"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.size > 8, "vocabulary must exceed the map so eviction engages")
+    val items = DsSketches.freqStringItems(spark, bytes).collect()
+    assert(items.nonEmpty)
+    for (r <- items) {
+      val t = r.getAs[String]("item")
+      assert(r.getAs[Long]("lb") <= exact(t) && exact(t) <= r.getAs[Long]("ub"),
+        s"$t: [${r.getAs[Long]("lb")}, ${r.getAs[Long]("ub")}] misses ${exact(t)}")
+    }
+    // NO_FALSE_NEGATIVES: nothing above maxError may be missing
+    val reported = items.map(_.getAs[String]("item")).toSet
+    val th = DsSketches.freqStringsMaxError(bytes)
+    for ((t, c) <- exact if c > th) assert(reported(t), s"heavy '$t' ($c > $th) missed")
+  }
+
+  test("freq strings: scalar-string input and binary shard-merge keep the bounds") {
+    DsSketches.register(spark)
+    val rows = docs.select(explode(toks).as("t"), pmod(col("doc_id"), lit(4)).as("shard"))
+    val exact = rows.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-shard partials over SCALAR strings, then a binary-mode merge
+    val merged = rows.groupBy(col("shard"))
+      .agg(call_function("graft_freq_strings_agg", col("t"), lit(8)).as("sketch"))
+      .agg(call_function("graft_freq_strings_agg", col("sketch"), lit(8)).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val items = DsSketches.freqStringItems(spark, merged).collect()
+    assert(items.nonEmpty)
+    for (r <- items) {
+      val t = r.getAs[String]("item")
+      assert(r.getAs[Long]("lb") <= exact(t) && exact(t) <= r.getAs[Long]("ub"), t)
+    }
+    val reported = items.map(_.getAs[String]("item")).toSet
+    val th = DsSketches.freqStringsMaxError(merged)
+    for ((t, c) <- exact if c > th) assert(reported(t), s"heavy '$t' missed after merge")
+  }
+
+  test("KLL strings exact below k: merged split points are exact order statistics") {
+    // 150 zero-padded keys < k=200 — lexicographic == numeric order, so
+    // the merged INCLUSIVE quantile is the exact smallest key with rank >= p
+    val keys = scala.util.Random.shuffle((1 to 150).toList).map(i => f"k$i%03d")
+    val df = keys.zipWithIndex.map { case (v, i) => ("g", i % 5, v) }
+      .toDF("g", "shard", "v").repartition(5)
+    val partials = DsSketches.kllStringsPartials(df, Seq("g"), col("shard"), "v")
+    assert(partials.count() == 5)
+    val qs = DsSketches.kllStringsMergedQuantiles(partials, Seq("g"), Seq(0.1, 0.5, 0.9))
+      .collect().map(r => r.getAs[Double]("p") -> r.getAs[String]("est")).toMap
+    assert(qs(0.1) == "k015" && qs(0.5) == "k075" && qs(0.9) == "k135", qs.toString)
+  }
+
+  test("KLL strings: NULL-only group survives the merged read as NULL") {
+    val df = Seq[(String, java.lang.Integer, String)](
+      ("full", 0, "a"), ("full", 1, "b"), ("hollow", 0, null), ("hollow", 1, null)
+    ).toDF("g", "shard", "v").repartition(3)
+    val qs = DsSketches.kllStringsMergedQuantiles(
+        DsSketches.kllStringsPartials(df, Seq("g"), col("shard"), "v"),
+        Seq("g"), Seq(0.5))
+      .collect().map(r => r.getString(0) -> Option(r.getAs[String]("est"))).toMap
+    assert(qs("hollow").isEmpty)
+    assert(qs("full").contains("a"))
+  }
+
+  test("kllRangeCount: exact below k, bounds bracket the truth above it") {
+    // small: the sketch retains all 100 values — est IS the exact count
+    val small = (1 to 100).map(i => (i % 4, i.toDouble)).toDF("shard", "v")
+    val r1 = DsSketches.kllRangeCount(
+      DsSketches.kllPartials(small, Seq.empty, col("shard"), "v"), 25.0, 75.0).head()
+    assert(r1.getAs[Long]("n") == 100L && r1.getAs[Long]("n_files") == 4L)
+    assert(r1.getAs[Double]("est") == 51.0) // 25..75 inclusive
+    assert(r1.getAs[Long]("lb") <= 51L && 51L <= r1.getAs[Long]("ub"))
+    // large: 50k values >> k — genuinely estimating, bounds must hold
+    val big = (0 until 50000).map(i => (i % 16, (i % 1000).toDouble))
+      .toDF("shard", "v").repartition(7)
+    val exact = 50000L * 101 / 1000 // v in [200, 300]: 101 of 1000 residues
+    val r2 = DsSketches.kllRangeCount(
+      DsSketches.kllPartials(big, Seq.empty, col("shard"), "v"), 200.0, 300.0).head()
+    assert(r2.getAs[Long]("n") == 50000L)
+    assert(r2.getAs[Long]("lb") <= exact && exact <= r2.getAs[Long]("ub"),
+      s"[${r2.getAs[Long]("lb")}, ${r2.getAs[Long]("ub")}] misses $exact " +
+        s"(est ${r2.getAs[Double]("est")})")
+  }
+
+  // ---- binary-mode merge helpers (streaming re-aggregation shape) -----------
+
+  test("tupleMerge: per-shard partials merged == direct sketch (exact mode)") {
+    val shards = events.withColumn("shard", pmod(col("event_id"), lit(3)))
+    val merged = DsSketches.tupleMerge(
+        DsSketches.tupleSketch(shards, Seq("event_type", "shard"), "user_id", "value"),
+        Seq("event_type"))
+      .select(col("event_type"),
+        DsSketches.tupleEstimate(col("sketch")).as("users"),
+        DsSketches.tupleSumEstimate(col("sketch")).as("sum"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(merged.keySet == exact.keySet)
+    for ((g, (u, sm)) <- exact) {
+      assert(merged(g)._1 == u.toDouble, s"$g users")
+      assert(math.abs(merged(g)._2 - sm) <= 1e-6 * math.abs(sm) + 1e-6, s"$g sum")
+    }
+  }
+
+  test("reservoirMerge: merged shard samples stay valid (n exact, size, membership)") {
+    val shards = events.withColumn("shard", pmod(col("event_id"), lit(3)))
+    val merged = DsSketches.reservoirMerge(
+        DsSketches.reservoirSketch(shards, Seq("event_type", "shard"), "event_id"),
+        Seq("event_type"))
+      .select(col("event_type"), DsSketches.reservoirN(col("sketch")).as("n"),
+        DsSketches.reservoirSamples(col("sketch")).as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    val base = events.select(col("event_type"), col("event_id"))
+      .collect().groupBy(_.getString(0)).map { case (g, rs) => g -> rs.map(_.getLong(1)).toSet }
+    for ((g, ids) <- base) {
+      val (n, sample) = merged(g)
+      assert(n == ids.size.toLong, s"$g stream length")
+      assert(sample.size == math.min(DsSketches.ReservoirK.toLong, n), s"$g size")
+      assert(sample.distinct.size == sample.size, s"$g duplicate samples")
+      assert(sample.forall(ids), s"$g non-member sample")
+    }
+  }
+
+  test("varoptMerge: merged weighted samples preserve total weight and membership") {
+    val shards = events.withColumn("shard", pmod(col("event_id"), lit(3)))
+    val merged = DsSketches.varoptMerge(
+        DsSketches.varoptSketch(shards, Seq("event_type", "shard"), "event_id", "value"),
+        Seq("event_type"))
+      .select(col("event_type"), DsSketches.varoptN(col("sketch")).as("n"),
+        DsSketches.varoptTotalWeight(col("sketch")).as("w"),
+        DsSketches.varoptSamples(col("sketch")).as("s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getSeq[org.apache.spark.sql.Row](3)))).toMap
+    val exact = events.filter(col("value") > 0).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("w"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val base = events.select(col("event_type"), col("event_id"))
+      .collect().groupBy(_.getString(0)).map { case (g, rs) => g -> rs.map(_.getLong(1)).toSet }
+    for ((g, (n, w)) <- exact) {
+      val (mn, mw, sample) = merged(g)
+      assert(mn == n, s"$g stream length")
+      assert(math.abs(mw - w) <= 1e-6 * math.abs(w) + 1e-6, s"$g total weight $mw != $w")
+      assert(sample.size == math.min(DsSketches.VarOptK.toLong, n), s"$g size")
+      assert(sample.forall(r => base(g)(r.getLong(0))), s"$g non-member sample")
+    }
+  }
 
   test("DsSketchQueries: every query verdict-green at sf0.001") {
     for ((name, fn) <- DsSketchQueries.queries) {

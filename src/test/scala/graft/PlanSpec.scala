@@ -102,7 +102,10 @@ class PlanSpec extends AnyFunSuite {
       graft.operators.DsSketches.thetaPartials(ev, Seq("event_type"),
         to_date(col("ts")), "user_id"),
       graft.operators.DsSketches.kllPartials(ev, Seq("event_type"),
-        to_date(col("ts")), "value"))) {
+        to_date(col("ts")), "value"),
+      graft.operators.DsSketches.kllStringsPartials(
+        ev.withColumn("k", col("event_type")), Seq("event_type"),
+        to_date(col("ts")), "k"))) {
       val s = fmt(plan)
       // TypedImperativeAggregate → ObjectHashAggregate with a partial
       // pass BEFORE the exchange: per-partition native sketches fold
@@ -114,6 +117,21 @@ class PlanSpec extends AnyFunSuite {
       assert(s.linesIterator.count(_.matches(".*\\bExchange \\(\\d+\\)")) == 1,
         s"sketch partials must shuffle exactly once\n$s")
     }
+    // token heavy hitters: array ELEMENTS update the string sketch in
+    // place — the plan must contain no Generate (explode), so no
+    // token-grain rows ever exist, let alone shuffle
+    graft.operators.DsSketches.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = org.apache.spark.sql.functions.regexp_extract_all(
+      org.apache.spark.sql.functions.lower(col("text")),
+      org.apache.spark.sql.functions.lit("[a-z]+"),
+      org.apache.spark.sql.functions.lit(0))
+    val fs = fmt(docs.agg(org.apache.spark.sql.functions.call_function(
+      "graft_freq_strings_agg", toks, org.apache.spark.sql.functions.lit(8))))
+    assert(fs.contains("partial_graft_freq_strings"),
+      s"freq-strings partial pass lost\n$fs")
+    assert(!fs.contains("Generate"),
+      s"token heavy hitters must not explode tokens into rows\n$fs")
   }
 
   test("scoring input: persisted pairs reused, not recomputed") {

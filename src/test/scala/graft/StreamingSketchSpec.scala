@@ -140,6 +140,84 @@ class StreamingSketchSpec extends AnyFunSuite {
     assert(rechecked.forall(_.getAs[Boolean]("rank_ok")))
   }
 
+  test("tuple + reservoir + varopt streams: one ingest maintains all three, guarantees hold at read") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.DsSketches
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sksamp").toString
+    val io = new ParquetTableIO(root)
+
+    val rows = events.select($"event_type", $"event_id", $"user_id", $"value")
+      .as[(String, Long, Long, Double)].collect()
+    val stream = MemoryStream[(String, Long, Long, Double)]
+    val q = StreamingSketch.startWith(
+      stream.toDS().toDF("event_type", "event_id", "user_id", "value"),
+      s"$root/_ckpt") { (b, id) =>
+      // one micro-batch, three sketch tables — b is reused, so compute once
+      val batch = b.cache()
+      try {
+        StreamingSketch.processBatchTuple(batch, id, Seq("event_type"), "user_id", "value", io)
+        StreamingSketch.processBatchReservoir(batch, id, Seq("event_type"), "event_id", io)
+        StreamingSketch.processBatchVarOpt(batch, id, Seq("event_type"), "event_id", "value", io)
+      } finally batch.unpersist()
+    }
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+        stream.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val exact = events.groupBy($"event_type").agg(
+        countDistinct($"user_id").as("u"), count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,6)")).cast("double").as("w"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val ids = events.select($"event_type", $"event_id").as[(String, Long)]
+      .collect().groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).toSet }
+
+    // tuple: exact mode — streamed-merged distinct users + value sums exact
+    val tup = StreamingSketch.tupleSketches(spark, io, Seq("event_type"))
+      .select($"event_type", DsSketches.tupleEstimate($"sketch").as("u"),
+        DsSketches.tupleSumEstimate($"sketch").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    for ((g, (u, _, w)) <- exact) {
+      assert(tup(g)._1 == u.toDouble, s"$g streamed tuple distinct")
+      assert(math.abs(tup(g)._2 - w) <= 1e-6 * math.abs(w) + 1e-6, s"$g streamed tuple sum")
+    }
+
+    // reservoir: a VALID uniform k-sample of everything streamed so far
+    val res = StreamingSketch.reservoirSketches(spark, io, Seq("event_type"))
+      .select($"event_type", DsSketches.reservoirN($"sketch").as("n"),
+        DsSketches.reservoirSamples($"sketch").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    for ((g, (_, n, _)) <- exact) {
+      val (rn, sample) = res(g)
+      assert(rn == n, s"$g streamed reservoir n")
+      assert(sample.size == math.min(DsSketches.ReservoirK.toLong, n), s"$g sample size")
+      assert(sample.forall(ids(g)), s"$g non-member in streamed sample")
+    }
+
+    // varopt: total weight preserved exactly across batch unions
+    val vo = StreamingSketch.varoptSketches(spark, io, Seq("event_type"))
+      .select($"event_type", DsSketches.varoptTotalWeight($"sketch").as("w"),
+        DsSketches.varoptSamples($"sketch").as("s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getSeq[org.apache.spark.sql.Row](2)))).toMap
+    for ((g, (_, n, w)) <- exact) {
+      val (vw, sample) = vo(g)
+      assert(math.abs(vw - w) <= 1e-6 * math.abs(w) + 1e-6, s"$g streamed varopt weight")
+      assert(sample.size == math.min(DsSketches.VarOptK.toLong, n), s"$g sample size")
+      assert(sample.forall(r => ids(g)(r.getLong(0))), s"$g non-member in weighted sample")
+    }
+
+    // replay idempotency for the TABLE layout: re-writing a batch table
+    // overwrites in place, so the partial count stays (batches × groups)
+    val nTup = StreamingSketch.tupleSketches(spark, io, Seq("event_type")).count()
+    StreamingSketch.processBatchTuple(
+      events.where(col("event_id") % 3 === 0), 0L, Seq("event_type"), "user_id", "value", io)
+    assert(StreamingSketch.tupleSketches(spark, io, Seq("event_type")).count() == nTup)
+  }
+
   test("replaying a batch overwrites the same shard table — estimate unchanged (idempotent)") {
     val root = java.nio.file.Files.createTempDirectory("graft_skrep").toString
     val io = new ParquetTableIO(root)
