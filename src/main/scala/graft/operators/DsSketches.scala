@@ -152,28 +152,36 @@ object DsSketches {
         .as("sketch"))
   }
 
-  /** Merge partials per group and read the requested quantiles:
+  /** Shared merge-then-read scaffolding for both KLL item types: merge
+    * partials per group (binary-input mode of `aggName`), explode the
+    * requested quantile points, and read each via `quantile` —
     * (group…, n_shards, p, est). Only sketches cross the exchange. */
-  def kllMergedQuantiles(partials: DataFrame, groupCols: Seq[String],
-                         ps: Seq[Double], k: Int = KllK): DataFrame = {
+  private def mergedQuantilesWith(partials: DataFrame, groupCols: Seq[String],
+      ps: Seq[Double], aggName: String, k: Int,
+      quantile: UserDefinedFunction): DataFrame = {
     register(partials.sparkSession)
-    // an all-NULL group yields an EMPTY merged sketch; getQuantile
-    // throws on those, so surface NULL for that group instead of
-    // aborting the whole read
-    val quantile = udf((b: Array[Byte], p: Double) => {
-      val sk = KllDoublesSketch.heapify(Memory.wrap(b))
-      if (sk.isEmpty) null
-      else java.lang.Double.valueOf(sk.getQuantile(p, QuantileSearchCriteria.INCLUSIVE))
-    })
     partials.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_shards"),
-        call_function("graft_kll_agg", col("sketch"), lit(k)).as("sketch"))
+        call_function(aggName, col("sketch"), lit(k)).as("sketch"))
       .select(groupCols.map(col) ++
         Seq(col("n_shards"), explode(array(ps.map(lit): _*)).as("p"),
           col("sketch")): _*)
       .withColumn("est", quantile(col("sketch"), col("p")))
       .drop("sketch")
   }
+
+  /** Merge partials per group and read the requested quantiles. */
+  def kllMergedQuantiles(partials: DataFrame, groupCols: Seq[String],
+                         ps: Seq[Double], k: Int = KllK): DataFrame =
+    // an all-NULL group yields an EMPTY merged sketch; getQuantile
+    // throws on those, so surface NULL for that group instead of
+    // aborting the whole read
+    mergedQuantilesWith(partials, groupCols, ps, "graft_kll_agg", k,
+      udf((b: Array[Byte], p: Double) => {
+        val sk = KllDoublesSketch.heapify(Memory.wrap(b))
+        if (sk.isEmpty) null
+        else java.lang.Double.valueOf(sk.getQuantile(p, QuantileSearchCriteria.INCLUSIVE))
+      }))
 
   /** KLL's published normalized rank error for `k` (quantile mode). */
   def kllRankEps(k: Int = KllK): Double = KllSketch.getNormalizedRankError(k, false)
@@ -411,22 +419,13 @@ object DsSketches {
     * range-partition SPLIT POINTS for a string key (RangePartitioner's
     * row sample replaced by a mergeable sketch table). */
   def kllStringsMergedQuantiles(partials: DataFrame, groupCols: Seq[String],
-                                ps: Seq[Double], k: Int = KllStrK): DataFrame = {
-    register(partials.sparkSession)
-    val quantile = udf((b: Array[Byte], p: Double) => {
-      val sk = heapifyKllStrings(b)
-      if (sk.isEmpty) null
-      else sk.getQuantile(p, QuantileSearchCriteria.INCLUSIVE)
-    })
-    partials.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_shards"),
-        call_function("graft_kll_strings_agg", col("sketch"), lit(k)).as("sketch"))
-      .select(groupCols.map(col) ++
-        Seq(col("n_shards"), explode(array(ps.map(lit): _*)).as("p"),
-          col("sketch")): _*)
-      .withColumn("est", quantile(col("sketch"), col("p")))
-      .drop("sketch")
-  }
+                                ps: Seq[Double], k: Int = KllStrK): DataFrame =
+    mergedQuantilesWith(partials, groupCols, ps, "graft_kll_strings_agg", k,
+      udf((b: Array[Byte], p: Double) => {
+        val sk = heapifyKllStrings(b)
+        if (sk.isEmpty) null
+        else sk.getQuantile(p, QuantileSearchCriteria.INCLUSIVE)
+      }))
 
   // ---- KLL range count from a per-tile sketch sidecar ---------------------
 

@@ -277,7 +277,12 @@ class DsSketchesSpec extends AnyFunSuite {
   // ---- string-item sketches ---------------------------------------------------
 
   private def docs = spark.read.parquet(s"$dir/documents.parquet")
-  private def toks = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+  // the corpus's raw tokens are near-uniform (no real heavy hitter), so
+  // skew the item stream exactly like the query layer does: the upper
+  // half of the alphabet collapses into one genuinely heavy bucket
+  private def toks = transform(
+    regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)),
+    t => least(t, lit("m")))
 
   test("freq strings: array-element updates keep both Misra–Gries guarantees") {
     val bytes = DsSketches.freqStringsSketch(docs, toks, maxMapSize = 8)
@@ -292,10 +297,13 @@ class DsSketchesSpec extends AnyFunSuite {
       assert(r.getAs[Long]("lb") <= exact(t) && exact(t) <= r.getAs[Long]("ub"),
         s"$t: [${r.getAs[Long]("lb")}, ${r.getAs[Long]("ub")}] misses ${exact(t)}")
     }
-    // NO_FALSE_NEGATIVES: nothing above maxError may be missing
+    // NO_FALSE_NEGATIVES: nothing above maxError may be missing — and the
+    // check must be NON-vacuous (at least one item genuinely heavy)
     val reported = items.map(_.getAs[String]("item")).toSet
     val th = DsSketches.freqStringsMaxError(bytes)
-    for ((t, c) <- exact if c > th) assert(reported(t), s"heavy '$t' ($c > $th) missed")
+    val heavy = exact.filter { case (_, c) => c > th }
+    assert(heavy.nonEmpty, s"no item above maxError $th — completeness check vacuous")
+    for ((t, c) <- heavy) assert(reported(t), s"heavy '$t' ($c > $th) missed")
   }
 
   test("freq strings: scalar-string input and binary shard-merge keep the bounds") {
@@ -316,7 +324,9 @@ class DsSketchesSpec extends AnyFunSuite {
     }
     val reported = items.map(_.getAs[String]("item")).toSet
     val th = DsSketches.freqStringsMaxError(merged)
-    for ((t, c) <- exact if c > th) assert(reported(t), s"heavy '$t' missed after merge")
+    val heavy = exact.filter { case (_, c) => c > th }
+    assert(heavy.nonEmpty, s"no item above maxError $th — completeness check vacuous")
+    for ((t, _) <- heavy) assert(reported(t), s"heavy '$t' missed after merge")
   }
 
   test("KLL strings exact below k: merged split points are exact order statistics") {

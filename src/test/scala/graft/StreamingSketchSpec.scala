@@ -197,13 +197,19 @@ class StreamingSketchSpec extends AnyFunSuite {
       assert(sample.forall(ids(g)), s"$g non-member in streamed sample")
     }
 
-    // varopt: total weight preserved exactly across batch unions
+    // varopt: total weight preserved exactly across batch unions — the
+    // aggregate skips non-positive weights by design, so the exact side
+    // must filter value > 0 too (not just rely on the data having none)
+    val exactPos = events.filter($"value" > 0).groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,6)")).cast("double").as("w"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     val vo = StreamingSketch.varoptSketches(spark, io, Seq("event_type"))
       .select($"event_type", DsSketches.varoptTotalWeight($"sketch").as("w"),
         DsSketches.varoptSamples($"sketch").as("s"))
       .collect().map(r => r.getString(0) ->
         ((r.getDouble(1), r.getSeq[org.apache.spark.sql.Row](2)))).toMap
-    for ((g, (_, n, w)) <- exact) {
+    for ((g, (n, w)) <- exactPos) {
       val (vw, sample) = vo(g)
       assert(math.abs(vw - w) <= 1e-6 * math.abs(w) + 1e-6, s"$g streamed varopt weight")
       assert(sample.size == math.min(DsSketches.VarOptK.toLong, n), s"$g sample size")
