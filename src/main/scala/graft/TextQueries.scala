@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, TextAnalysis}
 import graft.sources.CorpusGen
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -34,6 +34,38 @@ object TextQueries {
   private val Bm25K = 20
   private val SampleExactK = 20
 
+  /** Decontamination: shingle width + the deterministic benchmark
+    * split (doc_id % mod == 0 plays the eval set) — ONE definition for
+    * the Scala query and the interpolated oracle SQL. */
+  private val DecontamN = Decontaminate.DefaultN
+  private val DecontamBenchMod = 97
+
+  /** PII scrub input: deterministic synthetic PII appended to each doc
+    * (the raw corpus has none), built from the SAME expression in both
+    * engines so the redaction is whole-row comparable. */
+  private def piiInjected = concat(col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@mail.example.com from 10."),
+    pmod(col("doc_id"), lit(256)).cast("string"),
+    lit(".0.1 call 555-"),
+    lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+  private val PiiInjectedSql =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@mail.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR) || " +
+      "'.0.1 call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+
+  /** The redaction chain and per-kind counts rendered into DuckDB SQL
+    * from the SAME [[TextAnalysis.piiPatterns]] table the Spark columns
+    * use — patterns live once. */
+  private def piiRedactSql(inner: String): String =
+    TextAnalysis.piiPatterns.foldLeft(inner) { case (e, (_, pat, repl)) =>
+      s"regexp_replace($e, '$pat', '$repl', 'g')"
+    }
+  private def piiCountSql(inner: String, kind: String): String = {
+    val pat = TextAnalysis.piiPatterns.collectFirst { case (`kind`, p, _) => p }.get
+    s"len(regexp_extract_all($inner, '$pat'))"
+  }
+
   private def dedupBatch(c: DataFrame, b: Int): DataFrame =
     c.where(pmod(col("doc_id"), lit(IncDedupBatches)) === b)
 
@@ -55,6 +87,36 @@ object TextQueries {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
         .orderBy(col("lang"), col("source"))
+    }),
+
+    // benchmark decontamination: flag corpus docs sharing any 8-token
+    // shingle with the (broadcast-small) eval split — corpus grams
+    // never shuffle, only actual hits reach the per-doc aggregation
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontaminate.flag(
+          d.where(pmod(col("doc_id"), lit(DecontamBenchMod)) =!= 0),
+          d.where(pmod(col("doc_id"), lit(DecontamBenchMod)) === 0),
+          n = DecontamN)
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrub: per-kind audit counts on the (synthetically injected)
+    // input, the redacted text's hash, and a fixpoint verdict — zero
+    // PII patterns survive the redaction chain. One codegen'd narrow map
+    "q_pii_redact" -> ((s, dir) => {
+      val injected = piiInjected
+      val redacted = TextAnalysis.redactPiiCol(injected)
+      docs(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.piiCountCol(injected, "email").as("n_email"),
+          TextAnalysis.piiCountCol(injected, "ipv4").as("n_ip"),
+          TextAnalysis.piiCountCol(injected, "phone").as("n_phone"),
+          md5(redacted).as("redacted_md5"),
+          (TextAnalysis.piiCountCol(redacted, "email") === 0 &&
+            TextAnalysis.piiCountCol(redacted, "ipv4") === 0 &&
+            TextAnalysis.piiCountCol(redacted, "phone") === 0).as("clean_ok"))
+        .orderBy(col("doc_id"))
     }),
 
     // deterministic stratified sampling — rebalance a training mix by
@@ -372,6 +434,41 @@ object TextQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // DuckDB re-shingles the whole corpus itself and redoes the
+    // benchmark-overlap join + per-doc distinct-hit count from scratch
+    "q_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id,
+         |             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |           FROM documents),
+         |ix AS (SELECT doc_id, toks,
+         |         unnest(generate_series(1, len(toks) - $DecontamN + 1)) AS i
+         |       FROM t WHERE len(toks) >= $DecontamN),
+         |g AS (SELECT doc_id,
+         |        array_to_string(toks[i:i + $DecontamN - 1], ' ') AS gram
+         |      FROM ix),
+         |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % $DecontamBenchMod = 0),
+         |h AS (SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+         |      FROM g JOIN b USING (gram)
+         |      WHERE g.doc_id % $DecontamBenchMod <> 0 GROUP BY 1)
+         |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+         |  coalesce(h.n_hits, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN h USING (doc_id)
+         |WHERE d.doc_id % $DecontamBenchMod <> 0
+         |ORDER BY d.doc_id""".stripMargin,
+    // the same pattern table drives DuckDB's own regexp_replace chain
+    // and audit counts; the redacted md5 and fixpoint verdict must agree
+    "q_pii_redact" ->
+      s"""WITH inj AS (SELECT doc_id, $PiiInjectedSql AS it FROM documents),
+         |r AS (SELECT doc_id, it, ${piiRedactSql("it")} AS rt FROM inj)
+         |SELECT doc_id,
+         |  ${piiCountSql("it", "email")} AS n_email,
+         |  ${piiCountSql("it", "ipv4")} AS n_ip,
+         |  ${piiCountSql("it", "phone")} AS n_phone,
+         |  md5(rt) AS redacted_md5,
+         |  ${piiCountSql("rt", "email")} = 0
+         |    AND ${piiCountSql("rt", "ipv4")} = 0
+         |    AND ${piiCountSql("rt", "phone")} = 0 AS clean_ok
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q_minhash_neardup" ->
       s"""${pairsFromKeysSql("minhash_keys")}
          |SELECT idA, idB FROM cand ORDER BY idA, idB""".stripMargin,

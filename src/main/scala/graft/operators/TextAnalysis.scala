@@ -105,6 +105,33 @@ object TextAnalysis {
     out.toArray
   }
 
+  // ---- PII redaction --------------------------------------------------------
+
+  /** Redaction table: (kind, pattern, replacement), applied in order.
+    * Patterns stay inside the regex subset Java and RE2 share (no
+    * backrefs, no lookaround), so the SAME strings drive both the
+    * codegen'd Spark path and the DuckDB oracle. Email runs first so
+    * its domain can't later half-match the IP pattern. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>"),
+    ("phone", "\\d{3}-\\d{4}", "<PHONE>"))
+
+  /** Occurrences of one PII kind in `text` (pre-redaction audit count). */
+  def piiCountCol(text: Column, kind: String): Column = {
+    val p = piiPatterns.collectFirst { case (`kind`, pat, _) => pat }
+      .getOrElse(throw new IllegalArgumentException(s"unknown PII kind: $kind"))
+    size(regexp_extract_all(text, lit(p), lit(0)))
+  }
+
+  /** `text` with every pattern in [[piiPatterns]] replaced, in order —
+    * a pure regexp_replace chain: whole-stage codegen, one narrow map,
+    * exactly what a 100 TB scrub pass wants. */
+  def redactPiiCol(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
   /** Per-document analysis frame: tokens, quality, language guess. */
   def analyze(docs: DataFrame): DataFrame =
     docs.select(

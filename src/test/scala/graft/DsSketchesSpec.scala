@@ -233,11 +233,17 @@ class DsSketchesSpec extends AnyFunSuite {
     val total = sk.estimateSubsetSum(_ => true)
     assert(math.abs(total.getTotalSketchWeight - exactTotal) < 1e-6 * exactTotal,
       s"total weight ${total.getTotalSketchWeight} != $exactTotal")
-    // unbiased subset estimate: weight of even ids, bounds must bracket
+    // unbiased subset estimate: weight of even ids. The library's
+    // lb/ub is a ~95 % CONFIDENCE interval over the sketch's own
+    // (unseeded) randomness, not a sure bound — one observed run missed
+    // the truth by 0.44 % — so pad the bracket by 2 % to keep the check
+    // meaningful without the once-in-twenty flake
     val exactEven = (0 until 50000 by 2).map(i => 1.0 + (i % 7)).sum
     val even = sk.estimateSubsetSum(l => l % 2 == 0)
-    assert(even.getLowerBound <= exactEven && exactEven <= even.getUpperBound,
-      s"[${even.getLowerBound}, ${even.getUpperBound}] misses $exactEven (est ${even.getEstimate})")
+    assert(even.getLowerBound * 0.98 <= exactEven &&
+        exactEven <= even.getUpperBound * 1.02,
+      s"[${even.getLowerBound}, ${even.getUpperBound}] (±2%) misses $exactEven " +
+        s"(est ${even.getEstimate})")
   }
 
   // ---- NULL / empty-group edges (review findings, regression-pinned) ---------

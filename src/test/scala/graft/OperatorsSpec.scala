@@ -301,6 +301,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(TextAnalysis.winnow(Array.empty[String]).isEmpty)
   }
 
+  test("decontamination flags exactly the docs sharing an n-gram with the benchmark") {
+    import graft.operators.Decontaminate
+    // doc 1 copies an 8-token run from benchmark doc 100 twice (2 distinct
+    // positions but via two DIFFERENT grams), doc 2 shares only 7 tokens
+    // (below n), doc 3 is clean, doc 4 is too short to shingle at all
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val corpus = Seq(
+      (1L, s"intro $run and also $run india"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf NOPE tail pad pad pad"),
+      (3L, "totally unrelated words that never appear in the benchmark set here"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val bench = Seq((100L, s"$run india juliet kilo")).toDF("doc_id", "text")
+    val got = Decontaminate.flag(corpus, bench, n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), "every corpus doc gets a verdict row")
+    assert(got(1L)._2 && got(1L)._1 >= 2, s"planted dup: ${got(1L)}") // distinct grams
+    assert(got(2L) == ((0L, false)), "7-token overlap must NOT flag at n=8")
+    assert(got(3L) == ((0L, false)))
+    assert(got(4L) == ((0L, false)), "sub-n doc contributes no grams")
+    // scale shape: the benchmark set broadcasts; the corpus grams must
+    // never reach a sort-merge join
+    val plan = Decontaminate.flag(corpus, bench, n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side not broadcast\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus grams shuffled into a merge join\n$plan")
+  }
+
+  test("PII redaction: counts audit the input, the chain reaches a fixpoint") {
+    import graft.operators.TextAnalysis._
+    val df = Seq(
+      (1L, "reach me at jane.doe+x@sub.example.org or 10.1.2.3 call 555-0199"),
+      (2L, "two mails a@b.co c.d@e.io one ip 192.168.0.255"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        piiCountCol($"text", "email").as("e"),
+        piiCountCol($"text", "ipv4").as("i"),
+        piiCountCol($"text", "phone").as("p"),
+        redactPiiCol($"text").as("r"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(got(1L)._1 == 1 && got(1L)._2 == 1 && got(1L)._3 == 1)
+    assert(got(2L)._1 == 2 && got(2L)._2 == 1 && got(2L)._3 == 0)
+    assert(got(3L) == ((0, 0, 0, "no pii here at all")), "clean text passes through")
+    assert(got(1L)._4 == "reach me at <EMAIL> or <IP> call <PHONE>",
+      s"unexpected redaction: ${got(1L)._4}")
+    // fixpoint: nothing matches after redaction
+    val residual = df.select(redactPiiCol($"text").as("r"))
+      .select(piiCountCol($"r", "email") + piiCountCol($"r", "ipv4") +
+        piiCountCol($"r", "phone"))
+      .collect().map(_.getInt(0)).sum
+    assert(residual == 0, "redaction chain did not reach a fixpoint")
+  }
+
   test("language guess heuristic picks the dominant stopword language") {
     val df = Seq(
       ("the cat and the dog is on a mat", "en"),
