@@ -1,7 +1,7 @@
 package graft
 
-import graft.operators.DsSketches
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{DsSketches, ZOrder}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Datasketches-library sketch coverage: theta set algebra, mergeable
@@ -63,6 +63,17 @@ object DsSketchQueries {
     * at sf0.01 — mid-range, so neither bound is degenerate). */
   private val RangeLo = 50.0
   private val RangeHi = 150.0
+
+  /** KLL tile-sidecar probe: the center 10 % of the y (l_orderkey)
+    * range — y-aligned, so the sidecar's exact min/max prunes most
+    * z-tiles before any cardinality question is even asked. */
+  private val TileLoPct = 45L
+  private val TileHiPct = 55L
+
+  /** Range-layout probe: path keys in [KeyLo, KeyHi) — sources
+    * src3..src6 (lexicographic: src10..src19 sort before src2). */
+  private val KeyLo = "src3"
+  private val KeyHi = "src7"
 
   // ---- frozen (build-once) estimate tables --------------------------------
 
@@ -194,6 +205,93 @@ object DsSketchQueries {
           DsSketches.tupleUpper(col("sk_i")).as("ub"),
           DsSketches.tupleSumEstimate(col("sk_i")).as("sum_common_est"))
     }
+
+  /** Shared z-layout of lineitem on (l_partkey, l_orderkey) plus the
+    * center-10%-of-y probe range — one definition for the frozen
+    * sidecar build, the query's exact side, and the generated SQL. */
+  private def zfiledLineitem(s: SparkSession, dir: String): (DataFrame, Long, Long) = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey").cast("long").as("x"),
+        col("l_orderkey").cast("long").as("y"))
+    val st = li.agg(min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head()
+    val (ymn, ymx) = (st.getLong(2), st.getLong(3))
+    (ZOrder.withZFile(li, col("x"), col("y"),
+        st.getLong(0), st.getLong(1), ymn, ymx),
+      ymn + (ymx - ymn) * TileLoPct / 100,
+      ymn + (ymx - ymn) * TileHiPct / 100)
+  }
+
+  /** One frozen row per z-tile: the KLL sidecar's scan-planning read
+    * (n, mn, mx, est, lb, ub, pruned) for the y-slice probe. The
+    * sidecar is built over the y dimension, so the exact sketch
+    * min/max subsumes the min/max index's y columns — most tiles prune
+    * outright — while the rank reads add the per-tile cardinality an
+    * envelope cannot give. */
+  private def kllTileEst(s: SparkSession, dir: String): DataFrame =
+    frozen(s, dir, "kll_tiles") {
+      val (zfiled, lo, hi) = zfiledLineitem(s, dir)
+      DsSketches.kllTileStats(
+          DsSketches.kllPartials(
+            zfiled.withColumn("v", col("y").cast("double")),
+            Seq.empty, col("zfile"), "v"),
+          lo.toDouble, hi.toDouble)
+        .withColumnRenamed("shard", "zfile")
+    }
+
+  /** Per-lang merged theta sketches over sha256(content) of the ER
+    * corpus — the pipeline-metrics shape: every partition/micro-batch
+    * emits a per-(lang, repo) partial next to its lineage row, and the
+    * metrics table merges them without touching row data. The `*` row
+    * merges ALL partials (global distinct-content count → corpus dedup
+    * ratio vs Σ per-lang). */
+  private def erLangThetaEst(s: SparkSession, dir: String): DataFrame =
+    frozen(s, dir, "er_lang_theta") {
+      val corpus = graft.sources.CorpusGen.corpus(s, dir).toDF()
+        .withColumn("sha", sha2(col("content"), 256))
+      val partials = DsSketches.thetaPartials(corpus, Seq("lang"),
+        col("repo"), "sha")
+      DsSketches.thetaMergeEstimate(partials, Seq("lang"))
+        .unionByName(DsSketches.thetaMergeEstimate(
+          partials.withColumn("lang", lit("*")), Seq("lang")))
+    }
+
+  /** GLOBAL string split points over the documents path key (quartiles
+    * from per-shard partials) — the sketch-driven replacement for
+    * RangePartitioner's row sample. Frozen: the split strings define a
+    * physical layout, so they must be the same bytes everywhere. */
+  private def rangeSplitsEst(s: SparkSession, dir: String): DataFrame =
+    frozen(s, dir, "range_splits") {
+      DsSketches.kllStringsMergedQuantiles(
+        DsSketches.kllStringsPartials(
+          t(s, dir, "documents").withColumn("path_key", pathKey),
+          Seq.empty, pmod(col("doc_id"), lit(8)), "path_key"),
+        Seq.empty, QuantilePs)
+    }
+
+  /** The three split strings, ascending. */
+  private def splitStrings(s: SparkSession, dir: String): Seq[String] =
+    rangeSplitsEst(s, dir).orderBy(col("p"))
+      .collect().toIndexedSeq.map(_.getAs[String]("est"))
+
+  /** Bucket id under the splits: #splits strictly below the key. */
+  private def bucketOf(key: Column, splits: Seq[String]): Column =
+    splits.map(sp => when(key > lit(sp), 1L).otherwise(0L)).reduce(_ + _)
+
+  private val layoutMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Documents written range-partitioned by path-key bucket — the
+    * layout a sorted 100 TB key space needs so a key-range read opens
+    * only the covering buckets. Written once per (session, sf). */
+  private def rangeLayoutPath(s: SparkSession, dir: String): String =
+    layoutMemo.getOrElseUpdate((s, dir), {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_range_layout").toString
+      t(s, dir, "documents").withColumn("path_key", pathKey)
+        .withColumn("bucket", bucketOf(col("path_key"), splitStrings(s, dir)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      path
+    })
 
   // ---- queries ------------------------------------------------------------
 
@@ -400,6 +498,75 @@ object DsSketchQueries {
           (col("lb") <= col("exact") && col("exact") <= col("ub")).as("range_ok"))
     }),
 
+    // KLL tile sidecar as the scan planner's index: per z-tile, the
+    // sketch's EXACT min/max decides a guaranteed prune for the y-slice
+    // probe, and the rank reads estimate the surviving tiles' hit
+    // counts. DuckDB re-derives every tile's exact rows from the base
+    // table (the z-value SQL is generated from the same constants) and
+    // re-judges all three verdicts
+    "q_kll_tile_pruning" -> ((s, dir) => {
+      val (zfiled, lo, hi) = zfiledLineitem(s, dir)
+      val exact = zfiled.groupBy(col("zfile"))
+        .agg(count(lit(1)).as("rows_tile"),
+          sum(when(col("y") >= lo && col("y") <= hi, 1L).otherwise(0L))
+            .as("exact"))
+      kllTileEst(s, dir).join(exact, "zfile")
+        .select(col("zfile"), col("n"), col("est"), col("lb"), col("ub"),
+          col("pruned"), col("rows_tile"), col("exact"),
+          (col("n") === col("rows_tile")).as("n_ok"),
+          (!col("pruned") || col("exact") === 0).as("prune_ok"),
+          (col("pruned") ||
+            (col("lb") <= col("exact") && col("exact") <= col("ub")))
+            .as("bounds_ok"))
+        .orderBy(col("zfile"))
+    }),
+
+    // ER pipeline metrics via mergeable theta sketches: per-lang
+    // distinct-content estimates merged from per-(lang, repo) partials,
+    // plus the global '*' union row. DuckDB recomputes the exact
+    // distinct counts from the dumped corpus with its own sha256
+    "er_lang_theta" -> ((s, dir) => {
+      val corpus = graft.sources.CorpusGen.corpus(s, dir).toDF()
+        .withColumn("sha", sha2(col("content"), 256))
+      val exact = corpus.groupBy(col("lang"))
+        .agg(countDistinct(col("sha")).as("exact"))
+        .unionByName(corpus.agg(
+          lit("*").as("lang"), countDistinct(col("sha")).as("exact")))
+      erLangThetaEst(s, dir).join(exact, "lang")
+        .select(col("lang"), col("n_shards"), col("est"), col("lb"),
+          col("ub"), col("exact"),
+          (col("lb") <= col("exact") && col("exact") <= col("ub"))
+            .as("bounds_ok"))
+        .orderBy(col("lang"))
+    }),
+
+    // sketch-driven range layout: documents written range-partitioned
+    // by KLL-split-point bucket; per-bucket balance within the rank
+    // error, and a key-range probe that touches only covering buckets.
+    // DuckDB re-buckets every document from the dumped split strings
+    // and re-judges balance + probe coverage
+    "q_range_layout" -> ((s, dir) => {
+      val splits = splitStrings(s, dir)
+      val tol = 2.0 * DsSketches.kllRankEps(DsSketches.KllStrK)
+      val bLo = splits.count(KeyLo > _).toLong
+      val bHi = splits.count(KeyHi > _).toLong
+      val layout = s.read.parquet(rangeLayoutPath(s, dir))
+      layout.groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("path_key") >= KeyLo && col("path_key") < KeyHi, 1L)
+            .otherwise(0L)).as("probe_rows"))
+        .crossJoin(layout.agg(count(lit(1)).as("n_total")))
+        .select(col("bucket"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_total"), 6).as("share"),
+          (abs(col("n_docs").cast("double") / col("n_total") - 0.25) <=
+            lit(tol) + lit(4.0) / col("n_total")).as("balance_ok"),
+          (col("bucket") >= bLo && col("bucket") <= bHi).as("read_for_probe"),
+          col("probe_rows"),
+          ((col("bucket") >= bLo && col("bucket") <= bHi) ||
+            col("probe_rows") === 0).as("probe_ok"))
+        .orderBy(col("bucket"))
+    }),
+
     // NO_FALSE_NEGATIVES completeness: no key with true count above the
     // sketch's maxError may be missing from the reported item set
     "q_freq_complete" -> ((s, dir) => {
@@ -425,7 +592,9 @@ object DsSketchQueries {
     tupleEst(spark, sfDir); tupleOverlapEst(spark, sfDir)
     reservoirEst(spark, sfDir); varoptEst(spark, sfDir)
     freqTokBytes(spark, sfDir); freqTokensEst(spark, sfDir)
-    kllStrEst(spark, sfDir); rangeCountEst(spark, sfDir); ()
+    kllStrEst(spark, sfDir); rangeCountEst(spark, sfDir)
+    kllTileEst(spark, sfDir); erLangThetaEst(spark, sfDir)
+    rangeSplitsEst(spark, sfDir); rangeLayoutPath(spark, sfDir); ()
   }
 
   /** Estimate-bearing tables the oracle reads back (it cannot recompute
@@ -449,6 +618,9 @@ object DsSketchQueries {
       .toDF("threshold"), "ds_freq_tok_threshold")
     dump(kllStrEst(spark, sfDir), "ds_kll_str")
     dump(rangeCountEst(spark, sfDir), "ds_range_count")
+    dump(kllTileEst(spark, sfDir), "ds_kll_tiles")
+    dump(erLangThetaEst(spark, sfDir), "ds_er_lang_theta")
+    dump(rangeSplitsEst(spark, sfDir), "ds_range_splits")
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -637,6 +809,76 @@ object DsSketchQueries {
          |  a.n_files = x.n_days AS files_ok,
          |  a.lb <= x.exact AND x.exact <= a.ub AS range_ok
          |FROM a CROSS JOIN x""".stripMargin,
+    // est/lb/ub/pruned are taken from the dumped sidecar; DuckDB
+    // re-derives every tile id + exact per-tile range count from the
+    // base table (the z-value SQL is generated from the same constants
+    // as the Scala expression) and re-judges all three verdicts
+    "q_kll_tile_pruning" -> {
+      val bits = ZOrder.DimBits
+      val maxN = (1L << bits) - 1
+      val shift = 2 * bits - ZOrder.PrefixBits
+      val ileave = ZOrder.interleaveSql("xn", "yn", bits)
+      s"""WITH pts AS (
+         |  SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_orderkey AS BIGINT) AS y
+         |  FROM lineitem),
+         |st AS (SELECT min(x) AS xmn, max(x) AS xmx, min(y) AS ymn, max(y) AS ymx FROM pts),
+         |nn AS (
+         |  SELECT y,
+         |    ((x - xmn) * $maxN) // (xmx - xmn) AS xn,
+         |    ((y - ymn) * $maxN) // (ymx - ymn) AS yn
+         |  FROM pts, st),
+         |f AS (SELECT y, $ileave >> $shift AS zfile FROM nn),
+         |b AS (SELECT ymn + (ymx - ymn) * $TileLoPct // 100 AS lo,
+         |             ymn + (ymx - ymn) * $TileHiPct // 100 AS hi FROM st),
+         |ex AS (
+         |  SELECT zfile, count(*) AS rows_tile,
+         |    count(*) FILTER (WHERE y >= lo AND y <= hi) AS exact
+         |  FROM f, b GROUP BY zfile),
+         |k AS (SELECT * FROM read_parquet('{OUT}/_aux/ds_kll_tiles/*.parquet'))
+         |SELECT k.zfile, k.n, k.est, k.lb, k.ub, k.pruned,
+         |  ex.rows_tile, ex.exact,
+         |  k.n = ex.rows_tile AS n_ok,
+         |  (NOT k.pruned) OR ex.exact = 0 AS prune_ok,
+         |  k.pruned OR (k.lb <= ex.exact AND ex.exact <= k.ub) AS bounds_ok
+         |FROM k JOIN ex USING (zfile) ORDER BY k.zfile""".stripMargin
+    },
+    // est/lb/ub from the dumped merged sketches; exact per-lang (and
+    // global '*') distinct-content counts recomputed with DuckDB's own
+    // sha256 over the dumped raw corpus
+    "er_lang_theta" ->
+      s"""WITH c AS (SELECT lang, sha256(content) AS sha
+         |           FROM read_parquet('{OUT}/_aux/corpus/*.parquet')),
+         |x AS (SELECT lang, count(DISTINCT sha) AS exact FROM c GROUP BY lang
+         |      UNION ALL SELECT '*', count(DISTINCT sha) FROM c),
+         |k AS (SELECT * FROM read_parquet('{OUT}/_aux/ds_er_lang_theta/*.parquet'))
+         |SELECT k.lang, k.n_shards, k.est, k.lb, k.ub, x.exact,
+         |  k.lb <= x.exact AND x.exact <= k.ub AS bounds_ok
+         |FROM k JOIN x USING (lang) ORDER BY k.lang""".stripMargin,
+    // DuckDB re-buckets every document from the DUMPED split strings,
+    // recomputes bucket sizes and probe coverage, and re-judges the
+    // balance + probe verdicts with the same tolerance formula
+    "q_range_layout" -> {
+      val tol = 2.0 * DsSketches.kllRankEps(DsSketches.KllStrK)
+      s"""WITH sp AS (SELECT est FROM read_parquet('{OUT}/_aux/ds_range_splits/*.parquet')),
+         |d AS (SELECT $PathKeySql AS pk FROM documents),
+         |bk AS (SELECT pk,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sp WHERE pk > est) AS bucket FROM d),
+         |rb AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sp WHERE '$KeyLo' > est) AS blo,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sp WHERE '$KeyHi' > est) AS bhi),
+         |g AS (SELECT bucket, count(*) AS n_docs,
+         |        count(*) FILTER (WHERE pk >= '$KeyLo' AND pk < '$KeyHi') AS probe_rows
+         |      FROM bk GROUP BY bucket),
+         |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM g)
+         |SELECT g.bucket, g.n_docs,
+         |  round(CAST(g.n_docs AS DOUBLE) / n_total, 6) AS share,
+         |  abs(CAST(g.n_docs AS DOUBLE) / n_total - 0.25) <= $tol + 4.0 / n_total
+         |    AS balance_ok,
+         |  g.bucket >= blo AND g.bucket <= bhi AS read_for_probe,
+         |  g.probe_rows,
+         |  (g.bucket >= blo AND g.bucket <= bhi) OR g.probe_rows = 0 AS probe_ok
+         |FROM g, tt, rb ORDER BY g.bucket""".stripMargin
+    },
     // completeness of NO_FALSE_NEGATIVES: DuckDB recomputes every true
     // count and checks nothing above the dumped threshold was missed
     "q_freq_complete" ->

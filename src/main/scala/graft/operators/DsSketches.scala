@@ -463,6 +463,46 @@ object DsSketches {
         col("r._3").as("lb"), col("r._4").as("ub"))
   }
 
+  /** Per-tile scan-planning read over a [lo, hi] range probe: one row
+    * per tile with (n, mn, mx, est, lb, ub, pruned). `mn`/`mx` are
+    * EXACT — a KLL sketch retains its min and max items — so `pruned`
+    * (mx < lo ∨ mn > hi) is a GUARANTEED file skip: the sidecar
+    * subsumes a per-file min/max index. On top of the envelope, the
+    * rank reads give the rows-in-range CARDINALITY per tile (est with
+    * lb/ub budgeting the published rank error per endpoint), which a
+    * min/max envelope cannot provide: under skew the planner orders or
+    * batches the surviving files by expected hits instead of treating
+    * every overlapping file as equal. Pure per-row sketch reads on an
+    * index-sized table — at 100 TB the whole probe costs kilobytes of
+    * metadata, no data scan. */
+  def kllTileStats(partials: DataFrame, lo: Double, hi: Double,
+                   k: Int = KllK): DataFrame = {
+    val eps = kllRankEps(k)
+    val read = udf((b: Array[Byte]) => {
+      val sk = KllDoublesSketch.heapify(Memory.wrap(b))
+      if (sk.isEmpty) (0L, 0.0, 0.0, 0.0, 0L, 0L, true)
+      else {
+        val n = sk.getN
+        val mn = sk.getMinItem
+        val mx = sk.getMaxItem
+        val pruned = mx < lo || mn > hi
+        if (pruned) (n, mn, mx, 0.0, 0L, 0L, true)
+        else {
+          val est = (sk.getRank(hi, QuantileSearchCriteria.INCLUSIVE) -
+            sk.getRank(lo, QuantileSearchCriteria.EXCLUSIVE)) * n
+          val margin = 2.0 * eps * n + 2.0
+          (n, mn, mx, est, math.max(0L, math.floor(est - margin).toLong),
+            math.min(n, math.ceil(est + margin).toLong), false)
+        }
+      }
+    })
+    partials.withColumn("r", read(col("sketch")))
+      .select(partials.columns.filterNot(_ == "sketch").map(col) ++ Seq(
+        col("r._1").as("n"), col("r._2").as("mn"), col("r._3").as("mx"),
+        col("r._4").as("est"), col("r._5").as("lb"), col("r._6").as("ub"),
+        col("r._7").as("pruned")): _*)
+  }
+
   // ---- Misra–Gries frequent items ----------------------------------------
 
   /** One merged LongsSketch over `keyExpr` — a single distributed

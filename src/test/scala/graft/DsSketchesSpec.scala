@@ -446,6 +446,21 @@ class DsSketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("ER lang theta metrics: exact mode at small scale, '*' row = global union") {
+    val rows = SparkEntry.queries("er_lang_theta")(spark, dir).collect()
+    val byLang = rows.map(r => r.getAs[String]("lang") -> r).toMap
+    assert(byLang.contains("*") && byLang.size >= 3)
+    // below 2^lgK distinct shas the theta sketch is exact: est == exact
+    rows.foreach { r =>
+      assert(r.getAs[Double]("est") == r.getAs[Long]("exact").toDouble,
+        s"theta not exact at sf0.001 for ${r.getAs[String]("lang")}")
+    }
+    // the union row counts each distinct content once across langs
+    val perLang = rows.filter(_.getAs[String]("lang") != "*")
+      .map(_.getAs[Long]("exact")).sum
+    assert(byLang("*").getAs[Long]("exact") <= perLang)
+  }
+
   test("DsSketchQueries: every query verdict-green at sf0.001") {
     for ((name, fn) <- DsSketchQueries.queries) {
       val rows = fn(spark, dir).collect()
