@@ -75,6 +75,19 @@ object DsSketchQueries {
   private val KeyLo = "src3"
   private val KeyHi = "src7"
 
+  /** Budget-scan probe: an ASYMMETRIC y range ([45 %, 51 %]) that only
+    * partially overlaps its second 12.5 % y-strip — partially-covered
+    * tiles yield ~5× fewer hits than fully-covered ones. That is the
+    * skew a min/max envelope cannot see ("overlaps" for all of them)
+    * and the KLL per-tile cardinality can. */
+  private val BudgetHiPct = 51L // lo is TileLoPct = 45
+
+  /** Certified-coverage target 9/10 as an integer ratio: the whole
+    * budget plan is long arithmetic over the sidecar's lb column, so
+    * both engines choose bit-identical tile sets. */
+  private val BudgetNum = 9L
+  private val BudgetDen = 10L
+
   // ---- frozen (build-once) estimate tables --------------------------------
 
   private val memo = scala.collection.concurrent.TrieMap
@@ -206,36 +219,51 @@ object DsSketchQueries {
           DsSketches.tupleSumEstimate(col("sk_i")).as("sum_common_est"))
     }
 
-  /** Shared z-layout of lineitem on (l_partkey, l_orderkey) plus the
-    * center-10%-of-y probe range — one definition for the frozen
-    * sidecar build, the query's exact side, and the generated SQL. */
+  /** Shared z-layout of lineitem on (l_partkey, l_orderkey) with the
+    * y envelope — one definition for the frozen sidecar builds, the
+    * queries' exact sides, and the generated SQL. Carries l_suppkey
+    * for the per-tile distinct-key sidecar. */
   private def zfiledLineitem(s: SparkSession, dir: String): (DataFrame, Long, Long) = {
     val li = t(s, dir, "lineitem")
       .select(col("l_partkey").cast("long").as("x"),
-        col("l_orderkey").cast("long").as("y"))
+        col("l_orderkey").cast("long").as("y"),
+        col("l_suppkey").cast("long").as("k"))
     val st = li.agg(min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head()
-    val (ymn, ymx) = (st.getLong(2), st.getLong(3))
     (ZOrder.withZFile(li, col("x"), col("y"),
-        st.getLong(0), st.getLong(1), ymn, ymx),
-      ymn + (ymx - ymn) * TileLoPct / 100,
-      ymn + (ymx - ymn) * TileHiPct / 100)
+      st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3)),
+      st.getLong(2), st.getLong(3))
   }
+
+  /** y value at `pct` percent of the envelope — integer arithmetic,
+    * identical in the generated SQL. */
+  private def yAt(ymn: Long, ymx: Long, pct: Long): Long =
+    ymn + (ymx - ymn) * pct / 100
+
+  /** Frozen per-z-tile KLL partials over y — ONE sidecar build feeding
+    * every probe below (a production sidecar is written once and
+    * probed many times). */
+  private def kllTilePartials(s: SparkSession, dir: String): DataFrame =
+    frozen(s, dir, "kll_tile_partials") {
+      val (zfiled, _, _) = zfiledLineitem(s, dir)
+      DsSketches.kllPartials(
+          zfiled.withColumn("v", col("y").cast("double")),
+          Seq.empty, col("zfile"), "v")
+        .withColumnRenamed("shard", "zfile")
+    }
 
   /** One frozen row per z-tile: the KLL sidecar's scan-planning read
     * (n, mn, mx, est, lb, ub, pruned) for the y-slice probe. The
     * sidecar is built over the y dimension, so the exact sketch
     * min/max subsumes the min/max index's y columns — most tiles prune
     * outright — while the rank reads add the per-tile cardinality an
-    * envelope cannot give. */
+    * envelope cannot give. (Reading a frozen sketch is deterministic,
+    * but the stats table is frozen too so the dump and the query are
+    * one build by construction.) */
   private def kllTileEst(s: SparkSession, dir: String): DataFrame =
     frozen(s, dir, "kll_tiles") {
-      val (zfiled, lo, hi) = zfiledLineitem(s, dir)
-      DsSketches.kllTileStats(
-          DsSketches.kllPartials(
-            zfiled.withColumn("v", col("y").cast("double")),
-            Seq.empty, col("zfile"), "v"),
-          lo.toDouble, hi.toDouble)
-        .withColumnRenamed("shard", "zfile")
+      val (_, ymn, ymx) = zfiledLineitem(s, dir)
+      DsSketches.kllTileStats(kllTilePartials(s, dir),
+        yAt(ymn, ymx, TileLoPct).toDouble, yAt(ymn, ymx, TileHiPct).toDouble)
     }
 
   /** Per-lang merged theta sketches over sha256(content) of the ER
@@ -253,6 +281,32 @@ object DsSketchQueries {
       DsSketches.thetaMergeEstimate(partials, Seq("lang"))
         .unionByName(DsSketches.thetaMergeEstimate(
           partials.withColumn("lang", lit("*")), Seq("lang")))
+    }
+
+  /** Same sidecar, read for the asymmetric budget probe. */
+  private def kllTileBudgetEst(s: SparkSession, dir: String): DataFrame =
+    frozen(s, dir, "kll_tile_budget") {
+      val (_, ymn, ymx) = zfiledLineitem(s, dir)
+      DsSketches.kllTileStats(kllTilePartials(s, dir),
+        yAt(ymn, ymx, TileLoPct).toDouble, yAt(ymn, ymx, BudgetHiPct).toDouble)
+    }
+
+  /** Distinct l_suppkey across the FILES the y-slice probe must read,
+    * merged from per-tile theta partials of only the unpruned tiles —
+    * metadata-only distinct-count planning (dictionary / broadcast /
+    * dedup-state sizing) for an arbitrary file subset, the question a
+    * bloom (membership) and a KLL (cardinality) sidecar cannot answer. */
+  private def thetaTileEst(s: SparkSession, dir: String): DataFrame =
+    frozen(s, dir, "theta_tiles") {
+      val (zfiled, _, _) = zfiledLineitem(s, dir)
+      val partials = DsSketches
+        .thetaPartials(zfiled, Seq.empty, col("zfile"), "k")
+        .withColumnRenamed("shard", "zfile")
+      DsSketches.thetaMergeEstimate(
+        partials
+          .join(kllTileEst(s, dir).select(col("zfile"), col("pruned")), "zfile")
+          .where(!col("pruned")),
+        Seq.empty)
     }
 
   /** GLOBAL string split points over the documents path key (quartiles
@@ -292,6 +346,30 @@ object DsSketchQueries {
         .write.mode("overwrite").partitionBy("bucket").parquet(path)
       path
     })
+
+  /** Shared DuckDB CTE prefix re-deriving every lineitem row's z-tile
+    * (generated from the SAME constants as the Scala expressions) plus
+    * the [TileLoPct, hiPct] y probe bounds: pts, st, nn, f(y, k,
+    * zfile), b(lo, hi). */
+  private def zTileSql(hiPct: Long): String = {
+    val bits = ZOrder.DimBits
+    val maxN = (1L << bits) - 1
+    val shift = 2 * bits - ZOrder.PrefixBits
+    val ileave = ZOrder.interleaveSql("xn", "yn", bits)
+    s"""pts AS (
+       |  SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_orderkey AS BIGINT) AS y,
+       |    CAST(l_suppkey AS BIGINT) AS k
+       |  FROM lineitem),
+       |st AS (SELECT min(x) AS xmn, max(x) AS xmx, min(y) AS ymn, max(y) AS ymx FROM pts),
+       |nn AS (
+       |  SELECT y, k,
+       |    ((x - xmn) * $maxN) // (xmx - xmn) AS xn,
+       |    ((y - ymn) * $maxN) // (ymx - ymn) AS yn
+       |  FROM pts, st),
+       |f AS (SELECT y, k, $ileave >> $shift AS zfile FROM nn),
+       |b AS (SELECT ymn + (ymx - ymn) * $TileLoPct // 100 AS lo,
+       |             ymn + (ymx - ymn) * $hiPct // 100 AS hi FROM st)""".stripMargin
+  }
 
   // ---- queries ------------------------------------------------------------
 
@@ -505,7 +583,8 @@ object DsSketchQueries {
     // table (the z-value SQL is generated from the same constants) and
     // re-judges all three verdicts
     "q_kll_tile_pruning" -> ((s, dir) => {
-      val (zfiled, lo, hi) = zfiledLineitem(s, dir)
+      val (zfiled, ymn, ymx) = zfiledLineitem(s, dir)
+      val (lo, hi) = (yAt(ymn, ymx, TileLoPct), yAt(ymn, ymx, TileHiPct))
       val exact = zfiled.groupBy(col("zfile"))
         .agg(count(lit(1)).as("rows_tile"),
           sum(when(col("y") >= lo && col("y") <= hi, 1L).otherwise(0L))
@@ -538,6 +617,69 @@ object DsSketchQueries {
           (col("lb") <= col("exact") && col("exact") <= col("ub"))
             .as("bounds_ok"))
         .orderBy(col("lang"))
+    }),
+
+    // budgeted top-k tile scan: rank the surviving tiles by the
+    // sidecar's CERTIFIED hit count (lb) and choose the minimal prefix
+    // covering >=9/10 of the total certified hits — all long
+    // arithmetic, so both engines derive bit-identical tile sets. The
+    // probe only partially overlaps its second y-strip, so the
+    // partially-covered tiles carry ~5x fewer hits: the plan reads the
+    // high-yield files and skips the low-yield tail the min/max
+    // envelope calls equally "overlapping"
+    "q_tile_scan_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (zfiled, ymn, ymx) = zfiledLineitem(s, dir)
+      val (lo, hi) = (yAt(ymn, ymx, TileLoPct), yAt(ymn, ymx, BudgetHiPct))
+      val exact = zfiled.groupBy(col("zfile"))
+        .agg(sum(when(col("y") >= lo && col("y") <= hi, 1L).otherwise(0L))
+          .as("exact"))
+      val unpruned = kllTileBudgetEst(s, dir).where(!col("pruned"))
+      val w = Window.orderBy(col("lb").desc, col("zfile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val planned = unpruned
+        .withColumn("cum_lb", sum(col("lb")).over(w))
+        .crossJoin(unpruned.agg(sum(col("lb")).as("lb_total"),
+          sum(col("ub")).as("ub_total")))
+        .withColumn("chosen",
+          (col("cum_lb") - col("lb")) * BudgetDen < col("lb_total") * BudgetNum)
+      planned.join(exact, "zfile")
+        .agg(count(lit(1)).as("n_unpruned"),
+          sum(when(col("chosen"), 1L).otherwise(0L)).as("n_chosen"),
+          max(col("lb_total")).as("lb_total"),
+          max(col("ub_total")).as("ub_total"),
+          sum(when(col("chosen"), col("exact")).otherwise(0L)).as("exact_chosen"),
+          sum(col("exact")).as("exact_total"))
+        .select(col("n_unpruned"), col("n_chosen"), col("lb_total"),
+          col("ub_total"), col("exact_chosen"), col("exact_total"),
+          round(col("exact_chosen").cast("double") / col("exact_total"), 6)
+            .as("coverage"),
+          round(lit(BudgetNum).cast("double") * col("lb_total") /
+            (lit(BudgetDen) * col("ub_total")), 6).as("coverage_min"),
+          (col("exact_chosen") * col("ub_total") * BudgetDen >=
+            col("lb_total") * BudgetNum * col("exact_total")).as("coverage_ok"),
+          (col("n_chosen") < col("n_unpruned")).as("skips_files"))
+    }),
+
+    // metadata-only DISTINCT count for the file subset a probe must
+    // read: per-tile theta partials merged over only the unpruned
+    // tiles — dictionary/broadcast/dedup-state sizing from kilobytes
+    // of sidecar, the question neither a bloom (membership) nor a KLL
+    // (cardinality) sidecar answers. DuckDB recomputes the exact
+    // distinct count over the same tile subset
+    "q_theta_tile_distinct" -> ((s, dir) => {
+      val (zfiled, _, _) = zfiledLineitem(s, dir)
+      val exact = zfiled
+        .join(kllTileEst(s, dir).select(col("zfile"), col("pruned")), "zfile")
+        .where(!col("pruned"))
+        .agg(countDistinct(col("k")).as("exact"),
+          countDistinct(col("zfile")).as("n_files"))
+      thetaTileEst(s, dir).crossJoin(exact)
+        .select(col("n_shards"), col("n_files"), col("est"), col("lb"),
+          col("ub"), col("exact"),
+          (col("n_shards") === col("n_files")).as("files_ok"),
+          (col("lb") <= col("exact") && col("exact") <= col("ub"))
+            .as("bounds_ok"))
     }),
 
     // sketch-driven range layout: documents written range-partitioned
@@ -594,6 +736,7 @@ object DsSketchQueries {
     freqTokBytes(spark, sfDir); freqTokensEst(spark, sfDir)
     kllStrEst(spark, sfDir); rangeCountEst(spark, sfDir)
     kllTileEst(spark, sfDir); erLangThetaEst(spark, sfDir)
+    kllTileBudgetEst(spark, sfDir); thetaTileEst(spark, sfDir)
     rangeSplitsEst(spark, sfDir); rangeLayoutPath(spark, sfDir); ()
   }
 
@@ -621,6 +764,8 @@ object DsSketchQueries {
     dump(kllTileEst(spark, sfDir), "ds_kll_tiles")
     dump(erLangThetaEst(spark, sfDir), "ds_er_lang_theta")
     dump(rangeSplitsEst(spark, sfDir), "ds_range_splits")
+    dump(kllTileBudgetEst(spark, sfDir), "ds_kll_tile_budget")
+    dump(thetaTileEst(spark, sfDir), "ds_theta_tiles")
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -813,23 +958,8 @@ object DsSketchQueries {
     // re-derives every tile id + exact per-tile range count from the
     // base table (the z-value SQL is generated from the same constants
     // as the Scala expression) and re-judges all three verdicts
-    "q_kll_tile_pruning" -> {
-      val bits = ZOrder.DimBits
-      val maxN = (1L << bits) - 1
-      val shift = 2 * bits - ZOrder.PrefixBits
-      val ileave = ZOrder.interleaveSql("xn", "yn", bits)
-      s"""WITH pts AS (
-         |  SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_orderkey AS BIGINT) AS y
-         |  FROM lineitem),
-         |st AS (SELECT min(x) AS xmn, max(x) AS xmx, min(y) AS ymn, max(y) AS ymx FROM pts),
-         |nn AS (
-         |  SELECT y,
-         |    ((x - xmn) * $maxN) // (xmx - xmn) AS xn,
-         |    ((y - ymn) * $maxN) // (ymx - ymn) AS yn
-         |  FROM pts, st),
-         |f AS (SELECT y, $ileave >> $shift AS zfile FROM nn),
-         |b AS (SELECT ymn + (ymx - ymn) * $TileLoPct // 100 AS lo,
-         |             ymn + (ymx - ymn) * $TileHiPct // 100 AS hi FROM st),
+    "q_kll_tile_pruning" ->
+      s"""WITH ${zTileSql(TileHiPct)},
          |ex AS (
          |  SELECT zfile, count(*) AS rows_tile,
          |    count(*) FILTER (WHERE y >= lo AND y <= hi) AS exact
@@ -840,8 +970,58 @@ object DsSketchQueries {
          |  k.n = ex.rows_tile AS n_ok,
          |  (NOT k.pruned) OR ex.exact = 0 AS prune_ok,
          |  k.pruned OR (k.lb <= ex.exact AND ex.exact <= k.ub) AS bounds_ok
-         |FROM k JOIN ex USING (zfile) ORDER BY k.zfile""".stripMargin
-    },
+         |FROM k JOIN ex USING (zfile) ORDER BY k.zfile""".stripMargin,
+    // DuckDB replays the integer budget plan over the dumped sidecar
+    // (lb-descending prefix sums — identical long arithmetic), then
+    // recomputes every tile's exact hits and re-judges coverage vs the
+    // certified minimum
+    "q_tile_scan_budget" ->
+      s"""WITH ${zTileSql(BudgetHiPct)},
+         |k AS (SELECT * FROM read_parquet('{OUT}/_aux/ds_kll_tile_budget/*.parquet')
+         |      WHERE NOT pruned),
+         |tot AS (SELECT CAST(sum(lb) AS BIGINT) AS lb_total,
+         |               CAST(sum(ub) AS BIGINT) AS ub_total FROM k),
+         |pl AS (SELECT zfile, lb,
+         |         CAST(sum(lb) OVER (ORDER BY lb DESC, zfile
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |           AS cum_lb
+         |       FROM k),
+         |ch AS (SELECT pl.zfile,
+         |         (pl.cum_lb - pl.lb) * $BudgetDen < tot.lb_total * $BudgetNum
+         |           AS chosen
+         |       FROM pl, tot),
+         |ex AS (SELECT zfile, count(*) FILTER (WHERE y >= lo AND y <= hi) AS exact
+         |       FROM f, b GROUP BY zfile),
+         |g AS (SELECT count(*) AS n_unpruned,
+         |        CAST(count(*) FILTER (WHERE chosen) AS BIGINT) AS n_chosen,
+         |        CAST(sum(CASE WHEN chosen THEN exact ELSE 0 END) AS BIGINT)
+         |          AS exact_chosen,
+         |        CAST(sum(exact) AS BIGINT) AS exact_total
+         |      FROM ch JOIN ex USING (zfile))
+         |SELECT g.n_unpruned, g.n_chosen, tot.lb_total, tot.ub_total,
+         |  g.exact_chosen, g.exact_total,
+         |  round(CAST(g.exact_chosen AS DOUBLE) / g.exact_total, 6) AS coverage,
+         |  round($BudgetNum.0 * tot.lb_total / ($BudgetDen * tot.ub_total), 6)
+         |    AS coverage_min,
+         |  g.exact_chosen * tot.ub_total * $BudgetDen >=
+         |    tot.lb_total * $BudgetNum * g.exact_total AS coverage_ok,
+         |  g.n_chosen < g.n_unpruned AS skips_files
+         |FROM g, tot""".stripMargin,
+    // est/lb/ub from the dumped merged tile sketch; the unpruned tile
+    // set comes from the dumped kll sidecar's pruned flags; the exact
+    // distinct count over that subset is DuckDB's own
+    "q_theta_tile_distinct" ->
+      s"""WITH ${zTileSql(TileHiPct)},
+         |p AS (SELECT zfile, pruned
+         |      FROM read_parquet('{OUT}/_aux/ds_kll_tiles/*.parquet')),
+         |x AS (SELECT count(DISTINCT f.k) AS exact,
+         |        count(DISTINCT f.zfile) AS n_files
+         |      FROM f JOIN p USING (zfile) WHERE NOT p.pruned),
+         |t2 AS (SELECT * FROM read_parquet('{OUT}/_aux/ds_theta_tiles/*.parquet'))
+         |SELECT t2.n_shards, x.n_files, t2.est, t2.lb, t2.ub, x.exact,
+         |  t2.n_shards = x.n_files AS files_ok,
+         |  t2.lb <= x.exact AND x.exact <= t2.ub AS bounds_ok
+         |FROM t2, x""".stripMargin,
     // est/lb/ub from the dumped merged sketches; exact per-lang (and
     // global '*') distinct-content counts recomputed with DuckDB's own
     // sha256 over the dumped raw corpus

@@ -103,6 +103,32 @@ class ZOrderSpec extends AnyFunSuite {
     assert(total == kept && total > 0)
   }
 
+  test("budgeted tile scan: skips low-yield files, covers the certified fraction") {
+    val rows = SparkEntry.queries("q_tile_scan_budget")(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // the asymmetric probe makes the partially-covered strip's tiles
+    // low-yield — the plan must actually skip files the min/max
+    // envelope would read
+    assert(r.getAs[Boolean]("skips_files"),
+      s"budget plan read all ${r.getAs[Long]("n_unpruned")} unpruned tiles")
+    assert(r.getAs[Boolean]("coverage_ok"),
+      s"coverage ${r.getAs[Double]("coverage")} below certified minimum " +
+        s"${r.getAs[Double]("coverage_min")}")
+    assert(r.getAs[Long]("exact_chosen") > 0 &&
+      r.getAs[Long]("exact_chosen") <= r.getAs[Long]("exact_total"))
+  }
+
+  test("theta tile sidecar: distinct keys of the probed file subset, exact at small scale") {
+    val rows = SparkEntry.queries("q_theta_tile_distinct")(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Boolean]("files_ok"), "merged shard count != unpruned tile count")
+    assert(r.getAs[Boolean]("bounds_ok"))
+    // below 2^lgK distinct keys the theta merge is exact
+    assert(r.getAs[Double]("est") == r.getAs[Long]("exact").toDouble)
+  }
+
   test("sketch-driven range layout: balanced buckets, probe reads only covering buckets") {
     val rows = SparkEntry.queries("q_range_layout")(spark, dir).collect()
     assert(rows.length >= 2, "layout produced fewer than 2 buckets")
