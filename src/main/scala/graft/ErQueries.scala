@@ -38,6 +38,10 @@ object ErQueries {
     (0 to math.floor(tau * 100 + 1e-9).toInt).map(_ / 100.0)
   }
 
+  /** Sorted-neighborhood window for er_snm_pairs — the ONE definition
+    * both the Scala query and the DuckDB oracle interpolate. */
+  private[graft] val SnmWindow = 8
+
   /** Cache pipeline results per (session, sfDir) so Verify/Bench running
     * many queries do not re-run the whole DAG per query. Keyed by the
     * session too: a cached Dataset is bound to the session that built it,
@@ -325,6 +329,48 @@ object ErQueries {
           sum(when(col("op") =!= lit(rem), 1).otherwise(0)).cast("int").as("n_b_ops"))
         .orderBy(col("idA"), col("idB"))
     }),
+    // golden records: deterministic survivorship over the entity
+    // clusters — the merge step of merge-purge. Every rule is SQL-exact
+    // (integer/string comparisons only), so DuckDB rebuilds each
+    // canonical row from the dumped clusters + the raw corpus.
+    "er_golden" -> ((s, dir) => {
+      import s.implicits._
+      val attrs = CorpusGen.corpus(s, dir).map(f => (
+        graft.util.Hashing.rowId128Hex(f.repo, f.path, f.commit),
+        f.lang, f.commit, graft.util.Hashing.sha256Hex(f.content),
+        f.content.length.toLong)).toDF("id", "lang", "commit", "sha256", "content_len")
+      Survivorship.goldenRecords(pipeline(s, dir).clusters, attrs)
+        .orderBy(col("clusterId"))
+    }),
+    // sorted-neighborhood candidate pairs over (n_tokens, id), window 8 —
+    // the classic complement to hash blocking. The distributed-rank
+    // derivation AND the windowed pairing are fully redone by the oracle
+    // from the (already-verified) er_tree_stats dump.
+    "er_snm_pairs" -> ((s, dir) => {
+      val rows = pipeline(s, dir).trees.toDF().select(col("id"), col("nTokens"))
+      SortedNeighborhood.pairs(rows, "id", Seq("nTokens", "id"), SnmWindow)
+        .orderBy(col("idA"), col("idB"))
+    }),
+    // meta-blocking over the ER block index: CBS pair weights + weighted
+    // node pruning. The (key,id) index is engine-internal (MinHash band
+    // hashes), so it is dumped and DuckDB redoes cap → pair → weight →
+    // prune from it — the established stage-table oracle pattern.
+    "er_meta_blocking" -> ((s, dir) => {
+      val cfg = Pipeline.Config().blocking
+      val keyed = Blocking.keyedIds(pipeline(s, dir).trees, cfg)
+      MetaBlocking.prune(MetaBlocking.pairWeights(keyed, cfg.maxBlockSize))
+        .orderBy(col("idA"), col("idB"))
+    }),
+    // retraction: clusters recomputed after deleting a deterministic
+    // 1/16 corpus slice (ids whose first hex digit is '0') — the
+    // right-to-erasure path. The oracle re-derives components over the
+    // retained match edges with its own recursive CTE.
+    "er_retract" -> ((s, dir) => {
+      val r = pipeline(s, dir)
+      val nodes = r.trees.toDF().select(col("id"))
+      Clustering.retract(r.matches, nodes, nodes.where(col("id").startsWith("0")))
+        .orderBy(col("id"))
+    }),
     "er_sha_invariant" -> ((s, dir) => {
       // per-row invariant (input_hint): sha256 recomputed from the raw
       // corpus equals the value the parse stage carried through
@@ -408,6 +454,10 @@ object ErQueries {
         .select(col("id"), posexplode(col("lmds")).as(Seq("i", "lmd")))
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/script_tree_nodes")
     }
+    // (key,id) block-index rows — engine-internal MinHash band keys; the
+    // er_meta_blocking oracle redoes cap → pair → weight → prune from it
+    Blocking.keyedIds(Results.cached(spark, sfDir).trees, Pipeline.Config().blocking)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/er_block_index")
     // uncapped lexer event stream per file: the er_tree_stats oracle
     // recomputes n / n_tokens / truncated from it (the cap bookkeeping
     // formula — see CodeParser.lexEvents)
@@ -571,6 +621,76 @@ object ErQueries {
           |JOIN agg a ON p.idA = a.idA AND p.idB = a.idB
           |LEFT JOIN viol vl ON p.idA = vl.idA AND p.idB = vl.idB
           |ORDER BY p.idA, p.idB""".stripMargin,
+      // golden records: every survivorship rule replayed by DuckDB over
+      // the dumped clusters + its OWN sha256/length of the raw corpus
+      "er_golden" ->
+        s"""WITH a AS (SELECT $idExpr AS id, lang, commit,
+           |  sha256(content) AS sha, CAST(length(content) AS BIGINT) AS len
+           |  FROM $corpus),
+           |cl AS (SELECT id, clusterId FROM read_parquet('{OUT}/er_clusters/*.parquet')),
+           |j AS (SELECT cl.clusterId, a.id, a.lang, a.commit, a.sha, a.len
+           |      FROM cl JOIN a ON a.id = cl.id),
+           |base AS (SELECT clusterId, count(*) AS n_members, min(id) AS canonical_id,
+           |           min(commit) AS first_commit, CAST(sum(len) AS BIGINT) AS total_bytes
+           |         FROM j GROUP BY clusterId),
+           |lc AS (SELECT clusterId, lang, count(*) AS cnt FROM j GROUP BY clusterId, lang),
+           |ml AS (SELECT clusterId, lang FROM (
+           |        SELECT clusterId, lang, row_number() OVER (PARTITION BY clusterId
+           |          ORDER BY cnt DESC, lang) AS rn FROM lc) WHERE rn = 1),
+           |rep AS (SELECT clusterId, sha AS rep_sha FROM (
+           |        SELECT clusterId, sha, row_number() OVER (PARTITION BY clusterId
+           |          ORDER BY len DESC, sha, id) AS rn FROM j) WHERE rn = 1)
+           |SELECT b.clusterId, b.n_members, b.canonical_id, b.first_commit,
+           |  b.total_bytes, ml.lang, rep.rep_sha
+           |FROM base b JOIN ml ON ml.clusterId = b.clusterId
+           |JOIN rep ON rep.clusterId = b.clusterId
+           |ORDER BY b.clusterId""".stripMargin,
+      // sorted-neighborhood pairs: rank + windowed pairing redone from
+      // the er_tree_stats dump (itself lexer-oracle-verified)
+      "er_snm_pairs" ->
+        s"""WITH r AS (
+           |  SELECT id, row_number() OVER (ORDER BY n_tokens, id) AS rnk
+           |  FROM read_parquet('{OUT}/er_tree_stats/*.parquet'))
+           |SELECT least(a.id, b.id) AS idA, greatest(a.id, b.id) AS idB
+           |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < $SnmWindow
+           |ORDER BY idA, idB""".stripMargin,
+      // meta-blocking: cap (dense_rank over distinct rows ≡ capByKey's
+      // set-semantic cap), per-key pair emission, CBS weight, and the
+      // integer-exact WNP kept-rule, all redone from the dumped index
+      "er_meta_blocking" -> {
+        val cap = Pipeline.Config().blocking.maxBlockSize
+        s"""WITH k AS (SELECT DISTINCT key, id
+           |           FROM read_parquet('{OUT}/_aux/er_block_index/*.parquet')),
+           |c AS (SELECT key, id FROM (
+           |        SELECT key, id, dense_rank() OVER (PARTITION BY key ORDER BY id) AS rn
+           |        FROM k) WHERE rn <= $cap),
+           |p AS (SELECT a.key, a.id AS idA, b.id AS idB
+           |      FROM c a JOIN c b ON a.key = b.key AND a.id < b.id),
+           |w AS (SELECT idA, idB, CAST(count(*) AS BIGINT) AS weight
+           |      FROM p GROUP BY idA, idB),
+           |n AS (SELECT id, CAST(sum(weight) AS BIGINT) AS wsum,
+           |        CAST(count(*) AS BIGINT) AS wcnt
+           |      FROM (SELECT idA AS id, weight FROM w
+           |            UNION ALL SELECT idB, weight FROM w) GROUP BY id)
+           |SELECT w.idA, w.idB, w.weight,
+           |  (w.weight * na.wcnt >= na.wsum OR w.weight * nb.wcnt >= nb.wsum) AS kept
+           |FROM w JOIN n na ON na.id = w.idA JOIN n nb ON nb.id = w.idB
+           |ORDER BY w.idA, w.idB""".stripMargin
+      },
+      // retraction: components re-derived over the retained match edges
+      // (both endpoints survive the deterministic '0'-prefix delete set)
+      "er_retract" ->
+        """WITH RECURSIVE
+          |  m AS (SELECT idA, idB FROM read_parquet('{OUT}/er_scores/*.parquet')
+          |        WHERE isMatch AND substr(idA, 1, 1) <> '0' AND substr(idB, 1, 1) <> '0'),
+          |  e AS (SELECT idA AS a, idB AS b FROM m UNION ALL SELECT idB, idA FROM m),
+          |  nodes AS (SELECT id FROM read_parquet('{OUT}/er_trees/*.parquet')
+          |            WHERE substr(id, 1, 1) <> '0'),
+          |  reach(id, r) AS (
+          |    SELECT id, id FROM nodes
+          |    UNION
+          |    SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
+          |SELECT id, min(r) AS clusterId FROM reach GROUP BY id ORDER BY id""".stripMargin,
       "er_cluster_sizes" ->
         """WITH cs AS (
           |  SELECT clusterId, count(*) AS size

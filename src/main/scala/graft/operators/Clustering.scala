@@ -79,6 +79,23 @@ object Clustering {
     connected.union(singletons)
   }
 
+  /** Retraction (right-to-erasure / file deletion at corpus scale):
+    * recompute clusters after removing `deleted` ids — surviving nodes
+    * keep only edges whose BOTH endpoints survive, then components are
+    * re-derived. CC is not incrementally maintainable under deletion
+    * (removing a bridge node splits a component), so the honest shape is
+    * a recompute over the retained match-edge table — which the pipeline
+    * already persists, so nothing is re-scored; the delete set is
+    * typically tiny and broadcast into the two anti-joins. */
+  def retract(edges: DataFrame, nodes: DataFrame, deleted: DataFrame): DataFrame = {
+    val del = broadcast(deleted.select(col("id")).distinct())
+    val keepNodes = nodes.join(del, Seq("id"), "left_anti")
+    val keepEdges = edges
+      .join(del.withColumnRenamed("id", "idA"), Seq("idA"), "left_anti")
+      .join(del.withColumnRenamed("id", "idB"), Seq("idB"), "left_anti")
+    connectedComponents(keepEdges, keepNodes)
+  }
+
   /** Order-independent edge-set signature: (count, bit_xor of xxhash64).
     * xor (not sum) — ANSI mode makes a Long sum of hashes overflow; the
     * edge set is distinct so xor-cancellation of duplicates is moot.
