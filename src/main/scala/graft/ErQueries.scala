@@ -42,6 +42,10 @@ object ErQueries {
     * both the Scala query and the DuckDB oracle interpolate. */
   private[graft] val SnmWindow = 8
 
+  /** er_cluster_split eval bound (md5 hex prefix < "40" ⇒ eval, 25 % of
+    * clusters) — ONE definition for query and oracle. */
+  private[graft] val SplitEvalHex = "40"
+
   /** Cache pipeline results per (session, sfDir) so Verify/Bench running
     * many queries do not re-run the whole DAG per query. Keyed by the
     * session too: a cached Dataset is bound to the session that built it,
@@ -361,6 +365,16 @@ object ErQueries {
       MetaBlocking.prune(MetaBlocking.pairWeights(keyed, cfg.maxBlockSize))
         .orderBy(col("idA"), col("idB"))
     }),
+    // leakage-safe train/eval split: whole clusters assigned by a
+    // deterministic cluster-id hash, so near-duplicate members can never
+    // straddle the boundary. Zero shuffle; the oracle replays the rule
+    // per row from the dumped clusters (row-level equality also proves
+    // the no-leakage invariant — both engines hash the cluster, not the
+    // row).
+    "er_cluster_split" -> ((s, dir) => {
+      Survivorship.leakageSafeSplit(pipeline(s, dir).clusters, SplitEvalHex)
+        .orderBy(col("id"))
+    }),
     // retraction: clusters recomputed after deleting a deterministic
     // 1/16 corpus slice (ids whose first hex digit is '0') — the
     // right-to-erasure path. The oracle re-derives components over the
@@ -677,6 +691,12 @@ object ErQueries {
            |FROM w JOIN n na ON na.id = w.idA JOIN n nb ON nb.id = w.idB
            |ORDER BY w.idA, w.idB""".stripMargin
       },
+      // cluster-grain split rule replayed per row by DuckDB's own md5
+      "er_cluster_split" ->
+        s"""SELECT id, clusterId,
+           |  CASE WHEN substr(md5('split:' || clusterId), 1, 2) < '$SplitEvalHex'
+           |       THEN 'eval' ELSE 'train' END AS split
+           |FROM read_parquet('{OUT}/er_clusters/*.parquet') ORDER BY id""".stripMargin,
       // retraction: components re-derived over the retained match edges
       // (both endpoints survive the deterministic '0'-prefix delete set)
       "er_retract" ->

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Decontaminate, Dedup, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, SetSimJoin, TextAnalysis}
 import graft.sources.CorpusGen
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -29,6 +29,12 @@ object TextQueries {
     * query and the interpolated oracle SQL. */
   private val SampleHexEn = "40"
   private val SampleHexRest = "c0"
+
+  /** q_setsim_join threshold as an exact rational (9/10) — ONE
+    * definition for the Scala query and the interpolated oracle SQL, so
+    * the integer-exact comparison i·den ≥ u·num can never drift. */
+  private val SetSimNum = 9
+  private val SetSimDen = 10
   private val RepetitionMaxFrac = 0.6
   private val Bm25Terms = Seq("spark", "merge", "window")
   private val Bm25K = 20
@@ -117,6 +123,22 @@ object TextQueries {
             TextAnalysis.piiCountCol(redacted, "ipv4") === 0 &&
             TextAnalysis.piiCountCol(redacted, "phone") === 0).as("clean_ok"))
         .orderBy(col("doc_id"))
+    }),
+
+    // EXACT set-similarity self-join (prefix filtering): all doc pairs
+    // with token-set Jaccard ≥ 9/10 — no false negatives, the exact
+    // complement to the MinHash/SimHash approximate family. The oracle
+    // brute-forces all C(n,2) pairs in DuckDB (tractable at the
+    // correctness scale) with the SAME integer-exact threshold, so any
+    // prefix-filter completeness bug shows as missing rows.
+    "q_setsim_join" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id").as("id"),
+        array_distinct(TextAnalysis.tokensCol(col("text"))).as("toks"))
+      SetSimJoin.join(d, SetSimNum, SetSimDen)
+        .select(col("idA"), col("idB"),
+          col("isect").cast("long").as("isect"),
+          col("union_n").cast("long").as("union_n"), col("jaccard"))
+        .orderBy(col("idA"), col("idB"))
     }),
 
     // deterministic stratified sampling — rebalance a training mix by
@@ -571,6 +593,18 @@ object TextQueries {
          |WHERE substring(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 2) <
          |  CASE WHEN lang = 'en' THEN '$SampleHexEn' ELSE '$SampleHexRest' END
          |ORDER BY doc_id""".stripMargin,
+    "q_setsim_join" ->
+      s"""WITH d AS (SELECT doc_id AS id,
+         |             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+         |           FROM documents),
+         |p AS (SELECT a.id AS idA, b.id AS idB,
+         |        CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS isect,
+         |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT) AS union_n
+         |      FROM d a JOIN d b ON a.id < b.id)
+         |SELECT idA, idB, isect, union_n,
+         |  round(CAST(isect AS DOUBLE) / union_n, 6) AS jaccard
+         |FROM p WHERE isect * $SetSimDen >= union_n * $SetSimNum
+         |ORDER BY idA, idB""".stripMargin,
     "q_repetition_filter" ->
       s"""SELECT doc_id, lang,
          |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,

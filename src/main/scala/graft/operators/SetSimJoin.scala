@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity self-join via prefix filtering (Chaudhuri et al.
+  * ICDE'06 SSJoin / Bayardo et al. WWW'07 All-Pairs — public papers):
+  * all pairs with token-set Jaccard ≥ tNum/tDen, with NO false negatives
+  * — the exact complement to the MinHash/SimHash approximate near-dup
+  * family.
+  *
+  * The prefix-filter theorem: order every token set by ONE global total
+  * order and keep each set's first |x| − ⌈t·|x|⌉ + 1 tokens; any pair
+  * with Jaccard ≥ t must share ≥ 1 prefix token (overlap ≥ ⌈t·|x|⌉ and
+  * ⌈t·|y|⌉, so by pigeonhole the prefixes intersect). Rare-first
+  * ordering makes prefixes the globally rarest tokens, so prefix blocks
+  * stay small without any cap — exactness is preserved.
+  *
+  * Scale shape (10^12-row rationale):
+  *  - token frequencies: one narrow groupBy over exploded tokens;
+  *  - rare-first re-assembly: one equi-join token→freq (shuffle on the
+  *    token column, narrow rows) + one per-doc aggregate;
+  *  - candidate generation: grouped per-prefix-token pair emission (the
+  *    capped-block algebra, uncapped — block size is bounded by the
+  *    prefix token's global frequency, which rare-first ordering keeps
+  *    minimal) with the length filter tDen·min(|x|,|y|) ≥ tNum·max
+  *    applied BEFORE the distinct;
+  *  - verification: one join back to the token arrays, exact Jaccard as
+  *    codegen'd array_intersect/array_union — integer-exact threshold
+  *    (i·tDen ≥ u·tNum), no float boundary between engines.
+  */
+object SetSimJoin {
+
+  /** ⌈(n·tNum)/tDen⌉ in exact integer Column arithmetic. */
+  private def ceilFrac(n: Column, tNum: Int, tDen: Int): Column =
+    floor((n * tNum + lit(tDen - 1)) / tDen).cast("int")
+
+  /** docs: (id, toks) with toks a DISTINCT token array. Returns
+    * (idA, idB, isect, union_n, jaccard) for every pair with
+    * Jaccard ≥ tNum/tDen — exact, no false negatives/positives. */
+  def join(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val tok = docs.select(col("id"), explode(col("toks")).as("token"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    // global rare-first total order (freq asc, token asc): per-doc token
+    // arrays re-assembled in that shared order
+    val ordered = tok.join(freq, "token")
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("freq"), col("token")))),
+        s => s("token")).as("toks"))
+    val n = size(col("toks"))
+    val pfxLen = n - ceilFrac(n, tNum, tDen) + 1
+    val prefix = ordered.select(col("id"), n.as("n"),
+      explode(slice(col("toks"), lit(1), pfxLen)).as("token"))
+    val cands = prefix.groupBy(col("token"))
+      .agg(sort_array(collect_set(struct(col("id"), col("n")))).as("ms"))
+      .where(size(col("ms")) >= 2)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          y => struct(x("id").as("idA"), y("id").as("idB"),
+            x("n").as("nA"), y("n").as("nB")))))).as("p"))
+      // length filter: Jaccard ≥ t ⇒ |x∩y| ≥ t·max ⇒ min ≥ t·max
+      .where(least(col("p.nA"), col("p.nB")) * tDen >=
+        greatest(col("p.nA"), col("p.nB")) * tNum)
+      .select(col("p.idA"), col("p.idB"))
+      .distinct()
+    val slim = ordered.select(col("id"), col("toks"))
+    cands
+      .join(slim.withColumnRenamed("id", "idA").withColumnRenamed("toks", "tA"), "idA")
+      .join(slim.withColumnRenamed("id", "idB").withColumnRenamed("toks", "tB"), "idB")
+      .select(col("idA"), col("idB"),
+        size(array_intersect(col("tA"), col("tB"))).as("isect"),
+        size(array_union(col("tA"), col("tB"))).as("union_n"))
+      .where(col("isect") * tDen >= col("union_n") * tNum)
+      .select(col("idA"), col("idB"), col("isect"), col("union_n"),
+        round(col("isect").cast("double") / col("union_n"), 6).as("jaccard"))
+  }
+}

@@ -49,4 +49,18 @@ object Survivorship {
       .select(col("clusterId"), col("sha256").as("rep_sha"))
     base.join(modalLang, "clusterId").join(rep, "clusterId")
   }
+
+  /** Leakage-safe train/eval split: assign WHOLE clusters to splits by a
+    * deterministic hash of the cluster id, so near-duplicate members can
+    * never straddle the boundary — the eval-hygiene rule a dedup-aware
+    * training pipeline enforces (a train example's near-dup sitting in
+    * the eval set is leakage that row-level random splits cannot
+    * prevent). md5 hex-prefix thresholding is the sampling operators'
+    * engine-portable idiom; `evalBound` is the 2-hex-digit exclusive
+    * upper bound ("40" ⇒ 64/256 = 25 % of clusters land in eval).
+    * Zero shuffle: one narrow projection over the cluster table. */
+  def leakageSafeSplit(clusters: DataFrame, evalBound: String = "40"): DataFrame =
+    clusters.select(col("id"), col("clusterId"),
+      when(substring(md5(concat(lit("split:"), col("clusterId"))), 1, 2)
+        < evalBound, "eval").otherwise("train").as("split"))
 }

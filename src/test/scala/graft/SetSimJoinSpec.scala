@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.SetSimJoin
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact set-similarity join: brute-force differential (no false
+  * negatives AND no false positives), threshold edges, and skewed token
+  * frequencies. */
+class SetSimJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    a.intersect(b).size.toDouble / a.union(b).size
+
+  private def brute(docs: Seq[(String, Set[String])], tNum: Int, tDen: Int) =
+    (for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      (ia, ta) = docs(i); (ib, tb) = docs(j)
+      if ta.intersect(tb).size * tDen >= ta.union(tb).size * tNum
+    } yield (if (ia < ib) (ia, ib) else (ib, ia))).toSet
+
+  private def run(docs: Seq[(String, Set[String])], tNum: Int, tDen: Int) = {
+    import spark.implicits._
+    val df = docs.map { case (id, t) => (id, t.toSeq) }.toDF("id", "toks")
+    SetSimJoin.join(df, tNum, tDen)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+  }
+
+  test("differential vs brute force over random token sets") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 40).map(i => f"t$i%02d")
+    for (trial <- 0 until 5) {
+      val docs = (0 until 30).map { i =>
+        val k = 3 + rnd.nextInt(10)
+        (f"d$i%02d", rnd.shuffle(vocab).take(k).toSet)
+      }
+      for ((num, den) <- Seq((1, 2), (7, 10), (9, 10)))
+        assert(run(docs, num, den) == brute(docs, num, den),
+          s"trial $trial t=$num/$den")
+    }
+  }
+
+  test("identical sets always match at t=1; disjoint sets never do") {
+    val docs = Seq(
+      ("a", Set("x", "y", "z")), ("b", Set("x", "y", "z")),
+      ("c", Set("p", "q")))
+    assert(run(docs, 1, 1) == Set(("a", "b")))
+  }
+
+  test("threshold boundary is inclusive and integer-exact") {
+    // |x∩y| = 3 of |x∪y| = 4 → jaccard exactly 3/4
+    val docs = Seq(("a", Set("1", "2", "3")), ("b", Set("1", "2", "3", "4")))
+    assert(run(docs, 3, 4) == Set(("a", "b"))) // == t kept
+    assert(run(docs, 4, 5).isEmpty) // just above → dropped
+  }
+
+  test("skewed frequencies: a universal token does not break exactness") {
+    // every doc shares token "the" — with rare-first ordering it should
+    // rarely be a prefix token, but even when it must be, results stay
+    // exact
+    val docs = Seq(
+      ("a", Set("the", "u1", "u2")),
+      ("b", Set("the", "u1", "u2")),
+      ("c", Set("the", "v1", "v2")),
+      ("d", Set("the", "w1")))
+    assert(run(docs, 9, 10) == brute(docs, 9, 10))
+    assert(run(docs, 1, 4) == brute(docs, 1, 4))
+  }
+
+  test("jaccard/intersect/union columns are exact") {
+    import spark.implicits._
+    val df = Seq(("a", Seq("1", "2", "3")), ("b", Seq("2", "3", "4"))).toDF("id", "toks")
+    val r = SetSimJoin.join(df, 1, 2).collect()
+    assert(r.length == 1)
+    assert(r.head.getInt(2) == 2 && r.head.getInt(3) == 4)
+    assert(r.head.getDouble(4) == 0.5)
+  }
+}

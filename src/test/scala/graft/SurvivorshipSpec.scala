@@ -58,6 +58,31 @@ class SurvivorshipSpec extends AnyFunSuite {
     assert(out.select("clusterId").distinct().count() == 2)
   }
 
+  // ---------------- leakage-safe split ----------------
+
+  test("split is deterministic and cluster-atomic (no member straddles)") {
+    import spark.implicits._
+    val cl = (0 until 50).map(i => (f"m$i%02d", f"c${i / 5}%02d")).toDF("id", "clusterId")
+    val s1 = Survivorship.leakageSafeSplit(cl)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val s2 = Survivorship.leakageSafeSplit(cl)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(s1.toSet == s2.toSet)
+    // every cluster maps to exactly one split
+    val perCluster = s1.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(perCluster.values.forall(_.size == 1))
+    // both splits are populated at this bound on 10 clusters
+    assert(s1.map(_._3).toSet == Set("train", "eval"))
+  }
+
+  test("evalBound 00 sends everything to train; ff sends nearly all to eval") {
+    import spark.implicits._
+    val cl = (0 until 20).map(i => (s"m$i", s"c$i")).toDF("id", "clusterId")
+    val all = Survivorship.leakageSafeSplit(cl, "00")
+      .collect().map(_.getString(2)).toSet
+    assert(all == Set("train"))
+  }
+
   // ---------------- retraction ----------------
 
   private def df2(rows: (String, String)*) = {
