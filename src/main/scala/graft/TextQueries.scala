@@ -30,11 +30,20 @@ object TextQueries {
   private val SampleHexEn = "40"
   private val SampleHexRest = "c0"
 
-  /** q_setsim_join threshold as an exact rational (9/10) — ONE
+  /** q_setsim_join threshold as an exact rational (4/5) — ONE
     * definition for the Scala query and the interpolated oracle SQL, so
-    * the integer-exact comparison i·den ≥ u·num can never drift. */
-  private val SetSimNum = 9
-  private val SetSimDen = 10
+    * the integer-exact comparison i·den ≥ u·num can never drift. The
+    * join runs over word-3-gram shingle sets, not unigrams: shingles
+    * give a large sparse vocabulary (unigram Jaccard on this synthetic
+    * corpus is pathologically dense — most docs share most words — so
+    * a unigram join at any useful τ would verify millions of candidate
+    * pairs for no signal). The shingle-Jaccard distribution here is
+    * bimodal (true near-dups ≥ 0.9, everything else < 0.1), so 4/5
+    * keeps exactly the near-dup pair set while the shorter prefixes
+    * (0.2·n+1 vs 0.5·n+1) cut candidate volume ~3× — threshold choice
+    * is a measured cost knob, not a correctness one, on this corpus. */
+  private val SetSimNum = 4
+  private val SetSimDen = 5
   private val RepetitionMaxFrac = 0.6
   private val Bm25Terms = Seq("spark", "merge", "window")
   private val Bm25K = 20
@@ -126,14 +135,19 @@ object TextQueries {
     }),
 
     // EXACT set-similarity self-join (prefix filtering): all doc pairs
-    // with token-set Jaccard ≥ 9/10 — no false negatives, the exact
-    // complement to the MinHash/SimHash approximate family. The oracle
-    // brute-forces all C(n,2) pairs in DuckDB (tractable at the
-    // correctness scale) with the SAME integer-exact threshold, so any
-    // prefix-filter completeness bug shows as missing rows.
+    // with word-3-gram shingle-set Jaccard ≥ 4/5 — no false negatives,
+    // the exact complement to the MinHash/SimHash approximate family.
+    // The oracle brute-forces all C(n,2) pairs in DuckDB (tractable at
+    // the correctness scale) with the SAME shingling and integer-exact
+    // threshold, so any prefix-filter completeness bug shows as missing
+    // rows.
     "q_setsim_join" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id").as("id"),
-        array_distinct(TextAnalysis.tokensCol(col("text"))).as("toks"))
+      val d = docs(s, dir)
+        .select(col("doc_id").as("id"), TextAnalysis.tokensCol(col("text")).as("tk"))
+        .where(size(col("tk")) >= 3)
+        .select(col("id"), array_distinct(transform(
+          sequence(lit(0), size(col("tk")) - 3),
+          i => concat_ws(" ", slice(col("tk"), i + lit(1), lit(3))))).as("toks"))
       SetSimJoin.join(d, SetSimNum, SetSimDen)
         .select(col("idA"), col("idB"),
           col("isect").cast("long").as("isect"),
@@ -594,9 +608,12 @@ object TextQueries {
          |  CASE WHEN lang = 'en' THEN '$SampleHexEn' ELSE '$SampleHexRest' END
          |ORDER BY doc_id""".stripMargin,
     "q_setsim_join" ->
-      s"""WITH d AS (SELECT doc_id AS id,
-         |             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
-         |           FROM documents),
+      s"""WITH d0 AS (SELECT doc_id AS id,
+         |              regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+         |            FROM documents),
+         |d AS (SELECT id, list_distinct(list_transform(range(1, len(tk) - 1),
+         |        i -> array_to_string(tk[i:i+2], ' '))) AS toks
+         |      FROM d0 WHERE len(tk) >= 3),
          |p AS (SELECT a.id AS idA, b.id AS idB,
          |        CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS isect,
          |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT) AS union_n

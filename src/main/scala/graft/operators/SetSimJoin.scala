@@ -44,10 +44,14 @@ object SetSimJoin {
     val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))
     // global rare-first total order (freq asc, token asc): per-doc token
     // arrays re-assembled in that shared order
+    // persisted: both the prefix branch and the verification join read
+    // it — without the persist the token-frequency join and the per-doc
+    // re-assembly would execute twice
     val ordered = tok.join(freq, "token")
       .groupBy(col("id"))
       .agg(transform(array_sort(collect_list(struct(col("freq"), col("token")))),
         s => s("token")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = size(col("toks"))
     val pfxLen = n - ceilFrac(n, tNum, tDen) + 1
     val prefix = ordered.select(col("id"), n.as("n"),

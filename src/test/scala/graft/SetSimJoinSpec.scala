@@ -67,6 +67,15 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(run(docs, 1, 4) == brute(docs, 1, 4))
   }
 
+  test("plan lock: no cartesian/nested-loop join anywhere in the pipeline") {
+    import spark.implicits._
+    val df = (0 until 20).map(i => (s"d$i", Seq(s"t$i", s"t${i + 1}", "common")))
+      .toDF("id", "toks")
+    val plan = SetSimJoin.join(df, 1, 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "must never plan a cross product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "must never nested-loop join")
+  }
+
   test("jaccard/intersect/union columns are exact") {
     import spark.implicits._
     val df = Seq(("a", Seq("1", "2", "3")), ("b", Seq("2", "3", "4"))).toDF("id", "toks")

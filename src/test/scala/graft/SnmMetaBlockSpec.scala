@@ -122,6 +122,16 @@ class SnmMetaBlockSpec extends AnyFunSuite {
     assert(kept(("a", "c"))) // c's mean is 1 → kept by the OR
   }
 
+  test("plan lock: weight agg + pruning never plan a cartesian or nested loop") {
+    import spark.implicits._
+    val keyed = (0 until 30).flatMap(i => Seq((i.toLong % 5, s"id$i"), (7L, s"id$i")))
+      .toDF("key", "id")
+    val plan = MetaBlocking.prune(MetaBlocking.pairWeights(keyed, cap = 8))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("WNP prunes a pair below BOTH endpoints' means") {
     import spark.implicits._
     val weights = Seq(
