@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Shared LSH-style candidate-pair generation: rows keyed by a 64-bit
@@ -98,6 +98,18 @@ object CandidateGen {
       .select(col("p.idA"), col("p.idB"))
       .distinct()
 
+  /** THE pair-emission algebra: all (i < j) element pairs of a sorted
+    * array column as one nested codegen'd transform — element i pairs
+    * with every element after it that passes `keep`, rendered by `emit`.
+    * Shared by ZSS blocking, meta-blocking, sorted-neighborhood, and the
+    * exact set-similarity join, so the slice-origin arithmetic lives in
+    * exactly one place. */
+  def pairwise(ms: Column, emit: (Column, Column) => Column,
+      keep: (Column, Column) => Column = (_, _) => lit(true)): Column =
+    flatten(transform(ms, (x, i) =>
+      transform(filter(slice(ms, i + lit(2), size(ms)), y => keep(x, y)),
+        y => emit(x, y))))
+
   def pairsFromKeys(keyed: DataFrame, cap: Int): DataFrame = {
     // Cap BEFORE materializing the block — at most `cap` rows per key
     // survive to the aggregation. The window and the groupBy share the
@@ -110,11 +122,8 @@ object CandidateGen {
       // in `ids` would pair with itself below)
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")) >= 2)
-      // all (i < j) pairs of the sorted block, emitted as one nested
-      // transform: element i pairs with every element after it
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("idA"), y.as("idB")))))).as("p"))
+      .select(explode(pairwise(col("ids"),
+        (x, y) => struct(x.as("idA"), y.as("idB")))).as("p"))
       .select(col("p.idA"), col("p.idB"))
       .distinct()
   }

@@ -85,10 +85,13 @@ object Clustering {
     * re-derived. CC is not incrementally maintainable under deletion
     * (removing a bridge node splits a component), so the honest shape is
     * a recompute over the retained match-edge table — which the pipeline
-    * already persists, so nothing is re-scored; the delete set is
-    * typically tiny and broadcast into the two anti-joins. */
+    * already persists, so nothing is re-scored. No explicit broadcast
+    * hint: a typically-tiny delete set auto-broadcasts under the
+    * threshold, while a corpus-proportional purge (er_retract deletes a
+    * 1/16 slice) must stay a shuffled anti-join rather than blow the
+    * broadcast limit. */
   def retract(edges: DataFrame, nodes: DataFrame, deleted: DataFrame): DataFrame = {
-    val del = broadcast(deleted.select(col("id")).distinct())
+    val del = deleted.select(col("id")).distinct()
     val keepNodes = nodes.join(del, Seq("id"), "left_anti")
     val keepEdges = edges
       .join(del.withColumnRenamed("id", "idA"), Seq("idA"), "left_anti")

@@ -32,9 +32,8 @@ object MetaBlocking {
       .groupBy(col("key"))
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("idA"), y.as("idB")))))).as("p"))
+      .select(explode(CandidateGen.pairwise(col("ids"),
+        (x, y) => struct(x.as("idA"), y.as("idB")))).as("p"))
       .groupBy(col("p.idA").as("idA"), col("p.idB").as("idB"))
       .agg(count(lit(1)).as("weight"))
 

@@ -44,14 +44,15 @@ object SetSimJoin {
     val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))
     // global rare-first total order (freq asc, token asc): per-doc token
     // arrays re-assembled in that shared order
-    // persisted: both the prefix branch and the verification join read
-    // it — without the persist the token-frequency join and the per-doc
-    // re-assembly would execute twice
+    // NOT persisted here: the operator returns a lazy plan and owns no
+    // lifetime, so pinning a cache inside it would leak one copy per
+    // invocation (callers that read the result repeatedly should cache
+    // the RESULT). The prefix branch and the verification join each read
+    // this subtree once; Catalyst's exchange reuse covers the overlap.
     val ordered = tok.join(freq, "token")
       .groupBy(col("id"))
       .agg(transform(array_sort(collect_list(struct(col("freq"), col("token")))),
         s => s("token")).as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = size(col("toks"))
     val pfxLen = n - ceilFrac(n, tNum, tDen) + 1
     val prefix = ordered.select(col("id"), n.as("n"),
@@ -59,13 +60,12 @@ object SetSimJoin {
     val cands = prefix.groupBy(col("token"))
       .agg(sort_array(collect_set(struct(col("id"), col("n")))).as("ms"))
       .where(size(col("ms")) >= 2)
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-          y => struct(x("id").as("idA"), y("id").as("idB"),
-            x("n").as("nA"), y("n").as("nB")))))).as("p"))
-      // length filter: Jaccard ≥ t ⇒ |x∩y| ≥ t·max ⇒ min ≥ t·max
-      .where(least(col("p.nA"), col("p.nB")) * tDen >=
-        greatest(col("p.nA"), col("p.nB")) * tNum)
+      // length filter INSIDE the emission: Jaccard ≥ t ⇒ min ≥ t·max,
+      // so filtered pairs never materialize before the distinct
+      .select(explode(CandidateGen.pairwise(col("ms"),
+        (x, y) => struct(x("id").as("idA"), y("id").as("idB")),
+        (x, y) => least(x("n"), y("n")) * tDen >= greatest(x("n"), y("n")) * tNum))
+        .as("p"))
       .select(col("p.idA"), col("p.idB"))
       .distinct()
     val slim = ordered.select(col("id"), col("toks"))

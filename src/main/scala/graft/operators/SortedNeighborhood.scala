@@ -32,8 +32,26 @@ object SortedNeighborhood {
     * ORDER BY sortCols. The final sort column should make the order
     * total (e.g. a unique id); ranks are then fully deterministic. The
     * range-partitioned input is persisted so the offset pass and the
-    * rank pass see identical partition boundaries. */
+    * rank pass see identical partition boundaries — and released before
+    * returning: the ranked result is eagerly localCheckpoint'ed (narrow
+    * — callers rank a projected (id, sort-key) input), so downstream
+    * double-reads never recompute and no per-invocation cache leaks. */
   def withGlobalRank(rows: DataFrame, sortCols: Seq[String], parts: Int): DataFrame = {
+    val (lazyRanked, ordered) = rankedLazy(rows, sortCols, parts)
+    // eager: ranks materialize NOW against the same cached partitions
+    // the offsets were counted on, then the big cache is dropped
+    val ranked = lazyRanked.localCheckpoint(true)
+    ordered.unpersist(false)
+    ranked
+  }
+
+  /** The un-checkpointed rank plan plus the persisted range-partitioned
+    * input (for the caller to release) — split out so the plan-shape
+    * spec can assert on the window's physical form, which the eager
+    * checkpoint in [[withGlobalRank]] otherwise hides behind a Scan
+    * ExistingRDD. */
+  private[graft] def rankedLazy(rows: DataFrame, sortCols: Seq[String],
+      parts: Int): (DataFrame, DataFrame) = {
     val spark = rows.sparkSession
     val ordered = rows.repartitionByRange(math.max(parts, 1), sortCols.map(col): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -45,11 +63,12 @@ object SortedNeighborhood {
     import spark.implicits._
     val offDf = broadcast(offs.toSeq.toDF("pid", "off"))
     val w = Window.partitionBy(col("pid")).orderBy(sortCols.map(col): _*)
-    ordered.withColumn("pid", spark_partition_id())
+    val ranked = ordered.withColumn("pid", spark_partition_id())
       .withColumn("__lr", row_number().over(w))
       .join(offDf, "pid")
       .withColumn("rank", col("off") + col("__lr"))
       .drop("pid", "off", "__lr")
+    (ranked, ordered)
   }
 
   /** All pairs (idA < idB) strictly fewer than `window` positions apart
@@ -61,17 +80,16 @@ object SortedNeighborhood {
     val ranked = withGlobalRank(rows, sortCols, parts)
       .select(col(idCol).as("id"), col("rank"))
     val tile = floor((col("rank") - 1) / window)
-    val keyed = ranked.select(tile.as("key"), struct(col("rank"), col("id")).as("m"))
-      .union(ranked.select((tile + 1).as("key"), struct(col("rank"), col("id")).as("m")))
+    // single pass: each row lands in its tile AND the successor tile
+    val keyed = ranked.select(explode(array(tile, tile + 1)).as("key"),
+      struct(col("rank"), col("id")).as("m"))
     keyed.groupBy(col("key"))
       .agg(array_sort(collect_set(col("m"))).as("ms")) // struct sort ⇒ rank order
       .where(size(col("ms")) >= 2)
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(
-          filter(slice(col("ms"), i + lit(2), size(col("ms"))),
-            y => y("rank") - x("rank") < window),
-          y => struct(least(x("id"), y("id")).as("idA"),
-            greatest(x("id"), y("id")).as("idB")))))).as("p"))
+      .select(explode(CandidateGen.pairwise(col("ms"),
+        (x, y) => struct(least(x("id"), y("id")).as("idA"),
+          greatest(x("id"), y("id")).as("idB")),
+        (x, y) => y("rank") - x("rank") < window)).as("p"))
       .select(col("p.idA"), col("p.idB"))
       .distinct() // a pair within one tile also appears in the overlap tile
   }

@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object Survivorship {
 
+  /** Default eval bound for [[leakageSafeSplit]] — md5 hex prefix
+    * < "40" ⇒ eval (25 % of clusters). */
+  val DefaultEvalBound = "40"
+
   /** clusters: (id, clusterId); attrs: (id, lang, commit, sha256,
     * content_len). One output row per cluster. */
   def goldenRecords(clusters: DataFrame, attrs: DataFrame): DataFrame = {
@@ -57,9 +61,10 @@ object Survivorship {
     * the eval set is leakage that row-level random splits cannot
     * prevent). md5 hex-prefix thresholding is the sampling operators'
     * engine-portable idiom; `evalBound` is the 2-hex-digit exclusive
-    * upper bound ("40" ⇒ 64/256 = 25 % of clusters land in eval).
-    * Zero shuffle: one narrow projection over the cluster table. */
-  def leakageSafeSplit(clusters: DataFrame, evalBound: String = "40"): DataFrame =
+    * upper bound ([[DefaultEvalBound]] "40" ⇒ 64/256 = 25 % of clusters
+    * land in eval — the ONE definition; query and oracle interpolate
+    * it). Zero shuffle: one narrow projection over the cluster table. */
+  def leakageSafeSplit(clusters: DataFrame, evalBound: String = DefaultEvalBound): DataFrame =
     clusters.select(col("id"), col("clusterId"),
       when(substring(md5(concat(lit("split:"), col("clusterId"))), 1, 2)
         < evalBound, "eval").otherwise("train").as("split"))

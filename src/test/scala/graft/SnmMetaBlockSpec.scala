@@ -59,9 +59,10 @@ class SnmMetaBlockSpec extends AnyFunSuite {
 
   test("rank plan has no single-partition global sort: the window runs per range partition") {
     import spark.implicits._
-    val plan = SortedNeighborhood
-      .withGlobalRank(sample.toDF("id", "k"), Seq("k", "id"), parts = 5)
-      .queryExecution.executedPlan.toString
+    val (lazyRanked, ordered) = SortedNeighborhood
+      .rankedLazy(sample.toDF("id", "k"), Seq("k", "id"), parts = 5)
+    val plan = lazyRanked.queryExecution.executedPlan.toString
+    ordered.unpersist(false)
     // the row_number window must be partitioned (by pid), never a global
     // empty-partition-spec window (which would serialize on one task)
     assert(plan.contains("row_number"))
