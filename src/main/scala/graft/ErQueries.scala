@@ -337,6 +337,17 @@ object ErQueries {
     "er_stream_bucketed" -> ((s, dir) => {
       BStreamResults.cached(s, dir).clusters.orderBy(col("id"))
     }),
+    // streaming right-to-erasure: the same deterministic '0'-prefix
+    // delete set applied to the INCREMENTAL state via processDeletes —
+    // trees/index/matches purged, components re-derived. The oracle
+    // recomputes CC over the stream's own dumped cumulative matches
+    // pruned of deleted endpoints.
+    "er_stream_retract" -> ((s, dir) => {
+      val st = StreamResults.cached(s, dir)
+      val del = st.trees.toDF().select(col("id")).where(col("id").startsWith("0"))
+      graft.streaming.StreamingEr.processDeletes(s, del, st)
+        .clusters.orderBy(col("id"))
+    }),
     // the incrementally-maintained golden-record table after the 2-batch
     // stream: only clusters whose membership changed are recomputed per
     // batch (StreamingSurvivorship), so the oracle's full from-scratch
@@ -768,6 +779,20 @@ object ErQueries {
            |FROM w JOIN n na ON na.id = w.idA JOIN n nb ON nb.id = w.idB
            |ORDER BY w.idA, w.idB""".stripMargin
       },
+      // streaming deletion: CC recomputed over the stream's own dumped
+      // cumulative matches pruned of deleted endpoints
+      "er_stream_retract" ->
+        """WITH RECURSIVE
+          |  m AS (SELECT idA, idB FROM read_parquet('{OUT}/_aux/stream_matches/*.parquet')
+          |        WHERE substr(idA, 1, 1) <> '0' AND substr(idB, 1, 1) <> '0'),
+          |  e AS (SELECT idA AS a, idB AS b FROM m UNION ALL SELECT idB, idA FROM m),
+          |  nodes AS (SELECT id FROM read_parquet('{OUT}/er_trees/*.parquet')
+          |            WHERE substr(id, 1, 1) <> '0'),
+          |  reach(id, r) AS (
+          |    SELECT id, id FROM nodes
+          |    UNION
+          |    SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
+          |SELECT id, min(r) AS clusterId FROM reach GROUP BY id ORDER BY id""".stripMargin,
       // streaming golden table: full from-scratch survivorship replay
       // over the dumped STREAM clusters — proves the incremental
       // carry/recompute bookkeeping equals a clean rebuild

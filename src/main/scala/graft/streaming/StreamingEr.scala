@@ -190,6 +190,45 @@ object StreamingEr {
       matches = allMatches, batchesSeen = batches, retained = retained)
   }
 
+  /** Deletion micro-batch — right-to-erasure in the incremental path:
+    * remove `deleteIds` from every state surface (trees, block index,
+    * cumulative matches) and re-derive components over the retained
+    * edges (the [[graft.operators.Clustering.retract]] shape — CC is
+    * not incrementally maintainable under deletion, so the component
+    * pass recomputes; nothing is re-parsed or re-scored). A deleted id
+    * re-ingested later passes the replay guard again (its tree is gone
+    * from state) and re-enters its cluster — spec-asserted.
+    *
+    * Cap caveat, stated honestly: the capped block index cannot
+    * resurrect an id the cap evicted EARLIER, so a delete frees a cap
+    * slot only for future arrivals. When no block ever overflowed its
+    * cap, the result is identical to the batch pipeline re-run on the
+    * surviving corpus (asserted in StreamingErSpec); when one did, the
+    * stream may miss future pairs a fresh batch run would find — the
+    * same displacement bound the cap already imposes on additions.
+    *
+    * Every output surface is eagerly checkpointed, so the returned
+    * state holds no references into `prev` — the caller decides when
+    * (or whether) to release the pre-deletion state. */
+  def processDeletes(spark: SparkSession, deleteIds: DataFrame, prev: ErState): ErState = {
+    import spark.implicits._
+    val del = deleteIds.select($"id").distinct().localCheckpoint(true)
+    val trees = prev.trees.join(del, Seq("id"), "left_anti").as[TreeRow]
+      .localCheckpoint(true)
+    val keyed = prev.keyed.join(del, Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val matches = prev.matches
+      .join(del.withColumnRenamed("id", "idA"), Seq("idA"), "left_anti")
+      .join(del.withColumnRenamed("id", "idB"), Seq("idB"), "left_anti")
+      .localCheckpoint(true)
+    val clusters = Clustering
+      .connectedComponents(matches, trees.toDF().select($"id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    clusters.count()
+    ErState(trees, keyed = keyed, clusters = clusters, matches = matches,
+      batchesSeen = prev.batchesSeen + 1, retained = Nil)
+  }
+
   // ---- checkpointed state (kill-and-resume across processes) -----------
 
   /** Process one batch with state checkpointed through [[TableIO]]: the

@@ -41,6 +41,52 @@ class StreamingErSpec extends AnyFunSuite {
     files.unpersist()
   }
 
+  test("deletes: add-add-delete == batch pipeline over the surviving corpus; re-add rejoins") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val files = CorpusGen.corpus(spark, "/root/testdata/sf0.001").persist()
+    def part(b: Int) = files.filter((f: FileRow) =>
+      math.floorMod(graft.util.Hashing.hashString(f.path), 2) == b)
+    var state: Option[StreamingEr.ErState] = None
+    for (b <- 0 until 2)
+      state = Some(StreamingEr.processBatch(spark, part(b), state))
+
+    // delete a deterministic slice (ids whose first hex digit is '0')
+    val del = state.get.trees.toDF().select(col("id"))
+      .where(col("id").startsWith("0")).persist()
+    val delIds = del.collect().map(_.getString(0)).toSet
+    assert(delIds.nonEmpty, "slice must be non-trivial")
+    val afterDel = StreamingEr.processDeletes(spark, del, state.get)
+
+    // every surface purged
+    assert(afterDel.trees.toDF().where(col("id").startsWith("0")).count() == 0)
+    assert(afterDel.keyed.where(col("id").startsWith("0")).count() == 0)
+    assert(afterDel.matches.where(
+      col("idA").startsWith("0") || col("idB").startsWith("0")).count() == 0)
+
+    // equals the batch pipeline run on the surviving corpus (no block
+    // overflows its cap on this corpus, so no displacement caveat)
+    val surviving = files.filter((f: FileRow) => !delIds.contains(
+      graft.util.Hashing.rowId128Hex(f.repo, f.path, f.commit)))
+    val batchClusters = clustersOf(Pipeline.run(spark, surviving).clusters)
+    assert(clustersOf(afterDel.clusters) == batchClusters)
+
+    // re-ingesting a deleted file passes the replay guard and rejoins
+    val readd = files.filter((f: FileRow) => delIds.contains(
+      graft.util.Hashing.rowId128Hex(f.repo, f.path, f.commit))).limit(50)
+    val rejoined = StreamingEr.processBatch(spark, readd, Some(afterDel))
+    val expectIds = delIds.intersect(
+      readd.collect().map(f => graft.util.Hashing.rowId128Hex(f.repo, f.path, f.commit)).toSet)
+    val back = rejoined.trees.toDF().select(col("id"))
+      .collect().map(_.getString(0)).toSet
+    assert(expectIds.subsetOf(back), "re-added ids must re-enter state")
+    // and the rejoined clustering equals batch over surviving + re-added
+    val batchReadd = clustersOf(
+      Pipeline.run(spark, surviving.unionByName(readd)).clusters)
+    assert(clustersOf(rejoined.clusters) == batchReadd)
+    files.unpersist(); del.unpersist()
+  }
+
   test("cap overflow: stream matches ⊇ batch matches, clusters coarsen, CC invariant holds") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
