@@ -71,6 +71,13 @@ object Bench {
       try { DsSketchQueries.warm(spark, sfDir); true } catch { case _: Throwable => false }
     val dsSec = (System.nanoTime() - tDs) / 1e9
 
+    // and the Fellegi–Sunter layer (four er_fs_* queries share its
+    // SNM-delta scoring + EM fit; the build is its own line)
+    val tFs = System.nanoTime()
+    val fsOk =
+      try { ErQueries.warmFs(spark, sfDir); true } catch { case _: Throwable => false }
+    val fsSec = (System.nanoTime() - tFs) / 1e9
+
     // A failed query reports elapsed -1 so breakage is visible in the
     // JSON instead of silently polluting the totals.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -94,7 +101,8 @@ object Bench {
         s""","edit_scripts_build_ok":$opsOk,"semdedup_build_sec":$semSec""" +
         s""","semdedup_build_ok":$semOk,"dstream_build_sec":$dstreamSec""" +
         s""","dstream_build_ok":$dstreamOk,"dsketch_build_sec":$dsSec""" +
-        s""","dsketch_build_ok":$dsOk,"failed":${failed.mkString("[", ",", "]")}""" +
+        s""","dsketch_build_ok":$dsOk,"fs_build_sec":$fsSec""" +
+        s""","fs_build_ok":$fsOk,"failed":${failed.mkString("[", ",", "]")}""" +
         s""","pairs_scored":${scoring.pairs}""" +
         s""","score_wall_sec":${scoring.wallSec},"pairs_per_sec":${scoring.pairsPerSec}""" +
         s""","dp_cells_per_sec":${scoring.cellsPerSec}}""")

@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.JaroWinkler
 import graft.operators._
 import graft.sources.CorpusGen
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -158,6 +159,16 @@ object ErQueries {
     * DP + persist and times a build, not a query (round-3 VERDICT #1). */
   def warmEditScripts(spark: SparkSession, sfDir: String): Unit = {
     editScripts(spark, sfDir).count()
+    ()
+  }
+
+  /** Force the Fellegi–Sunter layer's one-time build (SNM-delta DP
+    * scoring + feature/vector persists + EM fit) as its own Bench line,
+    * `fs_build_sec` — otherwise the alphabetically-first er_fs_* query
+    * in the sweep silently absorbs it (same attribution rule as the
+    * stream/edit-script twins). */
+  def warmFs(spark: SparkSession, sfDir: String): Unit = {
+    FsResults.cached(spark, sfDir).vectors.count()
     ()
   }
 
@@ -473,6 +484,77 @@ object ErQueries {
       Clustering.retract(r.matches, nodes, nodes.where(col("id").startsWith("0")))
         .orderBy(col("id"))
     }),
+    // ---- Fellegi–Sunter probabilistic linkage layer --------------------
+    // comparison vectors: five deterministic agreement bits per scored
+    // candidate pair (γ of Fellegi & Sunter 1969). The oracle recomputes
+    // every bit from the dumped narrow feature table.
+    "er_fs_vectors" -> ((s, dir) => {
+      FsResults.cached(s, dir).vectors
+        .select(col("idA"), col("idB"), col("g0"), col("g1"), col("g2"),
+          col("g3"), col("g4"), col("pattern"))
+        .orderBy(col("idA"), col("idB"))
+    }),
+    // EM-fitted per-field m/u probabilities + match prevalence p. The
+    // oracle replays the ENTIRE fixed-iteration EM (identical init,
+    // clamping and exp/ln arithmetic) as a generated SQL CTE chain over
+    // the pattern histogram it rebuilds itself from the feature dump.
+    "er_fs_params" -> ((s, dir) => {
+      import s.implicits._
+      val ps = FsResults.cached(s, dir).params
+      FellegiSunter.fieldNames.indices.map(j =>
+        (j, FellegiSunter.fieldNames(j), ps.m(j), ps.u(j), ps.p))
+        .toDF("j", "field", "m_raw", "u_raw", "p_raw")
+        .select(col("j"), col("field"), round(col("m_raw"), 5).as("m"),
+          round(col("u_raw"), 5).as("u"), round(col("p_raw"), 5).as("p"))
+        .orderBy(col("j"))
+    }),
+    // per-pair log2-likelihood-ratio match weight, posterior P(M|γ) and
+    // the match/possible/nonmatch decision. The oracle recomputes all
+    // three per pair from the FULL-precision dumped params (bit-exact
+    // parquet doubles) + its own vector re-derivation.
+    "er_fs_weights" -> ((s, dir) => {
+      FsResults.cached(s, dir).weighted
+        .select(col("idA"), col("idB"), col("pattern"), col("weight"),
+          col("posterior"), col("decision"))
+        .orderBy(col("idA"), col("idB"))
+    }),
+    // decision quality on the candidate pairs vs ground-truth labels —
+    // the acceptance eval of the probabilistic layer (blocking recall is
+    // er_blocking_recall's job)
+    "er_fs_eval" -> ((s, dir) => {
+      FellegiSunter.evalDecisions(FsResults.cached(s, dir).weighted)
+    }),
+    // the Fellegi–Sunter OPTIMAL decision rule: per-pattern match /
+    // clerical-review / non-match regions bounding the false-match rate
+    // at μ and the false-non-match rate at λ (F&S 1969 Theorem 1). The
+    // oracle rebuilds the whole table — pattern probabilities, rule
+    // ordering, both cumulative masses, regions — from the full-precision
+    // dumped params with window sums over the identical total order.
+    "er_fs_thresholds" -> ((s, dir) => {
+      import s.implicits._
+      FellegiSunter.thresholdTable(FsResults.cached(s, dir).params)
+        .toDF("ord", "pattern", "weight", "pm_raw", "pu_raw", "cu_raw", "cm_raw", "region")
+        .select(col("ord"), col("pattern"), col("weight"),
+          round(col("pm_raw"), 6).as("m_prob"), round(col("pu_raw"), 6).as("u_prob"),
+          round(col("cu_raw"), 6).as("cum_u"), round(col("cm_raw"), 6).as("cum_m_down"),
+          col("region"))
+        .orderBy(col("ord"))
+    }),
+    // native Jaro / Jaro–Winkler comparators (codegen'd Catalyst
+    // expressions) over the candidate pairs' member filename and full
+    // path — the oracle recomputes both similarities with DuckDB's OWN
+    // independent jaro_winkler_similarity / jaro_similarity
+    // implementation from the dumped feature table.
+    "er_jaro_winkler" -> ((s, dir) => {
+      JaroWinkler.register(s)
+      FsResults.cached(s, dir).features
+        .select(col("idA"), col("idB"),
+          round(JaroWinkler.jaroWinklerSim(
+            element_at(split(col("pathA"), "/"), -1),
+            element_at(split(col("pathB"), "/"), -1)), 6).as("jw_name"),
+          round(JaroWinkler.jaroSim(col("pathA"), col("pathB")), 6).as("jaro_path"))
+        .orderBy(col("idA"), col("idB"))
+    }),
     "er_sha_invariant" -> ((s, dir) => {
       // per-row invariant (input_hint): sha256 recomputed from the raw
       // corpus equals the value the parse stage carried through
@@ -493,6 +575,49 @@ object ErQueries {
     * er_edit_cost (the oracle-checked rollup over the dump). Memoized
     * per (session, sfDir) like [[Results]] so the two queries run the
     * ops DP once between them. */
+  /** Fellegi–Sunter layer, computed once per (session, sfDir): narrow
+    * pair features (also the `_aux/fs_pairs` oracle dump), comparison
+    * vectors, EM-fitted params, and the weighted/decided pair table.
+    * Only `features` and `vectors` are persisted — `weighted` is a
+    * broadcast join over `vectors`, cheap to replay. */
+  private[graft] object FsResults {
+    final case class Fs(
+        features: DataFrame,
+        vectors: DataFrame,
+        params: FellegiSunter.FsParams,
+        weighted: DataFrame)
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Fs]
+    def cached(spark: SparkSession, sfDir: String): Fs =
+      cache.getOrElseUpdate((spark, sfDir), {
+        val r = Results.cached(spark, sfDir)
+        // Assessment pair set = LSH candidates ∪ sorted-neighborhood
+        // pairs. The MinHash blocking is precise enough that its
+        // candidates are almost all true matches — a one-class set EM
+        // cannot separate; the SNM channel contributes size-similar true
+        // NON-matches, giving the U class real mass. Only the SNM-delta
+        // pairs pay the DP (anti-join against the already-persisted
+        // candidate scores), through the exact same attach/score stages
+        // as the pipeline.
+        val snm = SortedNeighborhood.pairs(
+          r.trees.toDF().select(col("id"), col("nTokens")),
+          "id", Seq("nTokens", "id"), SnmWindow)
+        val extra = snm.join(r.pairs.select(col("idA"), col("idB")),
+          Seq("idA", "idB"), "left_anti")
+        val cfg = Pipeline.Config()
+        val extraScores = Scoring.score(
+          Scoring.attachTrees(extra, r.trees, cfg.salts), cfg.tau).toDF()
+        val scores = r.scores.toDF().unionByName(extraScores)
+        val features = FellegiSunter
+          .pairFeatures(scores, r.trees.toDF())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val vectors = FellegiSunter.vectors(features)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val params = FellegiSunter.fitEm(vectors)
+        Fs(features, vectors, params, FellegiSunter.weigh(spark, vectors, params))
+      })
+  }
+
   private val editScriptsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -556,6 +681,22 @@ object ErQueries {
         .select(col("id"), posexplode(col("lmds")).as(Seq("i", "lmd")))
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/script_tree_nodes")
     }
+    // Fellegi–Sunter oracle inputs: the narrow per-pair feature table
+    // (vectors/EM/weights/eval are all re-derived from it by the oracle)
+    // and the FULL-precision fitted params (parquet doubles are
+    // bit-exact, so the weight/posterior oracle recomputes from the
+    // identical numbers the engine used — the rounded er_fs_params query
+    // checks the EM itself via the replayed-SQL-EM oracle)
+    FsResults.cached(spark, sfDir).features
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/fs_pairs")
+    locally {
+      import spark.implicits._
+      val ps = FsResults.cached(spark, sfDir).params
+      FellegiSunter.fieldNames.indices
+        .map(j => (j, ps.m(j), ps.u(j), ps.p))
+        .toDF("j", "m", "u", "p")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/fs_params_full")
+    }
     // (key,id) block-index rows — engine-internal MinHash band keys; the
     // er_meta_blocking oracle redoes cap → pair → weight → prune from it
     Blocking.keyedIds(Results.cached(spark, sfDir).trees, Pipeline.Config().blocking)
@@ -593,12 +734,158 @@ object ErQueries {
   def oracleSql: Map[String, String] = {
     val corpus = "read_parquet('{OUT}/_aux/corpus/*.parquet')"
     val idExpr = "substr(sha256(repo || chr(10) || path || chr(10) || commit), 1, 32)"
+    // ---- Fellegi–Sunter fragments (shared by the four er_fs_* rows) ----
+    // vectors re-derived from the dumped narrow feature table; all
+    // numeric literals in e-notation so DuckDB parses DOUBLE, never
+    // DECIMAL — the arithmetic must mirror the Scala bit for bit up to
+    // float summation order
+    val fsVec = {
+      val tn = FellegiSunter.SizeRelTenths
+      s"""fsp AS MATERIALIZED (SELECT * FROM read_parquet('{OUT}/_aux/fs_pairs/*.parquet')),
+         |vecp AS MATERIALIZED (
+         |  SELECT idA, idB, gidA, gidB, g0, g1, g2, g3, g4,
+         |         g0 + 2*g1 + 4*g2 + 8*g3 + 16*g4 AS pattern
+         |  FROM (
+         |    SELECT idA, idB, gidA, gidB,
+         |      CASE WHEN normDist <= ${FellegiSunter.TedAgree}e0 THEN 1 ELSE 0 END AS g0,
+         |      CASE WHEN $tn * abs(nA - nB) <= greatest(nA, nB) THEN 1 ELSE 0 END AS g1,
+         |      CASE WHEN $tn * abs(tokA - tokB) <= greatest(tokA, tokB) THEN 1 ELSE 0 END AS g2,
+         |      CASE WHEN string_split(pathA, '/')[-1] = string_split(pathB, '/')[-1] THEN 1 ELSE 0 END AS g3,
+         |      CASE WHEN langA = langB THEN 1 ELSE 0 END AS g4
+         |    FROM fsp))""".stripMargin
+    }
+    // the full fixed-iteration EM replayed in SQL: identical init,
+    // clamping, and exp(Σ ln ·) E-step as FellegiSunter.fitEmHistogram.
+    // Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    // g_i is referenced twice, so the 20-level chain would otherwise
+    // re-expand exponentially back to the parquet scan
+    val fsEmChain = {
+      val eps = "1e-6"; val hi = "(1e0 - 1e-6)"
+      val iters = (1 to FellegiSunter.EmIters).map { i =>
+        val pv = s"par${i - 1}"; val rv = s"pr${i - 1}"
+        s"""e$i AS MATERIALIZED (
+           |  SELECT pt.pattern, pt.cnt,
+           |    exp(sum(ln(CASE WHEN ((pt.pattern >> par.j) & 1) = 1 THEN par.m ELSE 1e0 - par.m END))) AS pm,
+           |    exp(sum(ln(CASE WHEN ((pt.pattern >> par.j) & 1) = 1 THEN par.u ELSE 1e0 - par.u END))) AS pu
+           |  FROM pat pt CROSS JOIN $pv par GROUP BY pt.pattern, pt.cnt),
+           |g$i AS MATERIALIZED (
+           |  SELECT e.pattern, e.cnt,
+           |         (pr.p * e.pm) / (pr.p * e.pm + (1e0 - pr.p) * e.pu) AS g
+           |  FROM e$i e CROSS JOIN $rv pr),
+           |par$i AS MATERIALIZED (
+           |  SELECT f.j,
+           |    least(greatest(sum(g.g * g.cnt * ((g.pattern >> f.j) & 1)) / sum(g.g * g.cnt), $eps), $hi) AS m,
+           |    least(greatest(sum((1e0 - g.g) * g.cnt * ((g.pattern >> f.j) & 1)) / sum((1e0 - g.g) * g.cnt), $eps), $hi) AS u
+           |  FROM g$i g CROSS JOIN fields f GROUP BY f.j),
+           |pr$i AS MATERIALIZED (SELECT least(greatest(sum(g * cnt) / sum(cnt), $eps), $hi) AS p FROM g$i)""".stripMargin
+      }.mkString(",\n")
+      s"""pat AS MATERIALIZED (SELECT pattern, count(*) AS cnt FROM vecp GROUP BY pattern),
+         |fields AS MATERIALIZED (SELECT unnest(range(${FellegiSunter.k})) AS j),
+         |par0 AS (SELECT j, 0.9e0 AS m, 0.1e0 AS u FROM fields),
+         |pr0 AS (SELECT 0.1e0 AS p),
+         |$iters""".stripMargin
+    }
+    // per-pair weight/posterior recomputed from the FULL-precision
+    // dumped params (parquet doubles are bit-exact)
+    val fsWeights =
+      s"""par AS (SELECT j, m, u FROM read_parquet('{OUT}/_aux/fs_params_full/*.parquet')),
+         |prb AS (SELECT max(p) AS p FROM read_parquet('{OUT}/_aux/fs_params_full/*.parquet')),
+         |w AS (
+         |  SELECT v.idA, v.idB, v.gidA, v.gidB, v.pattern,
+         |    sum(CASE WHEN ((v.pattern >> par.j) & 1) = 1 THEN ln(par.m / par.u)
+         |             ELSE ln((1e0 - par.m) / (1e0 - par.u)) END) / ln(2e0) AS wsum,
+         |    exp(sum(ln(CASE WHEN ((v.pattern >> par.j) & 1) = 1 THEN par.m ELSE 1e0 - par.m END))) AS pm,
+         |    exp(sum(ln(CASE WHEN ((v.pattern >> par.j) & 1) = 1 THEN par.u ELSE 1e0 - par.u END))) AS pu
+         |  FROM vecp v CROSS JOIN par GROUP BY v.idA, v.idB, v.gidA, v.gidB, v.pattern),
+         |dec AS (
+         |  SELECT idA, idB, gidA, gidB, pattern, weight, posterior,
+         |    CASE WHEN posterior >= ${FellegiSunter.PosteriorMatch}e0 THEN 'match'
+         |         WHEN posterior <= ${FellegiSunter.PosteriorNonMatch}e0 THEN 'nonmatch'
+         |         ELSE 'possible' END AS decision
+         |  FROM (
+         |    SELECT w.idA, w.idB, w.gidA, w.gidB, w.pattern, round(w.wsum, 6) AS weight,
+         |      round((prb.p * w.pm) / (prb.p * w.pm + (1e0 - prb.p) * w.pu), 6) AS posterior
+         |    FROM w CROSS JOIN prb))""".stripMargin
     Map(
       "er_trees" ->
         s"""SELECT $idExpr AS id, lang, sha256(content) AS sha256
            |FROM $corpus ORDER BY id""".stripMargin,
       "er_sha_invariant" ->
         s"""SELECT count(*) AS n_rows, count(*) AS n_equal FROM $corpus""",
+      // Fellegi–Sunter: vectors, EM fit, weights, eval — all re-derived
+      // from the dumped narrow feature table (+ full-precision params
+      // for the weight/posterior arithmetic)
+      "er_fs_vectors" ->
+        s"""WITH $fsVec
+           |SELECT idA, idB, g0, g1, g2, g3, g4, pattern
+           |FROM vecp ORDER BY idA, idB""".stripMargin,
+      "er_fs_params" -> {
+        val fieldCase = FellegiSunter.fieldNames.zipWithIndex
+          .map { case (f, j) => s"WHEN $j THEN '$f'" }.mkString(" ")
+        s"""WITH $fsVec,
+           |$fsEmChain
+           |SELECT par.j AS j, CASE par.j $fieldCase END AS field,
+           |  round(par.m, 5) AS m, round(par.u, 5) AS u, round(pr.p, 5) AS p
+           |FROM par${FellegiSunter.EmIters} par
+           |CROSS JOIN pr${FellegiSunter.EmIters} pr
+           |ORDER BY j""".stripMargin
+      },
+      "er_fs_weights" ->
+        s"""WITH $fsVec,
+           |$fsWeights
+           |SELECT idA, idB, pattern, weight, posterior, decision
+           |FROM dec ORDER BY idA, idB""".stripMargin,
+      "er_fs_eval" ->
+        s"""WITH $fsVec,
+           |$fsWeights
+           |SELECT
+           |  count(CASE WHEN gidA = gidB AND decision = 'match' THEN 1 END) AS tp,
+           |  count(CASE WHEN gidA <> gidB AND decision = 'match' THEN 1 END) AS fp,
+           |  count(CASE WHEN gidA = gidB AND decision <> 'match' THEN 1 END) AS fn,
+           |  count(CASE WHEN gidA <> gidB AND decision <> 'match' THEN 1 END) AS tn,
+           |  round(tp::DOUBLE / (tp + fp), 6) AS precision,
+           |  round(tp::DOUBLE / (tp + fn), 6) AS recall,
+           |  round(2e0 * tp / (2e0 * tp + fp + fn), 6) AS f1
+           |FROM dec""".stripMargin,
+      // the optimal-rule threshold table rebuilt from scratch: all 2^k
+      // patterns, class-conditional probabilities from the full-precision
+      // params, likelihood-ratio ordering (rounded weight desc, pattern
+      // tie-break — identical to the engine's), and both cumulative
+      // masses as window sums over that order
+      "er_fs_thresholds" ->
+        s"""WITH par AS MATERIALIZED (SELECT j, m, u FROM read_parquet('{OUT}/_aux/fs_params_full/*.parquet')),
+           |pats AS MATERIALIZED (SELECT unnest(range(${1 << FellegiSunter.k})) AS pattern),
+           |probs AS MATERIALIZED (
+           |  SELECT p.pattern,
+           |    sum(CASE WHEN ((p.pattern >> par.j) & 1) = 1 THEN ln(par.m / par.u)
+           |             ELSE ln((1e0 - par.m) / (1e0 - par.u)) END) / ln(2e0) AS wsum,
+           |    exp(sum(ln(CASE WHEN ((p.pattern >> par.j) & 1) = 1 THEN par.m ELSE 1e0 - par.m END))) AS pm,
+           |    exp(sum(ln(CASE WHEN ((p.pattern >> par.j) & 1) = 1 THEN par.u ELSE 1e0 - par.u END))) AS pu
+           |  FROM pats p CROSS JOIN par GROUP BY p.pattern),
+           |ruled AS MATERIALIZED (
+           |  SELECT pattern, round(wsum, 6) AS weight, pm, pu,
+           |    row_number() OVER w AS ord,
+           |    sum(pu) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_u,
+           |    sum(pm) OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS cum_m_down
+           |  FROM probs
+           |  WINDOW w AS (ORDER BY round(wsum, 6) DESC, pattern))
+           |SELECT ord, pattern, weight,
+           |  round(pm, 6) AS m_prob, round(pu, 6) AS u_prob,
+           |  round(cum_u, 6) AS cum_u, round(cum_m_down, 6) AS cum_m_down,
+           |  CASE WHEN cum_u <= ${FellegiSunter.TargetMu}e0 THEN 'match'
+           |       WHEN cum_m_down <= ${FellegiSunter.TargetLambda}e0 THEN 'nonmatch'
+           |       ELSE 'possible' END AS region
+           |FROM ruled ORDER BY ord""".stripMargin,
+      // Jaro / Jaro–Winkler recomputed by DuckDB's own built-in
+      // implementation — a fully independent second implementation of
+      // the published comparator
+      "er_jaro_winkler" ->
+        s"""WITH fsp AS MATERIALIZED (SELECT * FROM read_parquet('{OUT}/_aux/fs_pairs/*.parquet'))
+           |SELECT idA, idB,
+           |  round(jaro_winkler_similarity(
+           |    string_split(pathA, '/')[-1], string_split(pathB, '/')[-1]), 6) AS jw_name,
+           |  round(jaro_similarity(pathA, pathB), 6) AS jaro_path
+           |FROM fsp ORDER BY idA, idB""".stripMargin,
       // parse counts recomputed from the dumped uncapped lexer event
       // stream: every 'O'/'L' event increments the node count by one
       // while below the cap (root starts the count at 1), tokens are the

@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators.FellegiSunter
+import graft.sources.CorpusGen
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fellegi–Sunter layer: EM parameter recovery on synthetic vectors with
+  * known generating parameters, weight-table sanity, and the end-to-end
+  * decision quality over the pipeline's candidate pairs. */
+class FellegiSunterSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Deterministic synthetic comparison-vector histogram drawn from known
+    * (m, u, p) under conditional independence — exact expected counts per
+    * pattern (no sampling noise), scaled to integer counts. */
+  private def syntheticHist(
+      m: Array[Double], u: Array[Double], p: Double, n: Long): Array[(Int, Long)] = {
+    val k = m.length
+    (0 until (1 << k)).map { pat =>
+      var pm = 1.0; var pu = 1.0
+      for (j <- 0 until k) {
+        val agree = ((pat >> j) & 1) == 1
+        pm *= (if (agree) m(j) else 1.0 - m(j))
+        pu *= (if (agree) u(j) else 1.0 - u(j))
+      }
+      pat -> math.round((p * pm + (1.0 - p) * pu) * n)
+    }.filter(_._2 > 0).toArray
+  }
+
+  test("EM recovers known generating parameters from exact-expectation counts") {
+    val m = Array(0.95, 0.9, 0.85, 0.6, 0.7)
+    val u = Array(0.05, 0.2, 0.15, 0.4, 0.02)
+    val p = 0.3
+    val fit = FellegiSunter.fitEmHistogram(
+      syntheticHist(m, u, p, 10000000L), iters = 200)
+    // exact expected counts → EM's fixed point is the generator (up to
+    // label order; init m>u keeps the match class on the match class)
+    assert(math.abs(fit.p - p) < 0.02, s"p: ${fit.p}")
+    for (j <- m.indices) {
+      assert(math.abs(fit.m(j) - m(j)) < 0.03, s"m($j): ${fit.m(j)}")
+      assert(math.abs(fit.u(j) - u(j)) < 0.03, s"u($j): ${fit.u(j)}")
+    }
+  }
+
+  test("EM is deterministic: same histogram, same params, bit for bit") {
+    val hist = syntheticHist(
+      Array(0.9, 0.8, 0.7, 0.6, 0.9), Array(0.1, 0.2, 0.3, 0.2, 0.05), 0.2, 100000L)
+    val a = FellegiSunter.fitEmHistogram(hist)
+    val b = FellegiSunter.fitEmHistogram(hist)
+    assert(a.m.toSeq == b.m.toSeq && a.u.toSeq == b.u.toSeq && a.p == b.p)
+  }
+
+  test("pattern table: all-agreement maximizes, all-disagreement minimizes weight; posterior is monotone in it") {
+    val params = FellegiSunter.FsParams(
+      Array(0.95, 0.9, 0.85, 0.6, 0.7), Array(0.05, 0.2, 0.15, 0.4, 0.02), 0.3)
+    val tbl = FellegiSunter.patternTable(params)
+    val full = (1 << FellegiSunter.k) - 1
+    val byPat = tbl.map(t => t._1 -> t).toMap
+    assert(tbl.maxBy(_._2)._1 == full, "all-agree must carry max weight")
+    assert(tbl.minBy(_._2)._1 == 0, "all-disagree must carry min weight")
+    // flipping any single bit on never lowers weight or posterior when
+    // that field is informative (m > u ⇒ positive agreement evidence)
+    for (pat <- 0 until (1 << FellegiSunter.k); j <- 0 until FellegiSunter.k
+         if ((pat >> j) & 1) == 0) {
+      val up = byPat(pat | (1 << j)); val base = byPat(pat)
+      assert(up._2 > base._2 && up._3 >= base._3,
+        s"agreement on field $j must raise weight: $pat")
+    }
+  }
+
+  test("optimal-rule threshold table: probability masses, region structure, error-rate bounds") {
+    val params = FellegiSunter.FsParams(
+      Array(0.95, 0.9, 0.85, 0.6, 0.7), Array(0.05, 0.2, 0.15, 0.4, 0.02), 0.3)
+    val tbl = FellegiSunter.thresholdTable(params, mu = 0.001, lambda = 0.01)
+    assert(tbl.map(_._2).sorted == (0 until (1 << FellegiSunter.k)).toList,
+      "every pattern exactly once")
+    // class-conditional masses each sum to 1
+    assert(math.abs(tbl.map(_._4).sum - 1.0) < 1e-12, "m-mass sums to 1")
+    assert(math.abs(tbl.map(_._5).sum - 1.0) < 1e-12, "u-mass sums to 1")
+    // rule order: weight non-increasing, cum_u non-decreasing,
+    // cum_m_down non-increasing
+    tbl.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 >= b._3 && a._6 <= b._6 && a._7 >= b._7)
+    }
+    // regions form contiguous match* possible* nonmatch* bands in order
+    val regions = tbl.map(_._8)
+    val collapsed = regions.foldLeft(List.empty[String]) {
+      case (acc, r) if acc.headOption.contains(r) => acc
+      case (acc, r) => r :: acc
+    }.reverse
+    assert(Seq("match", "possible", "nonmatch").containsSlice(collapsed) ||
+      collapsed == Seq("match", "nonmatch"),
+      s"band structure: $collapsed")
+    // the declared-match region respects the false-match bound, and the
+    // declared-non-match region the false-non-match bound
+    val lastMatch = tbl.filter(_._8 == "match")
+    if (lastMatch.nonEmpty) assert(lastMatch.last._6 <= 0.001, "achieved mu")
+    val firstNon = tbl.filter(_._8 == "nonmatch")
+    if (firstNon.nonEmpty) assert(firstNon.head._7 <= 0.01, "achieved lambda")
+    // extending the match region one pattern further would break mu
+    val firstAfter = tbl.drop(lastMatch.length).headOption
+    firstAfter.foreach(r => assert(r._6 > 0.001, "match region is maximal"))
+  }
+
+  test("pipeline integration: FS decisions on the sf0.001 assessment pairs hit F1 >= 0.99 vs ground truth") {
+    // the assessment set (LSH ∪ SNM, SNM supplying true non-matches) and
+    // the fit come from the shared query-layer cache — the same objects
+    // the er_fs_* oracle rows check
+    val fs = ErQueries.FsResults.cached(spark, "/root/testdata/sf0.001")
+    val params = fs.params
+    // the match class must sit on the agreeing side for the strong
+    // fields (ted_close, lang_eq); name_eq is negatively informative on
+    // this corpus (same-group members never share a member filename)
+    assert(params.m(0) > params.u(0), "ted_close must be match-informative")
+    assert(params.m(4) > params.u(4), "lang_eq must be match-informative")
+    assert(params.m(3) < params.u(3), "name_eq must be anti-informative here")
+    assert(params.p > 0.0 && params.p < 1.0)
+    val eval = FellegiSunter.evalDecisions(fs.weighted).collect()(0)
+    val f1 = eval.getAs[Double]("f1")
+    assert(f1 >= 0.99, s"FS decision F1 on assessment pairs: $f1 (eval row: $eval)")
+  }
+}
