@@ -78,6 +78,13 @@ object Bench {
       try { ErQueries.warmFs(spark, sfDir); true } catch { case _: Throwable => false }
     val fsSec = (System.nanoTime() - tFs) / 1e9
 
+    // and the 1:1 linkage layer (both er_link_* queries share its edge
+    // derivation + checkpointed greedy-matching rounds)
+    val tLink = System.nanoTime()
+    val linkOk =
+      try { ErQueries.warmLink(spark, sfDir); true } catch { case _: Throwable => false }
+    val linkSec = (System.nanoTime() - tLink) / 1e9
+
     // A failed query reports elapsed -1 so breakage is visible in the
     // JSON instead of silently polluting the totals.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -102,7 +109,8 @@ object Bench {
         s""","semdedup_build_ok":$semOk,"dstream_build_sec":$dstreamSec""" +
         s""","dstream_build_ok":$dstreamOk,"dsketch_build_sec":$dsSec""" +
         s""","dsketch_build_ok":$dsOk,"fs_build_sec":$fsSec""" +
-        s""","fs_build_ok":$fsOk,"failed":${failed.mkString("[", ",", "]")}""" +
+        s""","fs_build_ok":$fsOk,"link_build_sec":$linkSec""" +
+        s""","link_build_ok":$linkOk,"failed":${failed.mkString("[", ",", "]")}""" +
         s""","pairs_scored":${scoring.pairs}""" +
         s""","score_wall_sec":${scoring.wallSec},"pairs_per_sec":${scoring.pairsPerSec}""" +
         s""","dp_cells_per_sec":${scoring.cellsPerSec}}""")

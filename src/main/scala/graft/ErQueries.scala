@@ -555,6 +555,32 @@ object ErQueries {
           round(JaroWinkler.jaroSim(col("pathA"), col("pathB")), 6).as("jaro_path"))
         .orderBy(col("idA"), col("idB"))
     }),
+    // ---- one-to-one bipartite linkage ----------------------------------
+    // the corpus split into two deterministic "sources" (last hex digit
+    // of the id), FS-accepted cross-source pairs as weighted edges, and
+    // greedy maximum-weight matching under (w DESC, lft, rgt) computed
+    // as rounds of locally-dominant edge acceptance. The oracle replays
+    // the identical fixed-round chain in SQL over its OWN re-derivation
+    // of the edges (decisions from the dumped full-precision params) —
+    // round-equivalence to sequential greedy is property-tested in
+    // OneToOneMatchingSpec.
+    "er_link_1to1" -> ((s, dir) => {
+      LinkResults.cached(s, dir).matched.orderBy(col("lft"))
+    }),
+    // linkage quality: edge/match counts + precision of the 1:1
+    // assignment against ground-truth labels
+    "er_link_eval" -> ((s, dir) => {
+      val lr = LinkResults.cached(s, dir)
+      val joined = lr.matched.join(lr.edges, Seq("lft", "rgt"))
+      val totals = lr.edges.agg(count(lit(1)).as("n_edges"))
+      val stats = joined.agg(
+        count(lit(1)).as("n_matched"),
+        count(when(col("glft") === col("grgt"), 1)).as("tp"),
+        count(when(col("glft") =!= col("grgt"), 1)).as("fp"))
+      totals.crossJoin(stats)
+        .withColumn("precision",
+          round(col("tp").cast("double") / col("n_matched"), 6))
+    }),
     "er_sha_invariant" -> ((s, dir) => {
       // per-row invariant (input_hint): sha256 recomputed from the raw
       // corpus equals the value the parse stage carried through
@@ -616,6 +642,53 @@ object ErQueries {
         val params = FellegiSunter.fitEm(vectors)
         Fs(features, vectors, params, FellegiSunter.weigh(spark, vectors, params))
       })
+  }
+
+  /** One-to-one linkage layer, computed once per (session, sfDir): the
+    * corpus split into two deterministic catalogs by the id's last hex
+    * digit (0–7 → left, 8–f → right — a stand-in for "two ingestion
+    * snapshots being linked"), FS-accepted cross-catalog pairs as
+    * weighted edges (weight = the 6-dp FS log2 likelihood ratio — the
+    * rounding makes the greedy total order cross-engine exact; ties
+    * break on the id pair), and the greedy maximum-weight 1:1 matching
+    * over them ([[OneToOneMatching.greedyMatch]]). Edges carry the
+    * ground-truth gids so er_link_eval can score the assignment. */
+  private[graft] object LinkResults {
+    final case class Lr(edges: DataFrame, matched: DataFrame)
+    /** Last-hex-digit values routed to the LEFT catalog — the ONE
+      * definition both the Scala split and the oracle SQL interpolate. */
+    val LeftDigits: Seq[String] = (0 to 7).map(_.toHexString)
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lr]
+    def cached(spark: SparkSession, sfDir: String): Lr =
+      cache.getOrElseUpdate((spark, sfDir), {
+        val accepted = FsResults.cached(spark, sfDir).weighted
+          .where(col("decision") === "match")
+          .withColumn("lA", substring(col("idA"), 32, 1).isin(LeftDigits: _*))
+          .withColumn("lB", substring(col("idB"), 32, 1).isin(LeftDigits: _*))
+          .where(col("lA") =!= col("lB"))
+        val edges = accepted.select(
+          when(col("lA"), col("idA")).otherwise(col("idB")).as("lft"),
+          when(col("lA"), col("idB")).otherwise(col("idA")).as("rgt"),
+          col("weight").as("w"),
+          when(col("lA"), col("gidA")).otherwise(col("gidB")).as("glft"),
+          when(col("lA"), col("gidB")).otherwise(col("gidA")).as("grgt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val matched = OneToOneMatching
+          .greedyMatch(edges.select(col("lft"), col("rgt"), col("w")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Lr(edges, matched)
+      })
+  }
+
+  /** Force the 1:1 linkage layer's build (cross-catalog edge derivation
+    * + the checkpointed greedy-matching rounds) as its own Bench line,
+    * `link_build_sec` — otherwise whichever er_link_* query runs first
+    * in the sweep silently absorbs it (same attribution rule as the
+    * stream / edit-script / FS builds). */
+  def warmLink(spark: SparkSession, sfDir: String): Unit = {
+    LinkResults.cached(spark, sfDir).matched.count()
+    ()
   }
 
   private val editScriptsCache =
@@ -806,6 +879,54 @@ object ErQueries {
          |    SELECT w.idA, w.idB, w.gidA, w.gidB, w.pattern, round(w.wsum, 6) AS weight,
          |      round((prb.p * w.pm) / (prb.p * w.pm + (1e0 - prb.p) * w.pu), 6) AS posterior
          |    FROM w CROSS JOIN prb))""".stripMargin
+    // ---- one-to-one linkage fragments (er_link_1to1 / er_link_eval) ----
+    // cross-catalog FS-accepted edges re-derived from `dec` (which the
+    // oracle itself rebuilt from the feature dump + full-precision
+    // params): the catalog split is the id's last hex digit, exactly
+    // LinkResults.LeftDigits
+    val linkEdges = {
+      val digits = LinkResults.LeftDigits.map(d => s"'$d'").mkString(",")
+      s"""edges AS MATERIALIZED (
+         |  SELECT
+         |    CASE WHEN lA THEN idA ELSE idB END AS lft,
+         |    CASE WHEN lA THEN idB ELSE idA END AS rgt,
+         |    weight AS w,
+         |    CASE WHEN lA THEN gidA ELSE gidB END AS glft,
+         |    CASE WHEN lA THEN gidB ELSE gidA END AS grgt
+         |  FROM (
+         |    SELECT *,
+         |      substr(idA, 32, 1) IN ($digits) AS lA,
+         |      substr(idB, 32, 1) IN ($digits) AS lB
+         |    FROM dec WHERE decision = 'match')
+         |  WHERE lA <> lB)""".stripMargin
+    }
+    // the greedy matching replayed round by round: each round accepts
+    // the edges that are rank-1 on BOTH endpoints under
+    // (w DESC, other-id ASC) and removes everything touching an accepted
+    // endpoint — the identical fixed-round chain as
+    // OneToOneMatching.greedyMatch, unrolled MaxRounds deep. Every CTE
+    // MATERIALIZED (acc_i is referenced three times — DuckDB would
+    // otherwise re-expand the chain exponentially back to the scan).
+    val linkChain = {
+      val rounds = (1 to OneToOneMatching.MaxRounds).map { i =>
+        s"""acc$i AS MATERIALIZED (
+           |  SELECT lft, rgt, w, $i AS round FROM (
+           |    SELECT lft, rgt, w,
+           |      row_number() OVER (PARTITION BY lft ORDER BY w DESC, rgt) AS ra,
+           |      row_number() OVER (PARTITION BY rgt ORDER BY w DESC, lft) AS rb
+           |    FROM live${i - 1})
+           |  WHERE ra = 1 AND rb = 1),
+           |live$i AS MATERIALIZED (
+           |  SELECT l.lft, l.rgt, l.w FROM live${i - 1} l
+           |  WHERE NOT EXISTS (SELECT 1 FROM acc$i a WHERE a.lft = l.lft)
+           |    AND NOT EXISTS (SELECT 1 FROM acc$i a WHERE a.rgt = l.rgt))""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to OneToOneMatching.MaxRounds)
+        .map(i => s"SELECT * FROM acc$i").mkString(" UNION ALL ")
+      s"""live0 AS MATERIALIZED (SELECT lft, rgt, w FROM edges),
+         |$rounds,
+         |matched AS MATERIALIZED ($union)""".stripMargin
+    }
     Map(
       "er_trees" ->
         s"""SELECT $idExpr AS id, lang, sha256(content) AS sha256
@@ -886,6 +1007,29 @@ object ErQueries {
            |    string_split(pathA, '/')[-1], string_split(pathB, '/')[-1]), 6) AS jw_name,
            |  round(jaro_similarity(pathA, pathB), 6) AS jaro_path
            |FROM fsp ORDER BY idA, idB""".stripMargin,
+      // greedy 1:1 matching replayed from scratch: DuckDB re-derives the
+      // cross-catalog edge set (vectors → weights → decisions from the
+      // dumps) and runs the identical locally-dominant-edge round chain
+      "er_link_1to1" ->
+        s"""WITH $fsVec,
+           |$fsWeights,
+           |$linkEdges,
+           |$linkChain
+           |SELECT lft, rgt, w, round FROM matched ORDER BY lft""".stripMargin,
+      "er_link_eval" ->
+        s"""WITH $fsVec,
+           |$fsWeights,
+           |$linkEdges,
+           |$linkChain,
+           |tot AS (SELECT count(*) AS n_edges FROM edges),
+           |st AS (
+           |  SELECT count(*) AS n_matched,
+           |    count(CASE WHEN e.glft = e.grgt THEN 1 END) AS tp,
+           |    count(CASE WHEN e.glft <> e.grgt THEN 1 END) AS fp
+           |  FROM matched m JOIN edges e ON m.lft = e.lft AND m.rgt = e.rgt)
+           |SELECT t.n_edges, s.n_matched, s.tp, s.fp,
+           |  round(s.tp::DOUBLE / s.n_matched, 6) AS precision
+           |FROM tot t CROSS JOIN st s""".stripMargin,
       // parse counts recomputed from the dumped uncapped lexer event
       // stream: every 'O'/'L' event increments the node count by one
       // while below the cap (root starts the count at 1), tokens are the
