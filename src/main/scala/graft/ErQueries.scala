@@ -262,6 +262,19 @@ object ErQueries {
         .join(sizes, "clusterId")
         .orderBy(col("clusterId"))
     }),
+    // clustering quality beyond pairwise F1: B-cubed P/R/F1 + Adjusted
+    // Rand Index over the predicted clusters vs ground truth (truth
+    // cluster = planted groupId, or the id itself for singletons). All
+    // pair counts exact integers; the oracle rebuilds the contingency
+    // table from the er_clusters dump + its own truth labels from the
+    // raw corpus and re-derives every column.
+    "er_cluster_eval" -> ((s, dir) => {
+      val r = pipeline(s, dir)
+      val truth = r.trees.toDF().select(col("id"),
+        when(col("groupId") >= 0, concat(lit("g"), col("groupId")))
+          .otherwise(col("id")).as("truthId"))
+      ClusterEval.evaluate(r.clusters, truth)
+    }),
     // edit scripts for matched pairs through the reference's
     // return_operations surface (TreeDistOps) — one row per operation
     "er_edit_scripts" -> ((s, dir) => editScripts(s, dir)),
@@ -539,6 +552,42 @@ object ErQueries {
           round(col("cu_raw"), 6).as("cum_u"), round(col("cm_raw"), 6).as("cum_m_down"),
           col("region"))
         .orderBy(col("ord"))
+    }),
+    // per-pair per-field weight decomposition ("why did these two
+    // match?"): each field's log2-likelihood-ratio contribution under
+    // its γ bit; a pattern's five contributions sum to
+    // er_fs_weights.weight (pinned in FellegiSunterSpec). Built as a
+    // broadcast join of the 2^k·k-row contribution table — the only
+    // driver-side data, constant-size regardless of corpus. The oracle
+    // recomputes every contribution from the full-precision dumped
+    // params + its own vector re-derivation.
+    "er_fs_explain" -> ((s, dir) => {
+      import s.implicits._
+      val fs = FsResults.cached(s, dir)
+      val tbl = FellegiSunter.contributionTable(fs.params)
+        .toDF("pattern", "j", "field", "agree", "c_raw")
+      fs.vectors.select(col("idA"), col("idB"), col("pattern"))
+        .join(broadcast(tbl), "pattern")
+        .select(col("idA"), col("idB"), col("j"), col("field"), col("agree"),
+          round(col("c_raw"), 6).as("contribution"))
+        .orderBy(col("idA"), col("idB"), col("j"))
+    }),
+    // the clerical-review queue (the F&S "possible" region — the human
+    // workload the optimal rule provably minimizes): pairs ranked
+    // most-likely-match first. The global rank is the SNM distributed
+    // rank (range-repartition + broadcast offsets) — no single-partition
+    // window anywhere, so the queue ranks at any scale even though in
+    // practice it is reviewer-capacity bounded.
+    "er_fs_review" -> ((s, dir) => {
+      val poss = FsResults.cached(s, dir).weighted
+        .where(col("decision") === "possible")
+        .select(col("idA"), col("idB"), col("pattern"), col("weight"), col("posterior"))
+        .withColumn("negw", -col("weight"))
+      SortedNeighborhood.withGlobalRank(poss, Seq("negw", "idA", "idB"),
+          s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .drop("negw")
+        .withColumnRenamed("rank", "review_rank")
+        .orderBy(col("review_rank"))
     }),
     // native Jaro / Jaro–Winkler comparators (codegen'd Catalyst
     // expressions) over the candidate pairs' member filename and full
@@ -997,6 +1046,25 @@ object ErQueries {
            |       WHEN cum_m_down <= ${FellegiSunter.TargetLambda}e0 THEN 'nonmatch'
            |       ELSE 'possible' END AS region
            |FROM ruled ORDER BY ord""".stripMargin,
+      // per-field contributions recomputed from the full-precision
+      // dumped params + DuckDB's own vector re-derivation
+      "er_fs_explain" -> {
+        val fieldCase = FellegiSunter.fieldNames.zipWithIndex
+          .map { case (f, j) => s"WHEN $j THEN '$f'" }.mkString(" ")
+        s"""WITH $fsVec,
+           |par AS (SELECT j, m, u FROM read_parquet('{OUT}/_aux/fs_params_full/*.parquet'))
+           |SELECT v.idA, v.idB, par.j, CASE par.j $fieldCase END AS field,
+           |  CAST((v.pattern >> par.j) & 1 AS INT) AS agree,
+           |  round(CASE WHEN ((v.pattern >> par.j) & 1) = 1 THEN ln(par.m / par.u) / ln(2e0)
+           |        ELSE ln((1e0 - par.m) / (1e0 - par.u)) / ln(2e0) END, 6) AS contribution
+           |FROM vecp v CROSS JOIN par ORDER BY idA, idB, j""".stripMargin
+      },
+      "er_fs_review" ->
+        s"""WITH $fsVec,
+           |$fsWeights
+           |SELECT idA, idB, pattern, weight, posterior,
+           |  row_number() OVER (ORDER BY weight DESC, idA, idB) AS review_rank
+           |FROM dec WHERE decision = 'possible' ORDER BY review_rank""".stripMargin,
       // Jaro / Jaro–Winkler recomputed by DuckDB's own built-in
       // implementation — a fully independent second implementation of
       // the published comparator
@@ -1007,6 +1075,38 @@ object ErQueries {
            |    string_split(pathA, '/')[-1], string_split(pathB, '/')[-1]), 6) AS jw_name,
            |  round(jaro_similarity(pathA, pathB), 6) AS jaro_path
            |FROM fsp ORDER BY idA, idB""".stripMargin,
+      // B³ + ARI re-derived from the er_clusters dump and DuckDB's own
+      // truth labels over the raw corpus: contingency table, marginals,
+      // exact integer pair counts, final ratios at 6 dp
+      "er_cluster_eval" ->
+        s"""WITH assign AS (SELECT id, clusterId FROM read_parquet('{OUT}/er_clusters/*.parquet')),
+           |lab AS (SELECT $idExpr AS id, groupId FROM $corpus),
+           |truthl AS (SELECT id, CASE WHEN groupId >= 0 THEN 'g' || groupId ELSE id END AS truthId FROM lab),
+           |ct AS MATERIALIZED (
+           |  SELECT a.clusterId, t.truthId, count(*) AS n_ct
+           |  FROM assign a JOIN truthl t ON a.id = t.id GROUP BY 1, 2),
+           |c AS MATERIALIZED (SELECT clusterId, sum(n_ct) AS n_c FROM ct GROUP BY 1),
+           |tt AS MATERIALIZED (SELECT truthId, sum(n_ct) AS n_t FROM ct GROUP BY 1),
+           |cells AS (
+           |  SELECT CAST(sum(ct.n_ct) AS BIGINT) AS n,
+           |    CAST(sum(CAST(ct.n_ct * (ct.n_ct - 1) / 2 AS BIGINT)) AS BIGINT) AS index_pairs,
+           |    sum(ct.n_ct * ct.n_ct / CAST(c.n_c AS DOUBLE)) AS b3p_sum,
+           |    sum(ct.n_ct * ct.n_ct / CAST(tt.n_t AS DOUBLE)) AS b3r_sum
+           |  FROM ct JOIN c USING (clusterId) JOIN tt USING (truthId)),
+           |ap AS (SELECT CAST(sum(CAST(n_c * (n_c - 1) / 2 AS BIGINT)) AS BIGINT) AS a_pairs FROM c),
+           |bp AS (SELECT CAST(sum(CAST(n_t * (n_t - 1) / 2 AS BIGINT)) AS BIGINT) AS b_pairs FROM tt),
+           |fin AS (
+           |  SELECT n, a_pairs, b_pairs, index_pairs, b3p_sum, b3r_sum,
+           |    a_pairs * b_pairs / CAST(CAST(n * (n - 1) / 2 AS BIGINT) AS DOUBLE) AS expected,
+           |    (a_pairs + b_pairs) / 2e0 AS max_idx
+           |  FROM cells CROSS JOIN ap CROSS JOIN bp)
+           |SELECT n, a_pairs, b_pairs, index_pairs,
+           |  round(b3p_sum / n, 6) AS b3_precision,
+           |  round(b3r_sum / n, 6) AS b3_recall,
+           |  round(2e0 * (b3p_sum / n) * (b3r_sum / n) / (b3p_sum / n + b3r_sum / n), 6) AS b3_f1,
+           |  CASE WHEN max_idx = expected THEN 1e0
+           |       ELSE round((index_pairs - expected) / (max_idx - expected), 6) END AS ari
+           |FROM fin""".stripMargin,
       // greedy 1:1 matching replayed from scratch: DuckDB re-derives the
       // cross-catalog edge set (vectors → weights → decisions from the
       // dumps) and runs the identical locally-dominant-edge round chain

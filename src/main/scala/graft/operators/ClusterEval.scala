@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Clustering-quality metrics for entity resolution beyond pairwise
+  * F1: B-cubed precision/recall/F1 (Bagga & Baldwin 1998 — the
+  * per-record average that weights large clusters fairly) and the
+  * Adjusted Rand Index (Hubert & Arabie 1985 — chance-corrected pair
+  * agreement). The reference library has no evaluation layer at all
+  * (SURVEY.md §3b); these are the two scores ER papers report when
+  * pairwise F1 saturates.
+  *
+  * Everything reduces to the contingency table n_ct =
+  * |predicted cluster c ∩ truth cluster t|, built with ONE shuffle
+  * (groupBy the label pair); cluster/truth marginals re-aggregate the
+  * table itself (kilobytes), never the records again. All pair counts
+  * are exact integers; floats appear only in the final ratios, so the
+  * DuckDB oracle reproduces every column at 6 dp.
+  *
+  * Scale shape (100 TB): contingency rows ≤ #records and in practice
+  * ≈ #clusters; the final metric row is a constant-size crossJoin of
+  * four scalar aggregates. Pair counts are BIGINT — fine through
+  * ~10^9-member clusters; beyond that switch the C(n,2) sums to
+  * DECIMAL(38,0).
+  */
+object ClusterEval {
+
+  /** assign: (id, clusterId) — the predicted assignment; truth:
+    * (id, truthId) — gold labels over the SAME id set. Returns one row:
+    * n, a_pairs (same-predicted-cluster pairs), b_pairs (same-truth
+    * pairs), index_pairs (pairs together in both), b3_precision,
+    * b3_recall, b3_f1, ari. */
+  def evaluate(assign: DataFrame, truth: DataFrame): DataFrame = {
+    def pairs(c: org.apache.spark.sql.Column) =
+      (c * (c - lit(1L)) / lit(2)).cast("long")
+    val ct = assign.join(truth, "id")
+      .groupBy(col("clusterId"), col("truthId"))
+      .agg(count(lit(1)).as("n_ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = ct.groupBy(col("clusterId")).agg(sum(col("n_ct")).as("n_c"))
+    val t = ct.groupBy(col("truthId")).agg(sum(col("n_ct")).as("n_t"))
+    val cells = ct.join(c, "clusterId").join(t, "truthId").agg(
+      sum(col("n_ct")).as("n"),
+      sum(pairs(col("n_ct"))).as("index_pairs"),
+      sum(col("n_ct") * col("n_ct") / col("n_c").cast("double")).as("b3p_sum"),
+      sum(col("n_ct") * col("n_ct") / col("n_t").cast("double")).as("b3r_sum"))
+    val aP = c.agg(sum(pairs(col("n_c"))).as("a_pairs"))
+    val bP = t.agg(sum(pairs(col("n_t"))).as("b_pairs"))
+    cells.crossJoin(aP).crossJoin(bP)
+      .withColumn("total_pairs", pairs(col("n").cast("long")))
+      .withColumn("expected",
+        col("a_pairs") * col("b_pairs") / col("total_pairs").cast("double"))
+      .withColumn("max_idx", (col("a_pairs") + col("b_pairs")) / lit(2.0))
+      .withColumn("b3_precision", round(col("b3p_sum") / col("n"), 6))
+      .withColumn("b3_recall", round(col("b3r_sum") / col("n"), 6))
+      .withColumn("b3_f1", round(
+        lit(2.0) * (col("b3p_sum") / col("n")) * (col("b3r_sum") / col("n")) /
+          (col("b3p_sum") / col("n") + col("b3r_sum") / col("n")), 6))
+      // max == expected only when BOTH partitions are all singletons
+      // (a = b = 0) — identical trivial clusterings, ARI = 1 by
+      // convention rather than 0/0
+      .withColumn("ari", when(col("max_idx") === col("expected"), lit(1.0))
+        .otherwise(round((col("index_pairs") - col("expected")) /
+          (col("max_idx") - col("expected")), 6)))
+      .select(col("n"), col("a_pairs"), col("b_pairs"), col("index_pairs"),
+        col("b3_precision"), col("b3_recall"), col("b3_f1"), col("ari"))
+  }
+}

@@ -164,6 +164,23 @@ object FellegiSunter {
     * broadcast side of pair scoring. Weight is the base-2 log-likelihood
     * ratio; decision thresholds apply to the ROUNDED posterior so the
     * oracle's recomputation can never flip on a final-ulp difference. */
+  /** Per-(pattern, field) log2-likelihood-ratio contribution — the
+    * explain decomposition behind er_fs_explain ("why did these two
+    * match?"). The k contributions of a pattern sum to
+    * [[patternTable]]'s weight (up to float association — each term
+    * here divides by ln 2 individually; the spec pins the equality at
+    * 1e-9). 2^k·k rows regardless of corpus size — driver-side tiny. */
+  def contributionTable(params: FsParams): Seq[(Int, Int, String, Int, Double)] = {
+    val ln2 = math.log(2.0)
+    for { pat <- 0 until (1 << k); j <- 0 until k } yield {
+      val agree = (pat >> j) & 1
+      val c =
+        if (agree == 1) math.log(params.m(j) / params.u(j)) / ln2
+        else math.log((1.0 - params.m(j)) / (1.0 - params.u(j))) / ln2
+      (pat, j, fieldNames(j), agree, c)
+    }
+  }
+
   def patternTable(params: FsParams): Seq[(Int, Double, Double)] = {
     // sum the ln terms first, divide by ln 2 once — the same arithmetic
     // shape the oracle's SQL uses (sum(...)/ln(2)), so the two sides

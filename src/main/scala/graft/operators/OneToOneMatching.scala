@@ -52,8 +52,15 @@ object OneToOneMatching {
     * DataFrame(lft, rgt, w, round) — the greedy matching under
     * (w DESC, lft ASC, rgt ASC), with the 1-based round in which each
     * edge became dominant. Fails (require) if the matching has not
-    * converged within `maxRounds` rounds. */
-  def greedyMatch(edges: DataFrame, maxRounds: Int = MaxRounds): DataFrame = {
+    * converged within `maxRounds` rounds. `onRound(round, accepted,
+    * liveAfter)` observes each round's progress (counts are of already-
+    * checkpointed data, so observing costs one cheap job per round) —
+    * [[graft.tools.DriveLinkScale]] uses it to measure the geometric
+    * live-set decay at scale. */
+  def greedyMatch(
+      edges: DataFrame,
+      maxRounds: Int = MaxRounds,
+      onRound: (Int, Long, Long) => Unit = (_, _, _) => ()): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -81,6 +88,7 @@ object OneToOneMatching {
         .join(acc.select($"rgt"), Seq("rgt"), "left_anti")
         .localCheckpoint(true)
       nLive = live.count()
+      onRound(round, acc.count(), nLive)
     }
     require(nLive == 0L,
       s"greedy matching did not converge in $maxRounds rounds ($nLive live edges)")

@@ -69,6 +69,23 @@ class FellegiSunterSpec extends AnyFunSuite {
     }
   }
 
+  test("contribution table: per-field terms sum to the pattern weight; agree bits match") {
+    val params = FellegiSunter.FsParams(
+      Array(0.95, 0.9, 0.85, 0.6, 0.7), Array(0.05, 0.2, 0.15, 0.4, 0.02), 0.3)
+    val weights = FellegiSunter.patternTable(params).map(t => t._1 -> t._2).toMap
+    val byPat = FellegiSunter.contributionTable(params).groupBy(_._1)
+    assert(byPat.size == (1 << FellegiSunter.k))
+    for ((pat, rows) <- byPat) {
+      assert(rows.map(_._2).sorted == (0 until FellegiSunter.k))
+      for ((_, j, field, agree, _) <- rows) {
+        assert(agree == ((pat >> j) & 1))
+        assert(field == FellegiSunter.fieldNames(j))
+      }
+      // per-term /ln2 vs summed-then-/ln2: equal up to float association
+      assert(math.abs(rows.map(_._5).sum - weights(pat)) < 1e-9, s"pattern $pat")
+    }
+  }
+
   test("optimal-rule threshold table: probability masses, region structure, error-rate bounds") {
     val params = FellegiSunter.FsParams(
       Array(0.95, 0.9, 0.85, 0.6, 0.7), Array(0.05, 0.2, 0.15, 0.4, 0.02), 0.3)
