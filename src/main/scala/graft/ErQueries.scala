@@ -264,15 +264,15 @@ object ErQueries {
     }),
     // clustering quality beyond pairwise F1: B-cubed P/R/F1 + Adjusted
     // Rand Index over the predicted clusters vs ground truth (truth
-    // cluster = planted groupId, or the id itself for singletons). All
-    // pair counts exact integers; the oracle rebuilds the contingency
-    // table from the er_clusters dump + its own truth labels from the
-    // raw corpus and re-derives every column.
+    // cluster = the planted groupId — CorpusGen gives every singleton
+    // its own unique groupId, so no special-casing). All pair counts
+    // exact integers; the oracle rebuilds the contingency table from
+    // the er_clusters dump + its own truth labels from the raw corpus
+    // and re-derives every column.
     "er_cluster_eval" -> ((s, dir) => {
       val r = pipeline(s, dir)
       val truth = r.trees.toDF().select(col("id"),
-        when(col("groupId") >= 0, concat(lit("g"), col("groupId")))
-          .otherwise(col("id")).as("truthId"))
+        concat(lit("g"), col("groupId")).as("truthId"))
       ClusterEval.evaluate(r.clusters, truth)
     }),
     // edit scripts for matched pairs through the reference's
@@ -1110,8 +1110,7 @@ object ErQueries {
       // exact integer pair counts, final ratios at 6 dp
       "er_cluster_eval" ->
         s"""WITH assign AS (SELECT id, clusterId FROM read_parquet('{OUT}/er_clusters/*.parquet')),
-           |lab AS (SELECT $idExpr AS id, groupId FROM $corpus),
-           |truthl AS (SELECT id, CASE WHEN groupId >= 0 THEN 'g' || groupId ELSE id END AS truthId FROM lab),
+           |truthl AS (SELECT $idExpr AS id, 'g' || groupId AS truthId FROM $corpus),
            |ct AS MATERIALIZED (
            |  SELECT a.clusterId, t.truthId, count(*) AS n_ct
            |  FROM assign a JOIN truthl t ON a.id = t.id GROUP BY 1, 2),
@@ -1119,15 +1118,16 @@ object ErQueries {
            |tt AS MATERIALIZED (SELECT truthId, sum(n_ct) AS n_t FROM ct GROUP BY 1),
            |cells AS (
            |  SELECT CAST(sum(ct.n_ct) AS BIGINT) AS n,
-           |    CAST(sum(CAST(ct.n_ct * (ct.n_ct - 1) / 2 AS BIGINT)) AS BIGINT) AS index_pairs,
+           |    CAST(sum((ct.n_ct * (ct.n_ct - 1)) // 2) AS BIGINT) AS index_pairs,
            |    sum(ct.n_ct * ct.n_ct / CAST(c.n_c AS DOUBLE)) AS b3p_sum,
            |    sum(ct.n_ct * ct.n_ct / CAST(tt.n_t AS DOUBLE)) AS b3r_sum
            |  FROM ct JOIN c USING (clusterId) JOIN tt USING (truthId)),
-           |ap AS (SELECT CAST(sum(CAST(n_c * (n_c - 1) / 2 AS BIGINT)) AS BIGINT) AS a_pairs FROM c),
-           |bp AS (SELECT CAST(sum(CAST(n_t * (n_t - 1) / 2 AS BIGINT)) AS BIGINT) AS b_pairs FROM tt),
+           |ap AS (SELECT CAST(sum((n_c * (n_c - 1)) // 2) AS BIGINT) AS a_pairs FROM c),
+           |bp AS (SELECT CAST(sum((n_t * (n_t - 1)) // 2) AS BIGINT) AS b_pairs FROM tt),
            |fin AS (
            |  SELECT n, a_pairs, b_pairs, index_pairs, b3p_sum, b3r_sum,
-           |    a_pairs * b_pairs / CAST(CAST(n * (n - 1) / 2 AS BIGINT) AS DOUBLE) AS expected,
+           |    CAST(a_pairs AS DOUBLE) * CAST(b_pairs AS DOUBLE)
+           |      / CAST((n * (n - 1)) // 2 AS DOUBLE) AS expected,
            |    (a_pairs + b_pairs) / 2e0 AS max_idx
            |  FROM cells CROSS JOIN ap CROSS JOIN bp)
            |SELECT n, a_pairs, b_pairs, index_pairs,

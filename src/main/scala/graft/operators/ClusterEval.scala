@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (100 TB): contingency rows ≤ #records and in practice
   * ≈ #clusters; the final metric row is a constant-size crossJoin of
-  * four scalar aggregates. Pair counts are BIGINT — fine through
-  * ~10^9-member clusters; beyond that switch the C(n,2) sums to
-  * DECIMAL(38,0).
+  * four scalar aggregates. C(n,2) is computed by integer shift (the
+  * product of consecutive integers is even), so pair counts stay
+  * BIGINT-exact up to ~3·10^9-member clusters (where n·(n−1) itself
+  * overflows); beyond that switch the C(n,2) sums to DECIMAL(38,0).
   */
 object ClusterEval {
 
@@ -32,12 +33,17 @@ object ClusterEval {
     * pairs), index_pairs (pairs together in both), b3_precision,
     * b3_recall, b3_f1, ari. */
   def evaluate(assign: DataFrame, truth: DataFrame): DataFrame = {
+    // integer-exact C(n,2): shift, never `/` (Spark `/` is double
+    // division and loses exactness past 2^53)
     def pairs(c: org.apache.spark.sql.Column) =
-      (c * (c - lit(1L)) / lit(2)).cast("long")
+      shiftright(c * (c - lit(1L)), 1)
+    // eager localCheckpoint, not persist: three aggregates read the
+    // table within this call and the blocks are released on GC instead
+    // of pinning the block manager per invocation
     val ct = assign.join(truth, "id")
       .groupBy(col("clusterId"), col("truthId"))
       .agg(count(lit(1)).as("n_ct"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val c = ct.groupBy(col("clusterId")).agg(sum(col("n_ct")).as("n_c"))
     val t = ct.groupBy(col("truthId")).agg(sum(col("n_ct")).as("n_t"))
     val cells = ct.join(c, "clusterId").join(t, "truthId").agg(
@@ -48,9 +54,13 @@ object ClusterEval {
     val aP = c.agg(sum(pairs(col("n_c"))).as("a_pairs"))
     val bP = t.agg(sum(pairs(col("n_t"))).as("b_pairs"))
     cells.crossJoin(aP).crossJoin(bP)
-      .withColumn("total_pairs", pairs(col("n").cast("long")))
+      .withColumn("total_pairs", pairs(col("n")))
+      // cast the factors BEFORE multiplying: a_pairs·b_pairs as BIGINT
+      // would overflow long before the double product loses anything
+      // that survives the final rounding
       .withColumn("expected",
-        col("a_pairs") * col("b_pairs") / col("total_pairs").cast("double"))
+        col("a_pairs").cast("double") * col("b_pairs").cast("double") /
+          col("total_pairs").cast("double"))
       .withColumn("max_idx", (col("a_pairs") + col("b_pairs")) / lit(2.0))
       .withColumn("b3_precision", round(col("b3p_sum") / col("n"), 6))
       .withColumn("b3_recall", round(col("b3r_sum") / col("n"), 6))

@@ -159,11 +159,6 @@ object FellegiSunter {
     FsParams(m, u, p)
   }
 
-  /** All-2^k-pattern decision table: (pattern, weight, posterior,
-    * decision) computed driver-side from the fitted params — the 32-row
-    * broadcast side of pair scoring. Weight is the base-2 log-likelihood
-    * ratio; decision thresholds apply to the ROUNDED posterior so the
-    * oracle's recomputation can never flip on a final-ulp difference. */
   /** Per-(pattern, field) log2-likelihood-ratio contribution — the
     * explain decomposition behind er_fs_explain ("why did these two
     * match?"). The k contributions of a pattern sum to
@@ -181,6 +176,11 @@ object FellegiSunter {
     }
   }
 
+  /** All-2^k-pattern decision table: (pattern, weight, posterior,
+    * decision) computed driver-side from the fitted params — the 32-row
+    * broadcast side of pair scoring. Weight is the base-2 log-likelihood
+    * ratio; decision thresholds apply to the ROUNDED posterior so the
+    * oracle's recomputation can never flip on a final-ulp difference. */
   def patternTable(params: FsParams): Seq[(Int, Double, Double)] = {
     // sum the ln terms first, divide by ln 2 once — the same arithmetic
     // shape the oracle's SQL uses (sum(...)/ln(2)), so the two sides

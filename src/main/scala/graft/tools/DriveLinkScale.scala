@@ -35,7 +35,9 @@ object DriveLinkScale {
         concat(lit("l"), pmod(xxhash64(col("id"), lit(1)), lit(nL))).as("lft"),
         concat(lit("r"), pmod(xxhash64(col("id"), lit(2)), lit(nL))).as("rgt"),
         round(pmod(xxhash64(col("id"), lit(3)), lit(1000000L)) / 1e6, 6).as("w"))
-        .dropDuplicates("lft", "rgt")
+        // max-w, not dropDuplicates: colliding (lft, rgt) cells must
+        // resolve deterministically or the BENCH.md traces drift
+        .groupBy(col("lft"), col("rgt")).agg(max(col("w")).as("w"))
     }
     // skewed: right ids drawn quadratically concentrated — the hottest
     // right vertex collects ~sqrt-scale candidate mass
@@ -46,7 +48,7 @@ object DriveLinkScale {
         concat(lit("l"), pmod(xxhash64(col("id"), lit(1)), lit(nL))).as("lft"),
         concat(lit("r"), floor(u * u * (nL / 2).toDouble).cast("long")).as("rgt"),
         round(pmod(xxhash64(col("id"), lit(3)), lit(1000000L)) / 1e6, 6).as("w"))
-        .dropDuplicates("lft", "rgt")
+        .groupBy(col("lft"), col("rgt")).agg(max(col("w")).as("w"))
     }
 
     for ((shape, gen) <- Seq("uniform" -> uniform _, "skewed" -> skewed _)) {
