@@ -623,8 +623,12 @@ object ErQueries {
     "er_link_stream" -> ((s, dir) => {
       LinkStreamResults.cached(s, dir).matched.orderBy(col("lft"))
     }),
-    // linkage quality: edge/match counts + precision of the 1:1
-    // assignment against ground-truth labels
+    // linkage quality: edge/match counts, precision of the 1:1
+    // assignment against ground-truth labels, and recall/F1 against ALL
+    // ground-truth cross-catalog duplicate pairs (a 1:1 matching caps
+    // recall by design when a record has several true partners — the
+    // honest catalog-linkage metric). The oracle rebuilds the truth
+    // pair set from the raw corpus labels + the same catalog split.
     "er_link_eval" -> ((s, dir) => {
       val lr = LinkResults.cached(s, dir)
       val joined = lr.matched.join(lr.edges, Seq("lft", "rgt"))
@@ -633,9 +637,20 @@ object ErQueries {
         count(lit(1)).as("n_matched"),
         count(when(col("glft") === col("grgt"), 1)).as("tp"),
         count(when(col("glft") =!= col("grgt"), 1)).as("fp"))
-      totals.crossJoin(stats)
+      val lab = pipeline(s, dir).trees.toDF().select(col("id"), col("groupId"),
+        substring(col("id"), 32, 1).isin(LinkResults.LeftDigits: _*).as("isL"))
+      val truth = lab.as("a").join(lab.as("b"),
+        col("a.groupId") === col("b.groupId") &&
+          col("a.id") < col("b.id") && col("a.isL") =!= col("b.isL"))
+        .agg(count(lit(1)).as("n_truth"))
+      totals.crossJoin(stats).crossJoin(truth)
         .withColumn("precision",
           round(col("tp").cast("double") / col("n_matched"), 6))
+        .withColumn("recall",
+          round(col("tp").cast("double") / col("n_truth"), 6))
+        // 2tp / (2tp + fp + fn) with fp = n_matched−tp, fn = n_truth−tp
+        .withColumn("f1", round(lit(2.0) * col("tp") /
+          (col("n_matched") + col("n_truth")), 6))
     }),
     "er_sha_invariant" -> ((s, dir) => {
       // per-row invariant (input_hint): sha256 recomputed from the raw
@@ -1154,7 +1169,8 @@ object ErQueries {
            |$linkEdges,
            |$linkChain
            |SELECT lft, rgt, w, round FROM matched ORDER BY lft""".stripMargin,
-      "er_link_eval" ->
+      "er_link_eval" -> {
+        val digits = LinkResults.LeftDigits.map(d => s"'$d'").mkString(",")
         s"""WITH $fsVec,
            |$fsWeights,
            |$linkEdges,
@@ -1164,10 +1180,20 @@ object ErQueries {
            |  SELECT count(*) AS n_matched,
            |    count(CASE WHEN e.glft = e.grgt THEN 1 END) AS tp,
            |    count(CASE WHEN e.glft <> e.grgt THEN 1 END) AS fp
-           |  FROM matched m JOIN edges e ON m.lft = e.lft AND m.rgt = e.rgt)
-           |SELECT t.n_edges, s.n_matched, s.tp, s.fp,
-           |  round(s.tp::DOUBLE / s.n_matched, 6) AS precision
-           |FROM tot t CROSS JOIN st s""".stripMargin,
+           |  FROM matched m JOIN edges e ON m.lft = e.lft AND m.rgt = e.rgt),
+           |lab AS MATERIALIZED (
+           |  SELECT $idExpr AS id, groupId,
+           |    substr($idExpr, 32, 1) IN ($digits) AS isL
+           |  FROM $corpus),
+           |tr AS (
+           |  SELECT count(*) AS n_truth FROM lab a JOIN lab b
+           |  ON a.groupId = b.groupId AND a.id < b.id AND a.isL <> b.isL)
+           |SELECT t.n_edges, s.n_matched, s.tp, s.fp, tr.n_truth,
+           |  round(s.tp::DOUBLE / s.n_matched, 6) AS precision,
+           |  round(s.tp::DOUBLE / tr.n_truth, 6) AS recall,
+           |  round(2e0 * s.tp / (s.n_matched + tr.n_truth), 6) AS f1
+           |FROM tot t CROSS JOIN st s CROSS JOIN tr""".stripMargin
+      },
       // parse counts recomputed from the dumped uncapped lexer event
       // stream: every 'O'/'L' event increments the node count by one
       // while below the cap (root starts the count at 1), tokens are the
