@@ -589,6 +589,17 @@ object ErQueries {
         .withColumnRenamed("rank", "review_rank")
         .orderBy(col("review_rank"))
     }),
+    // frequency-based (value-specific) weights for the filename field
+    // (F&S 1969 §3.3.1 / Winkler 1988): agreeing on a rare value beats
+    // agreeing on a common one — u_v is the EXACT chance-agreement
+    // probability from corpus counts. The oracle recomputes the
+    // frequency table from the raw corpus, the exact pair algebra, and
+    // both weights from the full-precision dumped params.
+    "er_fs_value_weights" -> ((s, dir) => {
+      val fs = FsResults.cached(s, dir)
+      FellegiSunter.valueWeights(fs.features, pipeline(s, dir).trees.toDF(), fs.params)
+        .orderBy(col("idA"), col("idB"))
+    }),
     // native Jaro / Jaro–Winkler comparators (codegen'd Catalyst
     // expressions) over the candidate pairs' member filename and full
     // path — the oracle recomputes both similarities with DuckDB's OWN
@@ -1110,6 +1121,29 @@ object ErQueries {
            |SELECT idA, idB, pattern, weight, posterior,
            |  row_number() OVER (ORDER BY weight DESC, idA, idB) AS review_rank
            |FROM dec WHERE decision = 'possible' ORDER BY review_rank""".stripMargin,
+      // value-specific weights recomputed from scratch: DuckDB rebuilds
+      // the filename frequency table from the raw corpus, the exact
+      // freq·(freq−1)/(N·(N−1)) chance-agreement probability, and both
+      // weights from the full-precision dumped params
+      "er_fs_value_weights" ->
+        s"""WITH fsp AS MATERIALIZED (SELECT * FROM read_parquet('{OUT}/_aux/fs_pairs/*.parquet')),
+           |par AS (SELECT m, u FROM read_parquet('{OUT}/_aux/fs_params_full/*.parquet')
+           |        WHERE j = ${FellegiSunter.NameField}),
+           |freq AS MATERIALIZED (
+           |  SELECT string_split(path, '/')[-1] AS name, count(*) AS freq
+           |  FROM $corpus GROUP BY 1),
+           |nn AS (SELECT count(*) AS n FROM $corpus),
+           |ag AS (
+           |  SELECT idA, idB, string_split(pathA, '/')[-1] AS name FROM fsp
+           |  WHERE string_split(pathA, '/')[-1] = string_split(pathB, '/')[-1])
+           |SELECT a.idA, a.idB, a.name, f.freq,
+           |  round(CAST(f.freq * (f.freq - 1) AS DOUBLE)
+           |        / CAST(n.n * (n.n - 1) AS DOUBLE), 9) AS u_v,
+           |  round(ln(par.m / (CAST(f.freq * (f.freq - 1) AS DOUBLE)
+           |        / CAST(n.n * (n.n - 1) AS DOUBLE))) / ln(2e0), 6) AS w_value,
+           |  round(ln(par.m / par.u) / ln(2e0), 6) AS w_flat
+           |FROM ag a JOIN freq f USING (name) CROSS JOIN nn n CROSS JOIN par
+           |ORDER BY idA, idB""".stripMargin,
       // Jaro / Jaro–Winkler recomputed by DuckDB's own built-in
       // implementation — a fully independent second implementation of
       // the published comparator

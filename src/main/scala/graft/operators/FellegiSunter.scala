@@ -159,6 +159,46 @@ object FellegiSunter {
     FsParams(m, u, p)
   }
 
+  /** Index of the filename-equality field — the target of the
+    * value-specific weights ([[valueWeights]]). */
+  val NameField: Int = fieldNames.indexOf("name_eq")
+
+  /** Frequency-based (value-specific) agreement weights — Fellegi &
+    * Sunter 1969 §3.3.1's value-dependent u, Winkler 1988's
+    * "frequency-based matching": agreeing on a RARE filename is
+    * stronger evidence than agreeing on a common one, which one flat
+    * per-field u cannot express. For candidate pairs agreeing on
+    * filename v:
+    *   u_v = C(freq(v), 2) / C(N, 2) = freq·(freq−1) / (N·(N−1))
+    * (the exact chance-agreement probability from corpus counts;
+    * agreement implies freq ≥ 2, so u_v > 0) and
+    *   w_value = log2(m_name / u_v),
+    * with m_name the EM-fitted field m (match-class agreement taken as
+    * value-independent — the standard approximation). The flat field
+    * weight log2(m/u) rides along for comparison. Scale shape: the
+    * frequency table is ONE narrow record-grain groupBy; N is a single
+    * scalar; the pair⋈freq join keys on the agreed name, whose heavy
+    * values are exactly what the upstream blocking cap bounds. */
+  def valueWeights(features: DataFrame, trees: DataFrame, params: FsParams): DataFrame = {
+    val nameOf = (c: org.apache.spark.sql.Column) => element_at(split(c, "/"), -1)
+    val freq = trees.select(nameOf(col("path")).as("name"))
+      .groupBy(col("name")).agg(count(lit(1)).as("freq"))
+    val n = trees.count() // one scalar — metadata-sized driver data
+    val totPairs = (n * (n - 1L)).toDouble
+    val m = params.m(NameField); val u = params.u(NameField)
+    val ln2 = math.log(2.0)
+    features
+      .where(nameOf(col("pathA")) === nameOf(col("pathB")))
+      .select(col("idA"), col("idB"), nameOf(col("pathA")).as("name"))
+      .join(freq, "name")
+      .withColumn("u_v",
+        (col("freq") * (col("freq") - lit(1L))).cast("double") / lit(totPairs))
+      .select(col("idA"), col("idB"), col("name"), col("freq"),
+        round(col("u_v"), 9).as("u_v"),
+        round(log(lit(m) / col("u_v")) / lit(ln2), 6).as("w_value"),
+        round(lit(math.log(m / u) / ln2), 6).as("w_flat"))
+  }
+
   /** Per-(pattern, field) log2-likelihood-ratio contribution — the
     * explain decomposition behind er_fs_explain ("why did these two
     * match?"). The k contributions of a pattern sum to

@@ -69,6 +69,36 @@ class FellegiSunterSpec extends AnyFunSuite {
     }
   }
 
+  test("value-specific weights: exact chance-agreement probability, rare beats common, agreements only") {
+    import spark.implicits._
+    // 10 records: "rare.c" ×2, "mid.c" ×3, "big.c" ×5
+    val paths = Seq.fill(2)("rare.c") ++ Seq.fill(3)("mid.c") ++ Seq.fill(5)("big.c")
+    val trees = paths.zipWithIndex
+      .map { case (p, i) => (f"x$i%02d", s"d$i/$p") }.toDF("id", "path")
+    val features = Seq(
+      ("x00", "x01", "a/rare.c", "b/rare.c"), // agree rare
+      ("x02", "x03", "a/mid.c", "b/mid.c"),   // agree mid
+      ("x05", "x06", "a/big.c", "b/big.c"),   // agree common
+      ("x00", "x05", "a/rare.c", "b/big.c")   // disagreement — excluded
+    ).toDF("idA", "idB", "pathA", "pathB")
+    val params = FellegiSunter.FsParams(
+      Array(0.9, 0.9, 0.9, 0.8, 0.9), Array(0.1, 0.1, 0.1, 0.3, 0.1), 0.2)
+    val rows = FellegiSunter.valueWeights(features, trees, params)
+      .collect().map(r => r.getAs[String]("name") ->
+        (r.getAs[Long]("freq"), r.getAs[Double]("u_v"), r.getAs[Double]("w_value")))
+      .toMap
+    assert(rows.size == 3, "disagreeing pair must be excluded")
+    assert(rows("rare.c")._1 == 2L && rows("mid.c")._1 == 3L && rows("big.c")._1 == 5L)
+    // exact u_v = freq(freq-1)/(N(N-1)), N = 10
+    assert(rows("rare.c")._2 == math.round(2.0 * 1 / 90 * 1e9) / 1e9)
+    assert(rows("mid.c")._2 == math.round(3.0 * 2 / 90 * 1e9) / 1e9)
+    assert(rows("big.c")._2 == math.round(5.0 * 4 / 90 * 1e9) / 1e9)
+    // rarer value ⇒ strictly higher weight
+    assert(rows("rare.c")._3 > rows("mid.c")._3 && rows("mid.c")._3 > rows("big.c")._3)
+    // and the rare-agreement weight exceeds the flat field weight
+    assert(rows("rare.c")._3 > math.log(0.8 / 0.3) / math.log(2.0))
+  }
+
   test("contribution table: per-field terms sum to the pattern weight; agree bits match") {
     val params = FellegiSunter.FsParams(
       Array(0.95, 0.9, 0.85, 0.6, 0.7), Array(0.05, 0.2, 0.15, 0.4, 0.02), 0.3)

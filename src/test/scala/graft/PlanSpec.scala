@@ -134,6 +134,21 @@ class PlanSpec extends AnyFunSuite {
       s"token heavy hitters must not explode tokens into rows\n$fs")
   }
 
+  test("cluster eval: all aggregates read the checkpointed contingency table, never the records") {
+    import spark.implicits._
+    val assign = (0 until 200).map(i => (f"x$i%03d", s"c${i % 7}")).toDF("id", "clusterId")
+    val truth = (0 until 200).map(i => (f"x$i%03d", s"t${i % 5}")).toDF("id", "truthId")
+    val s = fmt(graft.operators.ClusterEval.evaluate(assign, truth))
+    // the record-grain join + groupBy ran EAGERLY inside evaluate(); the
+    // returned plan must start from the checkpointed table on every
+    // branch (marginals, cells, pair sums) — re-appearance of the raw
+    // inputs (LocalTableScan here) would mean the one-record-shuffle
+    // contract broke and the records get re-joined per aggregate
+    assert(s.contains("Scan ExistingRDD"), "contingency checkpoint lost")
+    assert(!s.contains("LocalTableScan"),
+      "record-grain inputs re-entered the metric plan")
+  }
+
   test("scoring input: persisted pairs reused, not recomputed") {
     val trees = ParseStage.parse(CorpusGen.corpus(spark, dir))
     val pairs = Blocking.candidatePairs(trees).persist()
