@@ -65,6 +65,25 @@ object DriveLinkScale {
       }
       println(s"""{"tool":"link_scale_summary","shape":"$shape","edges":$nE,"matched":$nM,"rounds":${rounds.size},"wall_sec":$wall,"edges_per_sec":${(nE / wall).toLong}}""")
     }
+
+    // incremental fold-cost curve (GRAFT_LINK_BATCHES > 0): the honest
+    // per-batch price of StreamingLink's recompute-over-retained-edges
+    // design as the cumulative edge set grows
+    val nBatches = sys.env.getOrElse("GRAFT_LINK_BATCHES", "0").toInt
+    if (nBatches > 0) {
+      val edges = uniform(nEdges).localCheckpoint(true)
+      def part(b: Int) = edges.where(
+        pmod(xxhash64(col("lft"), col("rgt")), lit(nBatches)) === b)
+      var st: Option[graft.streaming.StreamingLink.LinkState] = None
+      for (b <- 0 until nBatches) {
+        val t0 = System.nanoTime()
+        st = Some(graft.streaming.StreamingLink.update(spark, part(b), st))
+        val nM = st.get.matched.count()
+        val nEdg = st.get.edges.count()
+        val w = (System.nanoTime() - t0) / 1e9
+        println(s"""{"tool":"link_fold","batch":${b + 1},"cum_edges":$nEdg,"matched":$nM,"batch_sec":$w}""")
+      }
+    }
     spark.stop()
   }
 }
