@@ -45,4 +45,42 @@ object StreamingLink {
     val matched = OneToOneMatching.greedyMatch(all).localCheckpoint(true)
     LinkState(all, matched, prev.map(_.batches).getOrElse(0) + 1)
   }
+
+  /** Durable twin of [[update]]: state round-trips through `io`
+    * (`_SUCCESS`-gated tables, one generation per batch), so a crashed
+    * stream RESUMES at the last complete batch — the same
+    * kill-and-resume contract as StreamingEr's checkpointed path. The
+    * cumulative edge table is the authoritative state; the matched
+    * table is written alongside so readers never pay a re-match. A
+    * crash between the two writes leaves a half generation, which the
+    * resume scan skips (both tables must exist) and the retried batch
+    * overwrites. */
+  def updateDurable(
+      spark: SparkSession,
+      newEdges: DataFrame,
+      io: graft.sources.TableIO,
+      prefix: String = "slink"): LinkState = {
+    val (prev, k) = resumeState(spark, io, prefix)
+    val next = update(spark, newEdges, prev)
+    io.write(next.edges, s"${prefix}_edges_b$k")
+    io.write(next.matched, s"${prefix}_matched_b$k")
+    next
+  }
+
+  /** Latest complete generation under `prefix` (both tables present)
+    * rebuilt as a LinkState, plus the generation index the NEXT batch
+    * writes. */
+  def resumeState(
+      spark: SparkSession,
+      io: graft.sources.TableIO,
+      prefix: String): (Option[LinkState], Int) = {
+    var k = 0
+    while (io.exists(spark, s"${prefix}_edges_b$k") &&
+        io.exists(spark, s"${prefix}_matched_b$k")) k += 1
+    if (k == 0) (None, 0)
+    else (Some(LinkState(
+      edges = io.read(spark, s"${prefix}_edges_b${k - 1}"),
+      matched = io.read(spark, s"${prefix}_matched_b${k - 1}"),
+      batches = k)), k)
+  }
 }

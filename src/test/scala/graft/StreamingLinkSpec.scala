@@ -48,6 +48,34 @@ class StreamingLinkSpec extends AnyFunSuite {
     assert(s3.edges.count() == s2.edges.count())
   }
 
+  test("durable fold: kill-and-resume, half-written generations skipped, fold == batch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_slink").toString
+    val io = new graft.sources.ParquetTableIO(root)
+    val b1 = Seq(("l1", "r1", 3.0), ("l2", "r2", 2.0))
+    val b2 = Seq(("l3", "r1", 5.0), ("l2", "r3", 4.0))
+    val b3 = Seq(("l1", "r4", 9.0), ("l4", "r2", 1.0))
+    // two batches, then "crash" — each call resumes purely from storage
+    StreamingLink.updateDurable(spark, toDf(b1), io)
+    StreamingLink.updateDurable(spark, toDf(b2), io)
+    val (resumed, k) = StreamingLink.resumeState(spark, io, "slink")
+    assert(k == 2 && resumed.get.batches == 2)
+    assert(collectMatched(resumed.get.matched) ==
+      OneToOneMatching.sequentialGreedy(b1 ++ b2).toSet)
+    // a crash between the two writes leaves a HALF generation: the
+    // resume scan must refuse it and the retried batch overwrite it
+    io.write(toDf(b3), "slink_edges_b2")
+    val (afterCrash, k2) = StreamingLink.resumeState(spark, io, "slink")
+    assert(k2 == 2 && afterCrash.get.batches == 2, "half generation must not resume")
+    val st3 = StreamingLink.updateDurable(spark, toDf(b3), io)
+    assert(st3.batches == 3)
+    assert(collectMatched(st3.matched) ==
+      OneToOneMatching.sequentialGreedy(b1 ++ b2 ++ b3).toSet)
+    // and the on-disk generation now reads back complete
+    val (fin, k3) = StreamingLink.resumeState(spark, io, "slink")
+    assert(k3 == 3 && collectMatched(fin.get.matched) ==
+      collectMatched(st3.matched))
+  }
+
   test("re-scored pair deterministically upgrades to the max weight") {
     val s1 = StreamingLink.update(spark, toDf(Seq(("l1", "r1", 1.0), ("l2", "r1", 2.0))), None)
     assert(collectMatched(s1.matched) == Set(("l2", "r1", 2.0)))
