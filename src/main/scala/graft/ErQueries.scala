@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.JaroWinkler
+import graft.functions.{DamerauLevenshteinFn, JaroWinkler}
 import graft.operators._
 import graft.sources.CorpusGen
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -615,6 +615,23 @@ object ErQueries {
           round(JaroWinkler.jaroSim(col("pathA"), col("pathB")), 6).as("jaro_path"))
         .orderBy(col("idA"), col("idB"))
     }),
+    // native unrestricted Damerau–Levenshtein (Lowrance–Wagner 1975;
+    // codegen'd Catalyst expression) over the candidate pairs' member
+    // filename and full path, next to Spark's builtin Levenshtein on
+    // the same column (dl ≤ lev row-wise, both verified) — the oracle
+    // recomputes all three with DuckDB's OWN independent
+    // damerau_levenshtein / levenshtein implementations
+    "er_damerau" -> ((s, dir) => {
+      DamerauLevenshteinFn.register(s)
+      FsResults.cached(s, dir).features
+        .select(col("idA"), col("idB"),
+          DamerauLevenshteinFn.dl(
+            element_at(split(col("pathA"), "/"), -1),
+            element_at(split(col("pathB"), "/"), -1)).as("dl_name"),
+          DamerauLevenshteinFn.dl(col("pathA"), col("pathB")).as("dl_path"),
+          levenshtein(col("pathA"), col("pathB")).as("lev_path"))
+        .orderBy(col("idA"), col("idB"))
+    }),
     // ---- one-to-one bipartite linkage ----------------------------------
     // the corpus split into two deterministic "sources" (last hex digit
     // of the id), FS-accepted cross-source pairs as weighted edges, and
@@ -1153,6 +1170,18 @@ object ErQueries {
            |  round(jaro_winkler_similarity(
            |    string_split(pathA, '/')[-1], string_split(pathB, '/')[-1]), 6) AS jw_name,
            |  round(jaro_similarity(pathA, pathB), 6) AS jaro_path
+           |FROM fsp ORDER BY idA, idB""".stripMargin,
+      // unrestricted Damerau–Levenshtein + Levenshtein recomputed by
+      // DuckDB's own built-ins — fully independent second
+      // implementations of the published algorithms (byte-exact; both
+      // engines probed byte-wise over UTF-8)
+      "er_damerau" ->
+        s"""WITH fsp AS MATERIALIZED (SELECT * FROM read_parquet('{OUT}/_aux/fs_pairs/*.parquet'))
+           |SELECT idA, idB,
+           |  damerau_levenshtein(
+           |    string_split(pathA, '/')[-1], string_split(pathB, '/')[-1]) AS dl_name,
+           |  damerau_levenshtein(pathA, pathB) AS dl_path,
+           |  levenshtein(pathA, pathB) AS lev_path
            |FROM fsp ORDER BY idA, idB""".stripMargin,
       // B³ + ARI re-derived from the er_clusters dump and DuckDB's own
       // truth labels over the raw corpus: contingency table, marginals,

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unrestricted Damerau–Levenshtein distance (Lowrance & Wagner 1975,
+  * "An extension of the string-to-string correction problem", JACM 22)
+  * as a native Catalyst expression — the classic typo-aware field
+  * comparator of record linkage (Damerau 1964 observed that >80 % of
+  * human misspellings are one insert/delete/substitute/TRANSPOSE).
+  *
+  * This is the FULL variant, not the restricted "optimal string
+  * alignment" one: a transposed pair may be edited again later, so e.g.
+  * d("CA","ABC") = 2 (CA → AC → ABC) where OSA gives 3. The full
+  * variant is a true metric (triangle inequality holds — property
+  * tested), which OSA is not; that matters because downstream blocking
+  * bounds (length filters, bounded-distance bands) assume metric
+  * behavior.
+  *
+  * Semantics are pinned byte-wise over the raw UTF-8 encoding — probed
+  * empirically to be exactly what DuckDB's `damerau_levenshtein`
+  * computes ('é' vs 'e' = 2, 'öx' vs 'xö' = 2, 'CA' vs 'ABC' = 2,
+  * '' vs '' = 0) — so the oracle is a fully independent second
+  * implementation of the same published algorithm.
+  *
+  * Scale shape: a pure per-row scalar; one (|a|+2)·(|b|+2) int matrix
+  * plus a 256-entry last-occurrence table per call, no other
+  * allocation; participates in whole-stage codegen via `defineCodeGen`
+  * (a static call, like Spark's own `levenshtein`), so it fuses into
+  * the surrounding generated loop.
+  */
+object DamerauLevenshteinKernel {
+
+  /** Lowrance–Wagner DP over UTF-8 bytes. Matrix rows/cols run −1..|a|
+    * / −1..|b| in the published formulation; stored with a +1 offset in
+    * one flat array. `da` = last row index where each byte value was
+    * seen in `a`; `db` = last column index where `b(j)` matched inside
+    * the current row. */
+  def distance(ua: UTF8String, ub: UTF8String): Int = {
+    val a = ua.getBytes; val b = ub.getBytes
+    val la = a.length; val lb = b.length
+    if (la == 0) return lb
+    if (lb == 0) return la
+    val inf = la + lb
+    val w = lb + 2
+    val d = new Array[Int]((la + 2) * w)
+    d(0) = inf
+    var i = 0
+    while (i <= la) {
+      d((i + 1) * w) = inf
+      d((i + 1) * w + 1) = i
+      i += 1
+    }
+    var j = 0
+    while (j <= lb) {
+      d(j + 1) = inf
+      d(w + j + 1) = j
+      j += 1
+    }
+    val da = new Array[Int](256)
+    i = 1
+    while (i <= la) {
+      var db = 0
+      val ai = a(i - 1) & 0xff
+      val base = (i + 1) * w
+      val prev = i * w
+      var jj = 1
+      while (jj <= lb) {
+        val bj = b(jj - 1) & 0xff
+        val k = da(bj)
+        val l = db
+        var cost = 1
+        if (ai == bj) { cost = 0; db = jj }
+        var m = d(prev + jj) + cost          // substitute: d[i−1, j−1]
+        val ins = d(base + jj) + 1           // insert:     d[i,   j−1]
+        if (ins < m) m = ins
+        val del = d(prev + jj + 1) + 1       // delete:     d[i−1, j]
+        if (del < m) m = del
+        // transpose through the last (ai, bj) crossing: d[k−1, ℓ−1]
+        // + deletions between k..i + 1 + insertions between ℓ..j
+        val tr = d(k * w + l) + (i - k - 1) + 1 + (jj - l - 1)
+        if (tr < m) m = tr
+        d(base + jj + 1) = m
+        jj += 1
+      }
+      da(ai) = i
+      i += 1
+    }
+    d((la + 1) * w + lb + 1)
+  }
+}
+
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DamerauLevenshteinKernel.distance(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.DamerauLevenshteinKernel.distance($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object DamerauLevenshteinFn {
+
+  def dl(a: Column, b: Column): Column =
+    call_function("damerau_levenshtein", a, b)
+
+  /** Register `damerau_levenshtein` for spark.sql(...) and the Column
+    * helper above. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "damerau_levenshtein",
+      { exprs =>
+        require(exprs.length == 2, "damerau_levenshtein(a, b)")
+        DamerauLevenshtein(exprs(0), exprs(1))
+      }, "scala_udf")
+}
