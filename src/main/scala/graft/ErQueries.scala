@@ -632,6 +632,37 @@ object ErQueries {
           levenshtein(col("pathA"), col("pathB")).as("lev_path"))
         .orderBy(col("idA"), col("idB"))
     }),
+    // TF-IDF cosine comparator (SoftTFIDF basis, Cohen et al. IIWeb'03)
+    // over the candidate pairs' content tokens: corpus-level IDF, raw
+    // term counts, sparse dot over shared tokens only (the 100 TB shape
+    // — dense vectors never materialize). The oracle re-derives ids,
+    // tokens, tf/df/idf, norms, and the pair cosine entirely in SQL
+    // from the raw dumped corpus.
+    "er_tfidf_cosine" -> ((s, dir) => {
+      val docs = contentDocs(s, dir)
+        .select(col("id"), TokenSim.tokens(col("content")).as("toks"))
+      val pairs = FsResults.cached(s, dir).features.select(col("idA"), col("idB"))
+      TokenSim.tfidfCosine(docs, pairs).orderBy(col("idA"), col("idB"))
+    }),
+    // Monge–Elkan hybrid comparator (KDD'96) with the native
+    // Jaro–Winkler as the inner similarity, over each member's first 8
+    // content tokens — mean-of-max evaluated inside codegen'd
+    // higher-order array functions (no explode, no UDF). Directed both
+    // ways (me is asymmetric by construction). The oracle recomputes
+    // with DuckDB's OWN jaro_winkler_similarity inside list_transform /
+    // list_max — a fully independent evaluation of the same recurrence.
+    "er_monge_elkan" -> ((s, dir) => {
+      JaroWinkler.register(s)
+      val docs = contentDocs(s, dir)
+        .select(col("id"), slice(TokenSim.tokens(col("content")), 1, 8).as("toks"))
+      FsResults.cached(s, dir).features.select(col("idA"), col("idB"))
+        .join(docs.select(col("id").as("idA"), col("toks").as("tA")), Seq("idA"))
+        .join(docs.select(col("id").as("idB"), col("toks").as("tB")), Seq("idB"))
+        .select(col("idA"), col("idB"),
+          round(TokenSim.mongeElkan(col("tA"), col("tB")), 6).as("me_ab"),
+          round(TokenSim.mongeElkan(col("tB"), col("tA")), 6).as("me_ba"))
+        .orderBy(col("idA"), col("idB"))
+    }),
     // ---- one-to-one bipartite linkage ----------------------------------
     // the corpus split into two deterministic "sources" (last hex digit
     // of the id), FS-accepted cross-source pairs as weighted edges, and
@@ -705,6 +736,17 @@ object ErQueries {
     * vectors, EM-fitted params, and the weighted/decided pair table.
     * Only `features` and `vectors` are persisted — `weighted` is a
     * broadcast join over `vectors`, cheap to replay. */
+  /** (id, content) for every corpus row: the parsed trees (which carry
+    * the id but deliberately NOT the content) joined back to the raw
+    * corpus on the identity triple — the standard enrich join a
+    * content-grain comparator pays at any scale (narrow id side shuffles
+    * against the fat content side exactly once). */
+  private[graft] def contentDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Results.cached(spark, sfDir).trees.toDF()
+      .select(col("id"), col("repo"), col("path"), col("commit"))
+      .join(CorpusGen.corpus(spark, sfDir).toDF(), Seq("repo", "path", "commit"))
+      .select(col("id"), col("content"))
+
   private[graft] object FsResults {
     final case class Fs(
         features: DataFrame,
@@ -1183,6 +1225,59 @@ object ErQueries {
            |  damerau_levenshtein(pathA, pathB) AS dl_path,
            |  levenshtein(pathA, pathB) AS lev_path
            |FROM fsp ORDER BY idA, idB""".stripMargin,
+      // TF-IDF cosine fully re-derived: ids, tokens, tf, df, idf,
+      // norms, sparse dot — everything from the raw corpus dump
+      "er_tfidf_cosine" ->
+        s"""WITH corpus AS MATERIALIZED (
+           |  SELECT $idExpr AS id,
+           |         regexp_extract_all(lower(content), '[a-z0-9]+') AS toks
+           |  FROM $corpus),
+           |nn AS (SELECT count(*) AS n FROM corpus),
+           |tfc AS MATERIALIZED (
+           |  SELECT id, token, count(*) AS cnt
+           |  FROM (SELECT id, unnest(toks) AS token FROM corpus) GROUP BY 1, 2),
+           |dft AS MATERIALIZED (SELECT token, count(DISTINCT id) AS df FROM tfc GROUP BY 1),
+           |w AS MATERIALIZED (
+           |  SELECT id, token, cnt * ln(CAST(nn.n AS DOUBLE) / dft.df) AS w
+           |  FROM tfc JOIN dft USING (token) CROSS JOIN nn
+           |  WHERE cnt * ln(CAST(nn.n AS DOUBLE) / dft.df) > 0),
+           |nrm AS MATERIALIZED (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+           |fsp AS MATERIALIZED (
+           |  SELECT idA, idB FROM read_parquet('{OUT}/_aux/fs_pairs/*.parquet')),
+           |dot AS MATERIALIZED (
+           |  SELECT f.idA, f.idB, count(*) AS shared_tokens, sum(a.w * b.w) AS dot
+           |  FROM fsp f JOIN w a ON a.id = f.idA
+           |             JOIN w b ON b.id = f.idB AND b.token = a.token
+           |  GROUP BY 1, 2)
+           |SELECT f.idA, f.idB,
+           |  COALESCE(d.shared_tokens, 0) AS shared_tokens,
+           |  round(COALESCE(d.dot / (na.nrm * nb.nrm), 0.0), 6) AS cosine
+           |FROM fsp f
+           |LEFT JOIN dot d ON d.idA = f.idA AND d.idB = f.idB
+           |LEFT JOIN nrm na ON na.id = f.idA
+           |LEFT JOIN nrm nb ON nb.id = f.idB
+           |ORDER BY f.idA, f.idB""".stripMargin,
+      // Monge–Elkan recomputed with DuckDB's OWN jaro_winkler inside
+      // list_transform/list_max — same mean-of-max recurrence, fully
+      // independent inner comparator, same summation order
+      "er_monge_elkan" ->
+        s"""WITH corpus AS MATERIALIZED (
+           |  SELECT $idExpr AS id,
+           |         regexp_extract_all(lower(content), '[a-z0-9]+')[1:8] AS toks
+           |  FROM $corpus),
+           |fsp AS MATERIALIZED (
+           |  SELECT idA, idB FROM read_parquet('{OUT}/_aux/fs_pairs/*.parquet')),
+           |j AS (SELECT f.idA, f.idB, a.toks AS tA, b.toks AS tB
+           |      FROM fsp f JOIN corpus a ON a.id = f.idA
+           |                 JOIN corpus b ON b.id = f.idB)
+           |SELECT idA, idB,
+           |  round(list_aggregate(list_transform(tA, x ->
+           |    list_max(list_transform(tB, y -> jaro_winkler_similarity(x, y)))),
+           |    'sum') / len(tA), 6) AS me_ab,
+           |  round(list_aggregate(list_transform(tB, x ->
+           |    list_max(list_transform(tA, y -> jaro_winkler_similarity(x, y)))),
+           |    'sum') / len(tB), 6) AS me_ba
+           |FROM j ORDER BY idA, idB""".stripMargin,
       // B³ + ARI re-derived from the er_clusters dump and DuckDB's own
       // truth labels over the raw corpus: contingency table, marginals,
       // exact integer pair counts, final ratios at 6 dp

@@ -5,7 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name filter (builder-side
+    // fast iteration; the driver always passes exactly two args). With a
+    // filter, aux dumps are skipped — the full run has already written
+    // them — and oracle_sql.json still carries EVERY entry.
+    val (sfDir, outDir, only) = args match {
+      case Array(a, b)    => (a, b, None)
+      case Array(a, b, f) => (a, b, Some(f.split(",").toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,28 +22,31 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
-    }
     // auxiliary oracle inputs: the deterministic raw corpus, raw scoring
     // metrics, streaming match edges, and the dedup/ANN stage tables
     // (signatures, block keys, buckets, inverted-file assignments) — the
     // DuckDB oracle recomputes ids/hashes/rollups/pair-algebra/cosines
     // from these independently (many oracles read '{OUT}/...' paths)
-    Seq[(String, (SparkSession, String, String) => Unit)](
-      ("er", ErQueries.dumpAux), ("text", TextQueries.dumpAux),
-      ("sim", SimQueries.dumpAux),
-      ("sketch", SketchQueries.dumpAux),
-      ("dsketch", DsSketchQueries.dumpAux)).foreach { case (tag, dump) =>
-      try dump(spark, sfDir, outDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $tag aux dump failed: ${e.getMessage}")
+    if (only.isEmpty)
+      Seq[(String, (SparkSession, String, String) => Unit)](
+        ("er", ErQueries.dumpAux), ("text", TextQueries.dumpAux),
+        ("sim", SimQueries.dumpAux),
+        ("sketch", SketchQueries.dumpAux),
+        ("dsketch", DsSketchQueries.dumpAux)).foreach { case (tag, dump) =>
+        try dump(spark, sfDir, outDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $tag aux dump failed: ${e.getMessage}")
+        }
       }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
