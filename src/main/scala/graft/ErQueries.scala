@@ -632,6 +632,34 @@ object ErQueries {
           levenshtein(col("pathA"), col("pathB")).as("lev_path"))
         .orderBy(col("idA"), col("idB"))
     }),
+    // PPRL Bloom-filter encoding (Schnell et al. 2009 CLK): each
+    // member's path padded + bigrammed + hashed (k=4, xxhash64 family)
+    // into a packed 256-bit filter, candidate pairs compared by DICE
+    // with an integer-exact decision. The oracle recomputes nbits,
+    // intersection, dice, and the decision from the dumped packed words
+    // with DuckDB's OWN bit_count/& — the full comparator algebra; the
+    // encoding itself is golden-pinned in PprlSpec.
+    "er_pprl" -> ((s, dir) => {
+      val enc = Pprl.encode(Results.cached(s, dir).trees.toDF()
+        .select(col("id"), col("path").as("field")))
+      Pprl.dice(FsResults.cached(s, dir).features.select(col("idA"), col("idB")), enc)
+        .orderBy(col("idA"), col("idB"))
+    }),
+    // pivot correlation clustering (CC-Pivot via parallel greedy MIS
+    // rounds) over the SAME match edges the connected-components
+    // clustering consumes — the over-merge-resistant alternative
+    // (star neighborhoods of a pseudo-random pivot set, no transitive
+    // chaining). Deterministic under the shared π = md5(id)‖id order;
+    // the oracle replays the identical fixed-round chain in SQL from
+    // the dumped match edges, and sequential equivalence is
+    // differential-tested in PivotClusteringSpec.
+    "er_pivot_clusters" -> ((s, dir) => {
+      val r = pipeline(s, dir)
+      PivotClustering.cluster(
+        r.matches.select(col("idA").as("src"), col("idB").as("dst")),
+        r.trees.toDF().select(col("id")))
+        .orderBy(col("id"))
+    }),
     // TF-IDF cosine comparator (SoftTFIDF basis, Cohen et al. IIWeb'03)
     // over the candidate pairs' content tokens: corpus-level IDF, raw
     // term counts, sparse dot over shared tokens only (the 100 TB shape
@@ -926,6 +954,13 @@ object ErQueries {
     // checks the EM itself via the replayed-SQL-EM oracle)
     FsResults.cached(spark, sfDir).features
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/fs_pairs")
+    // packed PPRL bitset words (id, widx, word): the er_pprl oracle
+    // recomputes popcounts, pair intersections, dice, and decisions
+    // from these with DuckDB's own bit arithmetic
+    Pprl.encode(Results.cached(spark, sfDir).trees.toDF()
+        .select(col("id"), col("path").as("field")))
+      .select(col("id"), posexplode(col("bf")).as(Seq("widx", "word")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/pprl_words")
     locally {
       import spark.implicits._
       val ps = FsResults.cached(spark, sfDir).params
@@ -1225,6 +1260,73 @@ object ErQueries {
            |  damerau_levenshtein(pathA, pathB) AS dl_path,
            |  levenshtein(pathA, pathB) AS lev_path
            |FROM fsp ORDER BY idA, idB""".stripMargin,
+      // PPRL dice: popcounts, word-wise intersection, dice, and the
+      // integer-exact decision all recomputed from the dumped packed
+      // words with DuckDB's own two's-complement bit_count / &
+      "er_pprl" ->
+        s"""WITH wds AS MATERIALIZED (
+           |  SELECT * FROM read_parquet('{OUT}/_aux/pprl_words/*.parquet')),
+           |nbt AS MATERIALIZED (
+           |  SELECT id, CAST(sum(bit_count(word)) AS INT) AS nbits FROM wds GROUP BY 1),
+           |fsp AS MATERIALIZED (
+           |  SELECT idA, idB FROM read_parquet('{OUT}/_aux/fs_pairs/*.parquet')),
+           |i AS MATERIALIZED (
+           |  SELECT f.idA, f.idB, CAST(sum(bit_count(a.word & b.word)) AS INT) AS inter
+           |  FROM fsp f JOIN wds a ON a.id = f.idA
+           |             JOIN wds b ON b.id = f.idB AND b.widx = a.widx
+           |  GROUP BY 1, 2)
+           |SELECT f.idA, f.idB, i.inter, na.nbits AS na, nbb.nbits AS nb,
+           |  round(2.0 * i.inter / (na.nbits + nbb.nbits), 6) AS dice,
+           |  CAST(20 * i.inter >= 7 * (na.nbits + nbb.nbits) AS INT) AS is_match
+           |FROM fsp f
+           |JOIN i ON i.idA = f.idA AND i.idB = f.idB
+           |JOIN nbt na ON na.id = f.idA
+           |JOIN nbt nbb ON nbb.id = f.idB
+           |ORDER BY f.idA, f.idB""".stripMargin,
+      // CC-Pivot replayed as the identical fixed-round chain: π from
+      // DuckDB's own md5, MaxRounds unrolled local-minimum MIS rounds
+      // over the dumped match edges, π-minimum pivot assignment via
+      // arg_min, singletons from the raw corpus ids
+      "er_pivot_clusters" -> {
+        val rounds = (1 to PivotClustering.MaxRounds).map { k =>
+          s"""p$k AS MATERIALIZED (
+             |  SELECT u.id, u.pi, $k AS round FROM u${k - 1} u
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM adj a JOIN u${k - 1} w ON w.id = a.nb
+             |    WHERE a.id = u.id AND w.pi < u.pi)),
+             |u$k AS MATERIALIZED (
+             |  SELECT u.* FROM u${k - 1} u
+             |  WHERE u.id NOT IN (SELECT id FROM p$k)
+             |    AND u.id NOT IN (
+             |      SELECT a.id FROM adj a JOIN p$k p ON p.id = a.nb))""".stripMargin
+        }.mkString(",\n")
+        val allP = (1 to PivotClustering.MaxRounds)
+          .map(k => s"SELECT * FROM p$k").mkString(" UNION ALL ")
+        s"""WITH m AS MATERIALIZED (
+           |  SELECT idA, idB FROM read_parquet('{OUT}/er_matches/*.parquet')),
+           |adj AS MATERIALIZED (
+           |  SELECT idA AS id, idB AS nb FROM m
+           |  UNION ALL SELECT idB AS id, idA AS nb FROM m),
+           |u0 AS MATERIALIZED (
+           |  SELECT DISTINCT id, md5(id) || id AS pi FROM adj),
+           |$rounds,
+           |piv AS MATERIALIZED ($allP),
+           |assign AS MATERIALIZED (
+           |  SELECT a.id, substr(min(p.pi), 33) AS clusterId,
+           |         arg_min(p.round, p.pi) AS round
+           |  FROM adj a JOIN piv p ON p.id = a.nb
+           |  WHERE a.id NOT IN (SELECT id FROM piv)
+           |  GROUP BY a.id)
+           |SELECT id, clusterId, is_pivot, round FROM (
+           |  SELECT p.id, p.id AS clusterId, 1 AS is_pivot, p.round FROM piv p
+           |  UNION ALL
+           |  SELECT a.id, a.clusterId, 0 AS is_pivot, a.round FROM assign a
+           |  UNION ALL
+           |  SELECT c.id, c.id AS clusterId, 1 AS is_pivot, 0 AS round
+           |  FROM (SELECT $idExpr AS id FROM $corpus) c
+           |  WHERE c.id NOT IN (SELECT id FROM u0))
+           |ORDER BY id""".stripMargin
+      },
       // TF-IDF cosine fully re-derived: ids, tokens, tf, df, idf,
       // norms, sparse dot — everything from the raw corpus dump
       "er_tfidf_cosine" ->
