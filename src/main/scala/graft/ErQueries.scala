@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DamerauLevenshteinFn, JaroWinkler}
+import graft.functions.{AffineGapFn, AffineGapKernel, DamerauLevenshteinFn, JaroWinkler}
 import graft.operators._
 import graft.sources.CorpusGen
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -632,6 +632,26 @@ object ErQueries {
           levenshtein(col("pathA"), col("pathB")).as("lev_path"))
         .orderBy(col("idA"), col("idB"))
     }),
+    // affine-gap global edit distance (Gotoh 1982; the Bilenko–Mooney
+    // KDD'03 record-linkage comparator) over the candidate pairs'
+    // paths via the native codegen'd expression. No second engine
+    // implements it, so the oracle is an AXIOM CHECK in the
+    // er_mapping_valid style: the engine dumps all three DP matrices
+    // (D/P/Q per pair, _aux/ag_cells) and DuckDB re-verifies the
+    // borders, all three Gotoh recurrences cell-by-cell (three window
+    // passes — no joins), cell-count completeness, and takes the
+    // corner as ITS ag_path. Base cases + recurrence determine every
+    // cell uniquely, so a green row proves the whole DP; the verdict
+    // columns are literal true here and MEASURED there.
+    "er_affine_gap" -> ((s, dir) => {
+      AffineGapFn.register(s)
+      FsResults.cached(s, dir).features
+        .select(col("idA"), col("idB"),
+          AffineGapFn.affineGap(col("pathA"), col("pathB")).as("ag_path"),
+          lit(true).as("cells_complete"),
+          lit(true).as("recurrence_holds"))
+        .orderBy(col("idA"), col("idB"))
+    }),
     // PPRL Bloom-filter encoding (Schnell et al. 2009 CLK): each
     // member's path padded + bigrammed + hashed (k=4, xxhash64 family)
     // into a packed 256-bit filter, candidate pairs compared by DICE
@@ -961,6 +981,23 @@ object ErQueries {
         .select(col("id"), col("path").as("field")))
       .select(col("id"), posexplode(col("bf")).as(Seq("widx", "word")))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/pprl_words")
+    // full Gotoh D/P/Q matrices per candidate pair (INF encoded −1):
+    // the er_affine_gap oracle re-checks borders + all three
+    // recurrences cell-by-cell and reads the corner as the distance
+    locally {
+      import spark.implicits._
+      FsResults.cached(spark, sfDir).features
+        .select("idA", "idB", "pathA", "pathB")
+        .as[(String, String, String, String)]
+        .flatMap { case (ia, ib, pa, pb) =>
+          AffineGapKernel.matrix(
+              org.apache.spark.unsafe.types.UTF8String.fromString(pa),
+              org.apache.spark.unsafe.types.UTF8String.fromString(pb))
+            .map { case (i, j, dc, pc, qc) => (ia, ib, i, j, dc, pc, qc) }
+        }
+        .toDF("idA", "idB", "i", "j", "dc", "pc", "qc")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/ag_cells")
+    }
     locally {
       import spark.implicits._
       val ps = FsResults.cached(spark, sfDir).params
@@ -1260,6 +1297,79 @@ object ErQueries {
            |  damerau_levenshtein(pathA, pathB) AS dl_path,
            |  levenshtein(pathA, pathB) AS lev_path
            |FROM fsp ORDER BY idA, idB""".stripMargin,
+      // Gotoh affine-gap axiom check (constants interpolated from the
+      // ONE definition in AffineGapKernel): borders, all three
+      // recurrences via three window passes over the dumped matrices
+      // (lag within row / column / anti-diagonal gives the three
+      // neighbor cells — matrices have consecutive integer indices, so
+      // lag(1) IS the neighbor), completeness, and corner-as-distance
+      "er_affine_gap" -> {
+        val o = AffineGapKernel.GapOpen
+        val e = AffineGapKernel.GapExt
+        val sub = AffineGapKernel.SubCost
+        val oe = o + e
+        val big = 1073741823
+        s"""WITH fsp AS MATERIALIZED (
+           |  SELECT idA, idB, pathA, pathB
+           |  FROM read_parquet('{OUT}/_aux/fs_pairs/*.parquet')),
+           |c AS MATERIALIZED (
+           |  SELECT * FROM read_parquet('{OUT}/_aux/ag_cells/*.parquet')),
+           |n AS MATERIALIZED (
+           |  SELECT idA, idB, i, j, dc, pc, qc,
+           |    lag(dc) OVER w_row  AS d_left, lag(qc) OVER w_row  AS q_left,
+           |    lag(dc) OVER w_col  AS d_up,   lag(pc) OVER w_col  AS p_up,
+           |    lag(dc) OVER w_diag AS d_diag
+           |  FROM c
+           |  WINDOW
+           |    w_row  AS (PARTITION BY idA, idB, i ORDER BY j),
+           |    w_col  AS (PARTITION BY idA, idB, j ORDER BY i),
+           |    w_diag AS (PARTITION BY idA, idB, i - j ORDER BY i)),
+           |chk AS MATERIALIZED (
+           |  SELECT n.idA, n.idB,
+           |    min(CASE
+           |      WHEN n.i = 0 AND n.j = 0 THEN
+           |        n.dc = 0 AND n.pc = -1 AND n.qc = -1
+           |      WHEN n.j = 0 THEN
+           |        n.dc = $o + $e * n.i AND n.pc = n.dc AND n.qc = -1
+           |      WHEN n.i = 0 THEN
+           |        n.dc = $o + $e * n.j AND n.qc = n.dc AND n.pc = -1
+           |      ELSE
+           |        n.pc = least(
+           |            CASE WHEN n.d_up = -1 THEN $big ELSE n.d_up + $oe END,
+           |            CASE WHEN n.p_up = -1 THEN $big ELSE n.p_up + $e END)
+           |        AND n.qc = least(
+           |            CASE WHEN n.d_left = -1 THEN $big ELSE n.d_left + $oe END,
+           |            CASE WHEN n.q_left = -1 THEN $big ELSE n.q_left + $e END)
+           |        AND n.dc = least(
+           |            n.d_diag + CASE WHEN substr(f.pathA, n.i, 1)
+           |                              = substr(f.pathB, n.j, 1)
+           |                       THEN 0 ELSE $sub END,
+           |            least(n.pc, n.qc))
+           |      END) AS recurrence_holds
+           |  FROM n JOIN fsp f ON f.idA = n.idA AND f.idB = n.idB
+           |  GROUP BY 1, 2),
+           |agg AS MATERIALIZED (
+           |  SELECT c.idA, c.idB,
+           |    count(*) AS ncells,
+           |    count(DISTINCT [c.i, c.j]) AS ndistinct,
+           |    max(c.i) AS maxi, max(c.j) AS maxj
+           |  FROM c GROUP BY 1, 2),
+           |corner AS MATERIALIZED (
+           |  SELECT c.idA, c.idB, c.dc AS ag_path
+           |  FROM c JOIN fsp f ON f.idA = c.idA AND f.idB = c.idB
+           |  WHERE c.i = strlen(f.pathA) AND c.j = strlen(f.pathB))
+           |SELECT f.idA, f.idB, x.ag_path,
+           |  (a.ncells = (strlen(f.pathA) + 1) * (strlen(f.pathB) + 1)
+           |   AND a.ndistinct = a.ncells
+           |   AND a.maxi = strlen(f.pathA)
+           |   AND a.maxj = strlen(f.pathB)) AS cells_complete,
+           |  k.recurrence_holds
+           |FROM fsp f
+           |JOIN corner x ON x.idA = f.idA AND x.idB = f.idB
+           |JOIN agg a ON a.idA = f.idA AND a.idB = f.idB
+           |JOIN chk k ON k.idA = f.idA AND k.idB = f.idB
+           |ORDER BY f.idA, f.idB""".stripMargin
+      },
       // PPRL dice: popcounts, word-wise intersection, dice, and the
       // integer-exact decision all recomputed from the dumped packed
       // words with DuckDB's own two's-complement bit_count / &
