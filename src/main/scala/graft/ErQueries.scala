@@ -665,6 +665,48 @@ object ErQueries {
       Pprl.dice(FsResults.cached(s, dir).features.select(col("idA"), col("idB")), enc)
         .orderBy(col("idA"), col("idB"))
     }),
+    // PPRL completed into a PIPELINE: candidate generation happens in
+    // ENCODED space (Hamming-LSH bands over the COMPOSITE 1024-bit CLK
+    // — path grams + lang + content tokens field-tagged into one
+    // filter, the actual Schnell CLK design; Durham 2012's
+    // private-blocking shape) through the standard block
+    // algebra with oversized-block PURGING, then Dice on the
+    // survivors. The raw field is never touched past encode. The
+    // oracle recomputes the band keys
+    // bit-by-bit from the dumped packed words (positions interpolated
+    // from the ONE bandPositions definition), replays the purge + pair
+    // algebra, and redoes the Dice arithmetic.
+    "er_pprl_blocks" -> ((s, dir) => {
+      val enc = Pprl.encodeComposite(compositeClkDocs(s, dir),
+        Seq("pathGrams", "langElem", "contentToks"), Pprl.CompositeClk)
+      Pprl.dice(Pprl.encodedPairs(enc, clk = Pprl.CompositeClk), enc)
+        .orderBy(col("idA"), col("idB"))
+    }),
+    // encoded-space blocking quality: candidate volume + ground-truth
+    // duplicate recall of the Hamming-LSH channel (the er_blocking_
+    // recall diagnostic for the private pipeline — measured 1.0 at
+    // sf0.001 at ~0.7 % candidate volume on the composite CLK, see
+    // Pprl.HlshConfig)
+    "er_pprl_recall" -> ((s, dir) => {
+      val r = pipeline(s, dir)
+      val enc = Pprl.encodeComposite(compositeClkDocs(s, dir),
+        Seq("pathGrams", "langElem", "contentToks"), Pprl.CompositeClk)
+      val pairs = Pprl.encodedPairs(enc, clk = Pprl.CompositeClk)
+      val labels = r.trees.toDF().select(col("id"), col("groupId"))
+      val truth = labels.where(col("groupId") >= 0)
+        .groupBy(col("groupId")).agg(sort_array(collect_set(col("id"))).as("ids"))
+        .where(size(col("ids")) >= 2)
+        .select(explode(CandidateGen.pairwise(col("ids"),
+          (x, y) => struct(x.as("idA"), y.as("idB")))).as("p"))
+        .select(col("p.idA"), col("p.idB"))
+      val total = truth.agg(count(lit(1)).as("n_true_total"))
+      pairs.join(truth.withColumn("isDup", lit(true)), Seq("idA", "idB"), "left")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("isDup"), 1L).otherwise(0L)).as("n_true_captured"))
+        .crossJoin(broadcast(total))
+        .withColumn("recall",
+          round(col("n_true_captured") / col("n_true_total"), 6))
+    }),
     // pivot correlation clustering (CC-Pivot via parallel greedy MIS
     // rounds) over the SAME match edges the connected-components
     // clustering consumes — the over-merge-resistant alternative
@@ -789,6 +831,20 @@ object ErQueries {
     * corpus on the identity triple — the standard enrich join a
     * content-grain comparator pays at any scale (narrow id side shuffles
     * against the fat content side exactly once). */
+  /** The composite-CLK quasi-identifier set — path bigrams, language,
+    * content tokens — as element arrays, ONE definition shared by the
+    * er_pprl_blocks/er_pprl_recall queries and the pprl2_words aux
+    * dump so the encoded table and its oracle can never drift. */
+  private[graft] def compositeClkDocs(spark: SparkSession,
+                                      sfDir: String): DataFrame =
+    Results.cached(spark, sfDir).trees.toDF()
+      .select(col("id"), col("path"), col("lang"))
+      .join(contentDocs(spark, sfDir), Seq("id"))
+      .select(col("id"),
+        Pprl.grams(col("path")).as("pathGrams"),
+        array(lower(col("lang"))).as("langElem"),
+        TokenSim.tokens(col("content")).as("contentToks"))
+
   private[graft] def contentDocs(spark: SparkSession, sfDir: String): DataFrame =
     Results.cached(spark, sfDir).trees.toDF()
       .select(col("id"), col("repo"), col("path"), col("commit"))
@@ -981,7 +1037,14 @@ object ErQueries {
         .select(col("id"), col("path").as("field")))
       .select(col("id"), posexplode(col("bf")).as(Seq("widx", "word")))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/pprl_words")
-    // full Gotoh D/P/Q matrices per candidate pair (INF encoded −1):
+    // packed COMPOSITE CLK words (1024-bit: path grams + lang +
+    // content tokens): the er_pprl_blocks / er_pprl_recall oracles
+    // re-derive band keys, purge, pairs, and Dice from these
+    Pprl.encodeComposite(compositeClkDocs(spark, sfDir),
+        Seq("pathGrams", "langElem", "contentToks"), Pprl.CompositeClk)
+      .select(col("id"), posexplode(col("bf")).as(Seq("widx", "word")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/pprl2_words")
+    // full Gotoh D/P/Q matrices per candidate pair (INF encoded -1):
     // the er_affine_gap oracle re-checks borders + all three
     // recurrences cell-by-cell and reads the corner as the distance
     locally {
@@ -1162,6 +1225,39 @@ object ErQueries {
       s"""live0 AS MATERIALIZED (SELECT lft, rgt, w FROM edges),
          |$rounds,
          |matched AS MATERIALIZED ($union)""".stripMargin
+    }
+    // Hamming-LSH over the dumped CLK words, re-derived bit-by-bit:
+    // band keys from the SAME bandPositions constants (interpolated as
+    // literals), the oversized-block purge, and the a<b pair algebra —
+    // shared by er_pprl_blocks and er_pprl_recall
+    val pprlHlshCtes = {
+      val purge = Pprl.HlshConfig().purge
+      val nWords = Pprl.CompositeClk.bits / 64
+      val wordCols = (0 until nWords).map(i =>
+        s"    max(CASE WHEN widx = $i THEN word END) AS w$i").mkString(",\n")
+      val keyExprs = Pprl
+        .bandPositions(bits = Pprl.CompositeClk.bits)
+        .zipWithIndex.map { case (ps, t) =>
+          val bits = ps.zipWithIndex.map { case (p, s) =>
+            s"(((w${p / 64} >> ${p % 64}) & 1) << $s)"
+          }.mkString(" | ")
+          s"'$t:' || CAST(($bits) AS VARCHAR)"
+        }.mkString(",\n           |    ").stripMargin
+      s"""wds AS MATERIALIZED (
+         |  SELECT * FROM read_parquet('{OUT}/_aux/pprl2_words/*.parquet')),
+         |pk AS MATERIALIZED (
+         |  SELECT id,
+         |$wordCols
+         |  FROM wds GROUP BY 1),
+         |hkeys AS MATERIALIZED (
+         |  SELECT id, unnest([
+         |    $keyExprs]) AS key FROM pk),
+         |hk AS MATERIALIZED (
+         |  SELECT key, id FROM hkeys
+         |  QUALIFY count(*) OVER (PARTITION BY key) <= $purge),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.id AS idA, b.id AS idB
+         |  FROM hk a JOIN hk b ON a.key = b.key AND a.id < b.id)""".stripMargin
     }
     Map(
       "er_trees" ->
@@ -1393,6 +1489,44 @@ object ErQueries {
            |JOIN nbt na ON na.id = f.idA
            |JOIN nbt nbb ON nbb.id = f.idB
            |ORDER BY f.idA, f.idB""".stripMargin,
+      // encoded-space blocking + Dice fully replayed from the packed
+      // words: band keys bit-by-bit (shared CTEs), cap, pair algebra,
+      // then the same popcount/intersection/decision arithmetic
+      "er_pprl_blocks" ->
+        s"""WITH $pprlHlshCtes,
+           |nbt AS MATERIALIZED (
+           |  SELECT id, CAST(sum(bit_count(word)) AS INT) AS nbits FROM wds GROUP BY 1),
+           |i AS MATERIALIZED (
+           |  SELECT f.idA, f.idB, CAST(sum(bit_count(a.word & b.word)) AS INT) AS inter
+           |  FROM cand f JOIN wds a ON a.id = f.idA
+           |              JOIN wds b ON b.id = f.idB AND b.widx = a.widx
+           |  GROUP BY 1, 2)
+           |SELECT f.idA, f.idB, i.inter, na.nbits AS na, nbb.nbits AS nb,
+           |  round(2.0 * i.inter / (na.nbits + nbb.nbits), 6) AS dice,
+           |  CAST(20 * i.inter >= 7 * (na.nbits + nbb.nbits) AS INT) AS is_match
+           |FROM cand f
+           |JOIN i ON i.idA = f.idA AND i.idB = f.idB
+           |JOIN nbt na ON na.id = f.idA
+           |JOIN nbt nbb ON nbb.id = f.idB
+           |ORDER BY f.idA, f.idB""".stripMargin,
+      // Hamming-LSH channel quality: volume + truth recall, truth
+      // rebuilt from the raw corpus labels, candidates from the same
+      // bit-level key replay
+      "er_pprl_recall" ->
+        s"""WITH $pprlHlshCtes,
+           |labels AS MATERIALIZED (SELECT $idExpr AS id, groupId FROM $corpus),
+           |truth AS MATERIALIZED (
+           |  SELECT a.id AS idA, b.id AS idB FROM labels a JOIN labels b
+           |  ON a.groupId = b.groupId AND a.groupId >= 0 AND a.id < b.id),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_true_total FROM truth)
+           |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(CASE WHEN t.idA IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_true_captured,
+           |  tot.n_true_total,
+           |  round(CAST(sum(CASE WHEN t.idA IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / tot.n_true_total, 6) AS recall
+           |FROM cand LEFT JOIN truth t ON cand.idA = t.idA AND cand.idB = t.idB
+           |CROSS JOIN tot GROUP BY tot.n_true_total""".stripMargin,
       // CC-Pivot replayed as the identical fixed-round chain: π from
       // DuckDB's own md5, MaxRounds unrolled local-minimum MIS rounds
       // over the dumped match edges, π-minimum pivot assignment via

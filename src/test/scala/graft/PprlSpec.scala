@@ -62,6 +62,88 @@ class PprlSpec extends AnyFunSuite {
     }
   }
 
+  test("hlsh: band keys match first-principles bit sampling of the packed words") {
+    val s = spark; import s.implicits._
+    val enc = Pprl.encode(Seq(("x", "g1/m2.src")).toDF("id", "field"), cfg)
+    val bf = enc.select(col("bf")).as[Seq[Long]].collect()(0)
+    val got = Pprl.hlshKeys(enc).orderBy("key")
+      .select(col("key")).as[String].collect().toSeq
+    val expect = Pprl.bandPositions().zipWithIndex.map { case (ps, t) =>
+      val k = ps.zipWithIndex.map { case (p, sh) =>
+        ((bf(p / 64) >> (p % 64)) & 1L) << sh
+      }.reduce(_ | _)
+      s"$t:$k"
+    }.sorted
+    assert(got == expect)
+    assert(got.size == Pprl.HlshConfig().bands)
+  }
+
+  test("composite clk: field-tagged bit placement from first principles") {
+    val s = spark; import s.implicits._
+    val comp = Pprl.CompositeClk
+    val docs = Seq(("x", Seq("#a", "ab"), Seq("js"), Seq("def", "fn1")))
+      .toDF("id", "f0", "f1", "f2")
+    val enc = Pprl.encodeComposite(docs, Seq("f0", "f1", "f2"), comp).collect()(0)
+    val bf = enc.getAs[scala.collection.Seq[Long]]("bf")
+    assert(bf.size == comp.bits / 64)
+    // independent: raw xxhash64(fieldIdx, j, elem) mod bits
+    val elems = Seq(0 -> Seq("#a", "ab"), 1 -> Seq("js"), 2 -> Seq("def", "fn1"))
+    val expect = (for {
+      (f, es) <- elems; e <- es; j <- 0 until comp.k
+    } yield Seq((f, j, e)).toDF("f", "j", "e")
+      .select(pmod(xxhash64(col("f"), col("j"), col("e")), lit(comp.bits)).cast("int"))
+      .collect()(0).getInt(0)).distinct.sorted
+    val got = (0 until comp.bits)
+      .filter(p => ((bf(p / 64) >> (p % 64)) & 1L) == 1L)
+    assert(got == expect)
+    assert(enc.getAs[Int]("nbits") == expect.size)
+  }
+
+  test("hlsh blocking on the composite clk: planted dups recalled, volume pruned") {
+    val s = spark; import s.implicits._
+    val comp = Pprl.CompositeClk
+    val rng = new scala.util.Random(19)
+    def toks(n: Int) = Seq.fill(n)(s"w${rng.nextInt(400)}")
+    // 10 groups x 3 members: near-identical content (1 of ~40 tokens
+    // perturbed per member -> pairwise <= 2 token diffs), one-digit
+    // path diff, same lang — the corpus's dup shape (composite hamming
+    // well inside the tuned 10-35 envelope); 60 unrelated singletons
+    val groups = (0 until 10).map { g =>
+      val stem = s"grp$g/${rng.alphanumeric.take(8).mkString}"
+      val content = toks(40)
+      (0 until 3).map { m =>
+        val mutated = content.updated(rng.nextInt(40), s"m$g$m")
+        (s"g${g}_$m", s"${stem}_$m.src", "js", mutated)
+      }
+    }
+    val loners = (0 until 60).map { i =>
+      (s"lone_$i", s"q${rng.nextInt(1000)}/x_${rng.alphanumeric.take(6).mkString}.bin",
+        "py", toks(40))
+    }
+    val docs = (groups.flatten ++ loners)
+      .toDF("id", "path", "lang", "ctoks")
+      .select(col("id"), Pprl.grams(col("path")).as("f0"),
+        array(col("lang")).as("f1"), col("ctoks").as("f2"))
+    val enc = Pprl.encodeComposite(docs, Seq("f0", "f1", "f2"), comp)
+    val pairs = Pprl.encodedPairs(enc, clk = comp)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val truth = groups.flatMap { g =>
+      for (i <- g.indices; j <- (i + 1) until g.size)
+        yield if (g(i)._1 < g(j)._1) (g(i)._1, g(j)._1) else (g(j)._1, g(i)._1)
+    }.toSet
+    val recall = truth.count(pairs).toDouble / truth.size
+    assert(recall == 1.0, s"recall $recall over ${truth.size} planted pairs")
+    // blocking must prune hard: well under a tenth of all C(90,2) pairs
+    assert(pairs.size < 90 * 89 / 2 / 10, s"${pairs.size} candidates")
+    // identical composite CLKs share every band key -> must collide
+    val encIdent = Pprl.encodeComposite(
+      Seq(("a", Seq("#s", "sa"), Seq("js"), Seq("t1", "t2")),
+        ("b", Seq("#s", "sa"), Seq("js"), Seq("t1", "t2")))
+        .toDF("id", "f0", "f1", "f2"),
+      Seq("f0", "f1", "f2"), comp)
+    assert(Pprl.encodedPairs(encIdent, clk = comp).count() == 1L)
+  }
+
   test("determinism: same field -> identical bitset") {
     val s = spark; import s.implicits._
     val enc = Pprl.encode(Seq(("p", "g1/m2.src"), ("q", "g1/m2.src"))
