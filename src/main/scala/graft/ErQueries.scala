@@ -722,6 +722,38 @@ object ErQueries {
         r.trees.toDF().select(col("id")))
         .orderBy(col("id"))
     }),
+    // the two clustering strategies judged side by side on the SAME
+    // match graph: B³ P/R/F1 + ARI against ground truth (ClusterEval's
+    // one-shuffle contingency machinery, reused verbatim) plus the
+    // intra-cluster DISCORD count — same-cluster scored pairs the
+    // scorer called a non-match, the over-merge cost that transitive
+    // CC chains pay and CC-Pivot's star neighborhoods are designed to
+    // avoid. The oracle re-derives both metric rows from the two
+    // assignment dumps + its own truth labels + the er_scores dump.
+    "er_clustering_compare" -> ((s, dir) => {
+      val r = pipeline(s, dir)
+      val truth = r.trees.toDF().select(col("id"),
+        concat(lit("g"), col("groupId")).as("truthId"))
+      val pivot = PivotClustering.cluster(
+          r.matches.select(col("idA").as("src"), col("idB").as("dst")),
+          r.trees.toDF().select(col("id")))
+        .select(col("id"), col("clusterId"))
+      def discord(assign: DataFrame) = r.scores.toDF()
+        .join(assign.select(col("id").as("idA"), col("clusterId").as("cA")), "idA")
+        .join(assign.select(col("id").as("idB"), col("clusterId").as("cB")), "idB")
+        .where(col("cA") === col("cB"))
+        .agg(count(lit(1)).as("n_intra_scored"),
+          sum(when(!col("isMatch"), 1L).otherwise(0L)).as("n_discord"))
+      Seq("cc" -> r.clusters.toDF().select(col("id"), col("clusterId")),
+          "pivot" -> pivot)
+        .map { case (nm, a) =>
+          ClusterEval.evaluate(a, truth)
+            .select(lit(nm).as("method"), col("*"))
+            .crossJoin(broadcast(discord(a)))
+        }
+        .reduce(_ unionByName _)
+        .orderBy(col("method"))
+    }),
     // TF-IDF cosine comparator (SoftTFIDF basis, Cohen et al. IIWeb'03)
     // over the candidate pairs' content tokens: corpus-level IDF, raw
     // term counts, sparse dot over shared tokens only (the 100 TB shape
@@ -1570,6 +1602,57 @@ object ErQueries {
            |  FROM (SELECT $idExpr AS id FROM $corpus) c
            |  WHERE c.id NOT IN (SELECT id FROM u0))
            |ORDER BY id""".stripMargin
+      },
+      // both clustering strategies re-judged from their dumps: the full
+      // B³/ARI contingency algebra per method + the intra-cluster
+      // discord count from the er_scores dump, UNION'd
+      "er_clustering_compare" -> {
+        def one(src: String, m: String) =
+          s"""SELECT '$m' AS method, n, a_pairs, b_pairs, index_pairs,
+             |  b3_precision, b3_recall, b3_f1, ari, n_intra_scored, n_discord
+             |FROM (
+             |  WITH assign AS MATERIALIZED (
+             |    SELECT id, clusterId FROM read_parquet('{OUT}/$src/*.parquet')),
+             |  truthl AS (SELECT $idExpr AS id, 'g' || groupId AS truthId FROM $corpus),
+             |  ct AS MATERIALIZED (
+             |    SELECT a.clusterId, t.truthId, count(*) AS n_ct
+             |    FROM assign a JOIN truthl t ON a.id = t.id GROUP BY 1, 2),
+             |  c AS MATERIALIZED (SELECT clusterId, sum(n_ct) AS n_c FROM ct GROUP BY 1),
+             |  tt AS MATERIALIZED (SELECT truthId, sum(n_ct) AS n_t FROM ct GROUP BY 1),
+             |  cells AS (
+             |    SELECT CAST(sum(ct.n_ct) AS BIGINT) AS n,
+             |      CAST(sum((ct.n_ct * (ct.n_ct - 1)) // 2) AS BIGINT) AS index_pairs,
+             |      sum(ct.n_ct * ct.n_ct / CAST(c.n_c AS DOUBLE)) AS b3p_sum,
+             |      sum(ct.n_ct * ct.n_ct / CAST(tt.n_t AS DOUBLE)) AS b3r_sum
+             |    FROM ct JOIN c USING (clusterId) JOIN tt USING (truthId)),
+             |  ap AS (SELECT CAST(sum((n_c * (n_c - 1)) // 2) AS BIGINT) AS a_pairs FROM c),
+             |  bp AS (SELECT CAST(sum((n_t * (n_t - 1)) // 2) AS BIGINT) AS b_pairs FROM tt),
+             |  disc AS (
+             |    SELECT CAST(count(*) AS BIGINT) AS n_intra_scored,
+             |      CAST(sum(CASE WHEN NOT s.isMatch THEN 1 ELSE 0 END) AS BIGINT) AS n_discord
+             |    FROM read_parquet('{OUT}/er_scores/*.parquet') s
+             |    JOIN assign a ON a.id = s.idA JOIN assign b ON b.id = s.idB
+             |    WHERE a.clusterId = b.clusterId),
+             |  fin AS (
+             |    SELECT n, a_pairs, b_pairs, index_pairs, b3p_sum, b3r_sum,
+             |      CAST(a_pairs AS DOUBLE) * CAST(b_pairs AS DOUBLE)
+             |        / CAST((n * (n - 1)) // 2 AS DOUBLE) AS expected,
+             |      (a_pairs + b_pairs) / 2e0 AS max_idx
+             |    FROM cells CROSS JOIN ap CROSS JOIN bp)
+             |  SELECT n, a_pairs, b_pairs, index_pairs,
+             |    round(b3p_sum / n, 6) AS b3_precision,
+             |    round(b3r_sum / n, 6) AS b3_recall,
+             |    round(2e0 * (b3p_sum / n) * (b3r_sum / n)
+             |      / (b3p_sum / n + b3r_sum / n), 6) AS b3_f1,
+             |    CASE WHEN max_idx = expected THEN 1e0
+             |         ELSE round((index_pairs - expected) / (max_idx - expected), 6)
+             |         END AS ari,
+             |    disc.n_intra_scored, disc.n_discord
+             |  FROM fin CROSS JOIN disc)""".stripMargin
+        s"""${one("er_clusters", "cc")}
+           |UNION ALL
+           |${one("er_pivot_clusters", "pivot")}
+           |ORDER BY method""".stripMargin
       },
       // TF-IDF cosine fully re-derived: ids, tokens, tf, df, idf,
       // norms, sparse dot — everything from the raw corpus dump
