@@ -682,6 +682,24 @@ object ErQueries {
       Pprl.dice(Pprl.encodedPairs(enc, clk = Pprl.CompositeClk), enc)
         .orderBy(col("idA"), col("idB"))
     }),
+    // the STREAMING twin folded over three deterministic micro-batches
+    // (id-hash split): the purge-tombstone state machine must converge
+    // to the batch blocking EXACTLY — a block crossing the purge bound
+    // mid-stream retracts its pairs by construction (pairs are a view
+    // over alive blocks). Same oracle SQL as er_pprl_blocks: the fold
+    // has to land on the identical candidate set + Dice rows.
+    "er_pprl_stream" -> ((s, dir) => {
+      val enc = Pprl.encodeComposite(compositeClkDocs(s, dir),
+        Seq("pathGrams", "langElem", "contentToks"), Pprl.CompositeClk)
+      var st: Option[graft.streaming.StreamingPprl.State] = None
+      (0 until 3).foreach { b =>
+        val batch = enc.where(pmod(xxhash64(col("id")), lit(3)) === b)
+        st = Some(graft.streaming.StreamingPprl.foldBatch(s, st,
+          Pprl.hlshKeys(batch, Pprl.HlshConfig(), Pprl.CompositeClk)))
+      }
+      Pprl.dice(graft.streaming.StreamingPprl.pairs(st.get), enc)
+        .orderBy(col("idA"), col("idB"))
+    }),
     // encoded-space blocking quality: candidate volume + ground-truth
     // duplicate recall of the Hamming-LSH channel (the er_blocking_
     // recall diagnostic for the private pipeline — measured 1.0 at
@@ -1291,6 +1309,25 @@ object ErQueries {
          |  SELECT DISTINCT a.id AS idA, b.id AS idB
          |  FROM hk a JOIN hk b ON a.key = b.key AND a.id < b.id)""".stripMargin
     }
+    // encoded-space blocking + Dice fully replayed from the packed
+    // words — shared verbatim by er_pprl_blocks and its streaming twin
+    val pprlBlocksSql =
+      s"""WITH $pprlHlshCtes,
+         |nbt AS MATERIALIZED (
+         |  SELECT id, CAST(sum(bit_count(word)) AS INT) AS nbits FROM wds GROUP BY 1),
+         |i AS MATERIALIZED (
+         |  SELECT f.idA, f.idB, CAST(sum(bit_count(a.word & b.word)) AS INT) AS inter
+         |  FROM cand f JOIN wds a ON a.id = f.idA
+         |              JOIN wds b ON b.id = f.idB AND b.widx = a.widx
+         |  GROUP BY 1, 2)
+         |SELECT f.idA, f.idB, i.inter, na.nbits AS na, nbb.nbits AS nb,
+         |  round(2.0 * i.inter / (na.nbits + nbb.nbits), 6) AS dice,
+         |  CAST(20 * i.inter >= 7 * (na.nbits + nbb.nbits) AS INT) AS is_match
+         |FROM cand f
+         |JOIN i ON i.idA = f.idA AND i.idB = f.idB
+         |JOIN nbt na ON na.id = f.idA
+         |JOIN nbt nbb ON nbb.id = f.idB
+         |ORDER BY f.idA, f.idB""".stripMargin
     Map(
       "er_trees" ->
         s"""SELECT $idExpr AS id, lang, sha256(content) AS sha256
@@ -1521,26 +1558,10 @@ object ErQueries {
            |JOIN nbt na ON na.id = f.idA
            |JOIN nbt nbb ON nbb.id = f.idB
            |ORDER BY f.idA, f.idB""".stripMargin,
-      // encoded-space blocking + Dice fully replayed from the packed
-      // words: band keys bit-by-bit (shared CTEs), cap, pair algebra,
-      // then the same popcount/intersection/decision arithmetic
-      "er_pprl_blocks" ->
-        s"""WITH $pprlHlshCtes,
-           |nbt AS MATERIALIZED (
-           |  SELECT id, CAST(sum(bit_count(word)) AS INT) AS nbits FROM wds GROUP BY 1),
-           |i AS MATERIALIZED (
-           |  SELECT f.idA, f.idB, CAST(sum(bit_count(a.word & b.word)) AS INT) AS inter
-           |  FROM cand f JOIN wds a ON a.id = f.idA
-           |              JOIN wds b ON b.id = f.idB AND b.widx = a.widx
-           |  GROUP BY 1, 2)
-           |SELECT f.idA, f.idB, i.inter, na.nbits AS na, nbb.nbits AS nb,
-           |  round(2.0 * i.inter / (na.nbits + nbb.nbits), 6) AS dice,
-           |  CAST(20 * i.inter >= 7 * (na.nbits + nbb.nbits) AS INT) AS is_match
-           |FROM cand f
-           |JOIN i ON i.idA = f.idA AND i.idB = f.idB
-           |JOIN nbt na ON na.id = f.idA
-           |JOIN nbt nbb ON nbb.id = f.idB
-           |ORDER BY f.idA, f.idB""".stripMargin,
+      "er_pprl_blocks" -> pprlBlocksSql,
+      // the streaming fold must converge to the SAME candidate set +
+      // Dice rows — identical replayed SQL (the er_link_stream pattern)
+      "er_pprl_stream" -> pprlBlocksSql,
       // Hamming-LSH channel quality: volume + truth recall, truth
       // rebuilt from the raw corpus labels, candidates from the same
       // bit-level key replay

@@ -160,16 +160,24 @@ object Pprl {
   }
 
   /** Candidate pairs from the band keys with oversized-block PURGING:
-    * the per-key count runs as a window in the SAME key-partitioned
-    * exchange the pairing aggregate needs (one shuffle total), a block
-    * larger than `purge` is dropped whole, and survivors pair a<b
-    * through the sorted-set explode. At 100 TB the purge bound also
-    * caps the per-task explode fan-out at C(purge, 2). */
+    * a block whose DISTINCT membership exceeds `purge` is dropped
+    * whole, and survivors pair a<b through the sorted-set explode.
+    * Set semantics throughout (countDistinct, collect_set) so a
+    * duplicate (key, id) row can never change the purge decision —
+    * which also keeps this definition in lockstep with the streaming
+    * twin's array_union state ([[graft.streaming.StreamingPprl]]).
+    * The count runs as its own small aggregate joined back (rather
+    * than a window) so no task ever buffers a mega-block's full
+    * membership just to discover it must be dropped; the surviving
+    * collect_set is bounded by purge, and the explode fan-out by
+    * C(purge, 2). */
   def purgedPairs(keyed: DataFrame, purge: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    val keep = keyed.groupBy(col("key"))
+      .agg(countDistinct(col("id")).as("__n"))
+      .where(col("__n") <= purge)
+      .select(col("key"))
     keyed
-      .withColumn("__n", count(lit(1)).over(w))
-      .where(col("__n") <= purge).drop("__n")
+      .join(keep, Seq("key"), "left_semi")
       .groupBy(col("key"))
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")) >= 2)

@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.Pprl
+import graft.streaming.StreamingPprl
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming PPRL blocking: fold ≡ batch purgedPairs after EVERY batch
+  * (including the retraction case — a block crossing the purge bound
+  * mid-stream must take its previously-visible pairs with it), replay
+  * idempotency, dead-key monotonicity, and the live foreachBatch
+  * wiring through a real MemoryStream. */
+class StreamingPprlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import StreamingPprl._
+
+  private def keyed(rows: Seq[(String, String)]): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.toDF("key", "id")
+  }
+
+  private def pairSet(df: DataFrame): Set[(String, String)] =
+    df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+  private def batchPairs(rows: Seq[(String, String)], purge: Int) =
+    pairSet(Pprl.purgedPairs(keyed(rows), purge))
+
+  test("fold == batch after every batch; purge crossing RETRACTS pairs") {
+    val purge = 3
+    // key k grows 2 -> 4 members: alive (1 pair) after batch 1, dead
+    // (0 pairs) after batch 2; key q stays alive throughout
+    val b1 = Seq("k" -> "a", "k" -> "b", "q" -> "x", "q" -> "y")
+    val b2 = Seq("k" -> "c", "k" -> "d", "q" -> "z")
+    val st1 = foldBatch(spark, None, keyed(b1),
+      Pprl.HlshConfig(purge = purge))
+    assert(pairSet(pairs(st1)) == batchPairs(b1, purge))
+    assert(pairSet(pairs(st1)).contains(("a", "b")), "k visible before purge")
+    val st2 = foldBatch(spark, Some(st1), keyed(b2),
+      Pprl.HlshConfig(purge = purge))
+    val want2 = batchPairs(b1 ++ b2, purge)
+    assert(pairSet(pairs(st2)) == want2)
+    assert(!pairSet(pairs(st2)).exists(p => p._1 == "a" || p._2 == "b"),
+      "k's pairs retracted after crossing purge")
+    assert(want2 == Set(("x", "y"), ("x", "z"), ("y", "z")))
+  }
+
+  test("randomized prefix equivalence: 4 batches, fold == batch at every prefix") {
+    val rng = new scala.util.Random(23)
+    val purge = 4
+    val all = Seq.fill(120)((s"k${rng.nextInt(12)}", s"id${rng.nextInt(40)}"))
+    val batches = all.grouped(30).toSeq
+    var st: Option[State] = None
+    var seen = Seq.empty[(String, String)]
+    for (b <- batches) {
+      st = Some(foldBatch(spark, st, keyed(b), Pprl.HlshConfig(purge = purge)))
+      seen ++= b
+      assert(pairSet(pairs(st.get)) == batchPairs(seen, purge),
+        s"prefix of ${seen.size} rows")
+    }
+  }
+
+  test("replay idempotency: re-folding a batch is a no-op; dead keys stay dead") {
+    val purge = 2
+    val b1 = Seq("k" -> "a", "k" -> "b")
+    val b2 = Seq("k" -> "c")            // kills k (3 > 2)
+    val st1 = foldBatch(spark, None, keyed(b1), Pprl.HlshConfig(purge = purge))
+    val st1r = foldBatch(spark, Some(st1), keyed(b1), Pprl.HlshConfig(purge = purge))
+    assert(pairSet(pairs(st1r)) == pairSet(pairs(st1)))
+    val st2 = foldBatch(spark, Some(st1r), keyed(b2), Pprl.HlshConfig(purge = purge))
+    assert(pairSet(pairs(st2)).isEmpty)
+    // replay the killing batch, then add yet another member: still dead
+    val st2r = foldBatch(spark, Some(st2), keyed(b2), Pprl.HlshConfig(purge = purge))
+    val st3 = foldBatch(spark, Some(st2r), keyed(Seq("k" -> "a")),
+      Pprl.HlshConfig(purge = purge))
+    assert(pairSet(pairs(st3)).isEmpty)
+    val deadRow = st3.blocks.where(col("key") === "k").collect()(0)
+    assert(deadRow.getAs[Boolean]("dead"))
+    assert(deadRow.getAs[scala.collection.Seq[String]]("members").isEmpty,
+      "tombstone carries no members — state stays bounded")
+  }
+
+  test("foreachBatch wiring: MemoryStream-fed fold converges to the batch pairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val comp = Pprl.CompositeClk
+    val rng = new scala.util.Random(31)
+    def toks(n: Int) = Seq.fill(n)(s"w${rng.nextInt(300)}")
+    val docs = (0 until 8).flatMap { g =>
+      val content = toks(30)
+      (0 until 2).map(m =>
+        (s"g${g}_$m", s"d$g/f_$m.src", "js", content.updated(0, s"m$g$m")))
+    }
+    def keyedOf(df: DataFrame): DataFrame = {
+      val elems = df.select(col("id"), Pprl.grams(col("path")).as("f0"),
+        array(col("lang")).as("f1"), col("ctoks").as("f2"))
+      Pprl.hlshKeys(
+        Pprl.encodeComposite(elems, Seq("f0", "f1", "f2"), comp),
+        Pprl.HlshConfig(), comp)
+    }
+    @volatile var last: Option[State] = None
+    val ms = MemoryStream[(String, String, String, Seq[String])]
+    val q = StreamingPprl.start(spark,
+      ms.toDS().toDF("id", "path", "lang", "ctoks"),
+      keyedOf) { st => last = Some(st) }
+    try {
+      ms.addData(docs.take(6)); q.processAllAvailable()
+      ms.addData(docs.drop(6)); q.processAllAvailable()
+    } finally q.stop()
+    assert(last.get.batchesSeen == 2)
+    val want = pairSet(Pprl.purgedPairs(
+      keyedOf(docs.toDF("id", "path", "lang", "ctoks")),
+      Pprl.HlshConfig().purge))
+    assert(pairSet(pairs(last.get)) == want)
+    assert(want.nonEmpty, "the planted near-identical docs must pair")
+  }
+}
