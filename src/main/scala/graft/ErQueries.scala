@@ -404,7 +404,13 @@ object ErQueries {
           "id", Seq("nTokens", "id"), SnmWindow),
         "meta_kept" -> MetaBlocking.prune(
           MetaBlocking.pairWeights(keyed, cfg.maxBlockSize))
-          .where(col("kept")).select(col("idA"), col("idB")))
+          .where(col("kept")).select(col("idA"), col("idB")),
+        // the privacy-preserving channel: candidates found entirely in
+        // encoded space (composite-CLK Hamming-LSH, purged blocks)
+        "pprl_hlsh" -> Pprl.encodedPairs(
+          Pprl.encodeComposite(compositeClkDocs(s, dir),
+            Seq("pathGrams", "langElem", "contentToks"), Pprl.CompositeClk),
+          clk = Pprl.CompositeClk))
       val tagged = chans.map { case (nm, df) =>
         df.select(lit(nm).as("channel"), col("idA"), col("idB"))
       }.reduce(_ unionByName _)
@@ -2034,7 +2040,9 @@ object ErQueries {
            |  UNION ALL SELECT 'snm', idA, idB
            |  FROM read_parquet('{OUT}/er_snm_pairs/*.parquet')
            |  UNION ALL SELECT 'meta_kept', idA, idB
-           |  FROM read_parquet('{OUT}/er_meta_blocking/*.parquet') WHERE kept),
+           |  FROM read_parquet('{OUT}/er_meta_blocking/*.parquet') WHERE kept
+           |  UNION ALL SELECT 'pprl_hlsh', idA, idB
+           |  FROM read_parquet('{OUT}/er_pprl_blocks/*.parquet')),
            |agg AS (
            |  SELECT channel, CAST(count(*) AS BIGINT) AS n_pairs,
            |    CAST(sum(CASE WHEN t.idA IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)

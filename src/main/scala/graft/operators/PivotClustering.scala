@@ -58,12 +58,19 @@ object PivotClustering {
     * pivot's id and round is the 1-based MIS round that decided the
     * node's pivot (0 for isolated singletons). */
   def cluster(edges: DataFrame, nodes: DataFrame,
-              maxRounds: Int = MaxRounds): DataFrame = {
+              maxRounds: Int = MaxRounds,
+              onRound: (Int, Long, Long) => Unit = (_, _, _) => ()): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    val adj = edges.select($"src".as("id"), $"dst".as("nb"))
-      .union(edges.select($"dst".as("id"), $"src".as("nb")))
+    // a self-edge would deadlock the MIS (a node that is its own
+    // neighbor is never a STRICT pi-local-minimum, so it can neither be
+    // promoted nor killed) — match tables never contain them (idA <
+    // idB), but drop them defensively rather than loop to maxRounds
+    val adj = edges.where($"src" =!= $"dst")
+      .select($"src".as("id"), $"dst".as("nb"))
+      .union(edges.where($"src" =!= $"dst")
+        .select($"dst".as("id"), $"src".as("nb")))
       .localCheckpoint(true)
     var unknown = adj.select($"id").distinct()
       .withColumn("pi", piOf($"id")).localCheckpoint(true)
@@ -88,7 +95,9 @@ object PivotClustering {
         .join(piv.select($"id"), Seq("id"), "left_anti")
         .join(dead, Seq("id"), "left_anti")
         .localCheckpoint(true)
+      val nPiv = piv.count()
       nUnknown = unknown.count()
+      onRound(round, nPiv, nUnknown)
     }
     require(nUnknown == 0L,
       s"pivot MIS did not converge in $maxRounds rounds ($nUnknown undecided)")
