@@ -688,6 +688,37 @@ object ErQueries {
       Pprl.dice(Pprl.encodedPairs(enc, clk = Pprl.CompositeClk), enc)
         .orderBy(col("idA"), col("idB"))
     }),
+    // what privacy COSTS: the same candidate pairs decided twice — by
+    // the plaintext Fellegi–Sunter rule (full field access) and by the
+    // encoded-space Dice rule (sees only the CLK bitsets) — crossed
+    // with ground truth. The confusion table quantifies how much
+    // decision quality survives the encoding boundary; both inputs are
+    // independently oracle-verified dumps, and the oracle redoes the
+    // cross-tabulation itself.
+    "er_pprl_tradeoff" -> ((s, dir) => {
+      val fs = FsResults.cached(s, dir)
+      val pairs = fs.features.select(col("idA"), col("idB"))
+      val pathEnc = Pprl.encode(Results.cached(s, dir).trees.toDF()
+        .select(col("id"), col("path").as("field")))
+      val compEnc = Pprl.encodeComposite(compositeClkDocs(s, dir),
+        Seq("pathGrams", "langElem", "contentToks"), Pprl.CompositeClk)
+      val crossed = Seq("path_clk" -> pathEnc, "composite_clk" -> compEnc)
+        .map { case (nm, enc) =>
+          fs.weighted.select(col("idA"), col("idB"), col("decision"))
+            .join(Pprl.dice(pairs, enc)
+              .select(col("idA"), col("idB"), col("is_match").as("pprl_match")),
+              Seq("idA", "idB"))
+            .join(fs.features.select(col("idA"), col("idB"),
+              (col("gidA") === col("gidB") && col("gidA") >= 0).as("is_dup")),
+              Seq("idA", "idB"))
+            .groupBy(col("decision"), col("pprl_match"))
+            .agg(count(lit(1)).as("n_pairs"),
+              sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_true"))
+            .select(lit(nm).as("encoding"), col("*"))
+        }
+      crossed.reduce(_ unionByName _)
+        .orderBy(col("encoding"), col("decision"), col("pprl_match"))
+    }),
     // the STREAMING twin folded over three deterministic micro-batches
     // (id-hash split): the purge-tombstone state machine must converge
     // to the batch blocking EXACTLY — a block crossing the purge bound
@@ -1568,6 +1599,49 @@ object ErQueries {
       // the streaming fold must converge to the SAME candidate set +
       // Dice rows — identical replayed SQL (the er_link_stream pattern)
       "er_pprl_stream" -> pprlBlocksSql,
+      // plaintext-vs-encoded decision confusion, re-tabulated from the
+      // two independently-verified dumps + the pair truth labels
+      // plaintext-vs-encoded decision confusion for BOTH encodings:
+      // the path-CLK side reads the verified er_pprl dump; the
+      // composite side's Dice is re-derived from the pprl2 packed
+      // words with DuckDB's own bit arithmetic (same decision rule)
+      "er_pprl_tradeoff" ->
+        s"""WITH w AS MATERIALIZED (
+           |  SELECT idA, idB, decision
+           |  FROM read_parquet('{OUT}/er_fs_weights/*.parquet')),
+           |f AS MATERIALIZED (
+           |  SELECT idA, idB, (gidA = gidB AND gidA >= 0) AS is_dup
+           |  FROM read_parquet('{OUT}/_aux/fs_pairs/*.parquet')),
+           |p1 AS MATERIALIZED (
+           |  SELECT idA, idB, is_match
+           |  FROM read_parquet('{OUT}/er_pprl/*.parquet')),
+           |w2 AS MATERIALIZED (
+           |  SELECT * FROM read_parquet('{OUT}/_aux/pprl2_words/*.parquet')),
+           |nbt2 AS MATERIALIZED (
+           |  SELECT id, CAST(sum(bit_count(word)) AS INT) AS nbits
+           |  FROM w2 GROUP BY 1),
+           |p2 AS MATERIALIZED (
+           |  SELECT f.idA, f.idB,
+           |    CAST(20 * i.inter >= 7 * (na.nbits + nb.nbits) AS INT) AS is_match
+           |  FROM f
+           |  JOIN (SELECT f.idA, f.idB,
+           |          CAST(sum(bit_count(a.word & b.word)) AS INT) AS inter
+           |        FROM f JOIN w2 a ON a.id = f.idA
+           |               JOIN w2 b ON b.id = f.idB AND b.widx = a.widx
+           |        GROUP BY 1, 2) i ON i.idA = f.idA AND i.idB = f.idB
+           |  JOIN nbt2 na ON na.id = f.idA
+           |  JOIN nbt2 nb ON nb.id = f.idB),
+           |encs AS (
+           |  SELECT 'path_clk' AS encoding, idA, idB, is_match FROM p1
+           |  UNION ALL
+           |  SELECT 'composite_clk', idA, idB, is_match FROM p2)
+           |SELECT b.encoding, w.decision, b.is_match AS pprl_match,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(CASE WHEN f.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+           |FROM w
+           |JOIN encs b ON b.idA = w.idA AND b.idB = w.idB
+           |JOIN f ON f.idA = w.idA AND f.idB = w.idB
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
       // Hamming-LSH channel quality: volume + truth recall, truth
       // rebuilt from the raw corpus labels, candidates from the same
       // bit-level key replay
