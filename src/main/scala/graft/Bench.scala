@@ -85,6 +85,13 @@ object Bench {
       try { ErQueries.warmLink(spark, sfDir); true } catch { case _: Throwable => false }
     val linkSec = (System.nanoTime() - tLink) / 1e9
 
+    // and the PPRL layer (five er_pprl_* queries + the blocking-recall
+    // channel share both encodings and the encoded-space pairs)
+    val tPprl = System.nanoTime()
+    val pprlOk =
+      try { ErQueries.warmPprl(spark, sfDir); true } catch { case _: Throwable => false }
+    val pprlSec = (System.nanoTime() - tPprl) / 1e9
+
     // A failed query reports elapsed -1 so breakage is visible in the
     // JSON instead of silently polluting the totals.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -110,7 +117,8 @@ object Bench {
         s""","dstream_build_ok":$dstreamOk,"dsketch_build_sec":$dsSec""" +
         s""","dsketch_build_ok":$dsOk,"fs_build_sec":$fsSec""" +
         s""","fs_build_ok":$fsOk,"link_build_sec":$linkSec""" +
-        s""","link_build_ok":$linkOk,"failed":${failed.mkString("[", ",", "]")}""" +
+        s""","link_build_ok":$linkOk,"pprl_build_sec":$pprlSec""" +
+        s""","pprl_build_ok":$pprlOk,"failed":${failed.mkString("[", ",", "]")}""" +
         s""","pairs_scored":${scoring.pairs}""" +
         s""","score_wall_sec":${scoring.wallSec},"pairs_per_sec":${scoring.pairsPerSec}""" +
         s""","dp_cells_per_sec":${scoring.cellsPerSec}}""")

@@ -388,13 +388,7 @@ object ErQueries {
     // channel from its own dumped pair table.
     "er_blocking_recall" -> ((s, dir) => {
       val r = pipeline(s, dir)
-      val labels = r.trees.toDF().select(col("id"), col("groupId"))
-      val truth = labels.where(col("groupId") >= 0)
-        .groupBy(col("groupId")).agg(sort_array(collect_set(col("id"))).as("ids"))
-        .where(size(col("ids")) >= 2)
-        .select(explode(CandidateGen.pairwise(col("ids"),
-          (x, y) => struct(x.as("idA"), y.as("idB")))).as("p"))
-        .select(col("p.idA"), col("p.idB"))
+      val truth = truthPairs(r.trees.toDF().select(col("id"), col("groupId")))
       val cfg = Pipeline.Config().blocking
       val keyed = Blocking.keyedIds(r.trees, cfg)
       val chans = Seq(
@@ -407,10 +401,7 @@ object ErQueries {
           .where(col("kept")).select(col("idA"), col("idB")),
         // the privacy-preserving channel: candidates found entirely in
         // encoded space (composite-CLK Hamming-LSH, purged blocks)
-        "pprl_hlsh" -> Pprl.encodedPairs(
-          Pprl.encodeComposite(compositeClkDocs(s, dir),
-            Seq("pathGrams", "langElem", "contentToks"), Pprl.CompositeClk),
-          clk = Pprl.CompositeClk))
+        "pprl_hlsh" -> PprlResults.cached(s, dir).pairs)
       val tagged = chans.map { case (nm, df) =>
         df.select(lit(nm).as("channel"), col("idA"), col("idB"))
       }.reduce(_ unionByName _)
@@ -666,9 +657,8 @@ object ErQueries {
     // with DuckDB's OWN bit_count/& — the full comparator algebra; the
     // encoding itself is golden-pinned in PprlSpec.
     "er_pprl" -> ((s, dir) => {
-      val enc = Pprl.encode(Results.cached(s, dir).trees.toDF()
-        .select(col("id"), col("path").as("field")))
-      Pprl.dice(FsResults.cached(s, dir).features.select(col("idA"), col("idB")), enc)
+      Pprl.dice(FsResults.cached(s, dir).features.select(col("idA"), col("idB")),
+          PprlResults.cached(s, dir).pathEnc)
         .orderBy(col("idA"), col("idB"))
     }),
     // PPRL completed into a PIPELINE: candidate generation happens in
@@ -683,9 +673,8 @@ object ErQueries {
     // from the ONE bandPositions definition), replays the purge + pair
     // algebra, and redoes the Dice arithmetic.
     "er_pprl_blocks" -> ((s, dir) => {
-      val enc = Pprl.encodeComposite(compositeClkDocs(s, dir),
-        Seq("pathGrams", "langElem", "contentToks"), Pprl.CompositeClk)
-      Pprl.dice(Pprl.encodedPairs(enc, clk = Pprl.CompositeClk), enc)
+      val p = PprlResults.cached(s, dir)
+      Pprl.dice(p.pairs, p.compEnc)
         .orderBy(col("idA"), col("idB"))
     }),
     // what privacy COSTS: the same candidate pairs decided twice — by
@@ -698,11 +687,8 @@ object ErQueries {
     "er_pprl_tradeoff" -> ((s, dir) => {
       val fs = FsResults.cached(s, dir)
       val pairs = fs.features.select(col("idA"), col("idB"))
-      val pathEnc = Pprl.encode(Results.cached(s, dir).trees.toDF()
-        .select(col("id"), col("path").as("field")))
-      val compEnc = Pprl.encodeComposite(compositeClkDocs(s, dir),
-        Seq("pathGrams", "langElem", "contentToks"), Pprl.CompositeClk)
-      val crossed = Seq("path_clk" -> pathEnc, "composite_clk" -> compEnc)
+      val pr = PprlResults.cached(s, dir)
+      val crossed = Seq("path_clk" -> pr.pathEnc, "composite_clk" -> pr.compEnc)
         .map { case (nm, enc) =>
           fs.weighted.select(col("idA"), col("idB"), col("decision"))
             .join(Pprl.dice(pairs, enc)
@@ -726,12 +712,11 @@ object ErQueries {
     // over alive blocks). Same oracle SQL as er_pprl_blocks: the fold
     // has to land on the identical candidate set + Dice rows.
     "er_pprl_stream" -> ((s, dir) => {
-      val enc = Pprl.encodeComposite(compositeClkDocs(s, dir),
-        Seq("pathGrams", "langElem", "contentToks"), Pprl.CompositeClk)
+      val enc = PprlResults.cached(s, dir).compEnc
       var st: Option[graft.streaming.StreamingPprl.State] = None
       (0 until 3).foreach { b =>
         val batch = enc.where(pmod(xxhash64(col("id")), lit(3)) === b)
-        st = Some(graft.streaming.StreamingPprl.foldBatch(s, st,
+        st = Some(graft.streaming.StreamingPprl.foldBatch(st,
           Pprl.hlshKeys(batch, Pprl.HlshConfig(), Pprl.CompositeClk)))
       }
       Pprl.dice(graft.streaming.StreamingPprl.pairs(st.get), enc)
@@ -744,16 +729,8 @@ object ErQueries {
     // Pprl.HlshConfig)
     "er_pprl_recall" -> ((s, dir) => {
       val r = pipeline(s, dir)
-      val enc = Pprl.encodeComposite(compositeClkDocs(s, dir),
-        Seq("pathGrams", "langElem", "contentToks"), Pprl.CompositeClk)
-      val pairs = Pprl.encodedPairs(enc, clk = Pprl.CompositeClk)
-      val labels = r.trees.toDF().select(col("id"), col("groupId"))
-      val truth = labels.where(col("groupId") >= 0)
-        .groupBy(col("groupId")).agg(sort_array(collect_set(col("id"))).as("ids"))
-        .where(size(col("ids")) >= 2)
-        .select(explode(CandidateGen.pairwise(col("ids"),
-          (x, y) => struct(x.as("idA"), y.as("idB")))).as("p"))
-        .select(col("p.idA"), col("p.idB"))
+      val pairs = PprlResults.cached(s, dir).pairs
+      val truth = truthPairs(r.trees.toDF().select(col("id"), col("groupId")))
       val total = truth.agg(count(lit(1)).as("n_true_total"))
       pairs.join(truth.withColumn("isDup", lit(true)), Seq("idA", "idB"), "left")
         .agg(count(lit(1)).as("n_pairs"),
@@ -918,10 +895,16 @@ object ErQueries {
     * corpus on the identity triple — the standard enrich join a
     * content-grain comparator pays at any scale (narrow id side shuffles
     * against the fat content side exactly once). */
+  private[graft] def contentDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Results.cached(spark, sfDir).trees.toDF()
+      .select(col("id"), col("repo"), col("path"), col("commit"))
+      .join(CorpusGen.corpus(spark, sfDir).toDF(), Seq("repo", "path", "commit"))
+      .select(col("id"), col("content"))
+
   /** The composite-CLK quasi-identifier set — path bigrams, language,
     * content tokens — as element arrays, ONE definition shared by the
-    * er_pprl_blocks/er_pprl_recall queries and the pprl2_words aux
-    * dump so the encoded table and its oracle can never drift. */
+    * er_pprl_* queries and the pprl2_words aux dump so the encoded
+    * table and its oracle can never drift. */
   private[graft] def compositeClkDocs(spark: SparkSession,
                                       sfDir: String): DataFrame =
     Results.cached(spark, sfDir).trees.toDF()
@@ -932,11 +915,44 @@ object ErQueries {
         array(lower(col("lang"))).as("langElem"),
         TokenSim.tokens(col("content")).as("contentToks"))
 
-  private[graft] def contentDocs(spark: SparkSession, sfDir: String): DataFrame =
-    Results.cached(spark, sfDir).trees.toDF()
-      .select(col("id"), col("repo"), col("path"), col("commit"))
-      .join(CorpusGen.corpus(spark, sfDir).toDF(), Seq("repo", "path", "commit"))
-      .select(col("id"), col("content"))
+  /** PPRL layer, computed once per (session, sfDir): both encodings
+    * persisted and the encoded-space candidate pairs — five queries
+    * (er_pprl_blocks/recall/stream/tradeoff + the er_blocking_recall
+    * pprl channel) share it, so Bench warms it as its own
+    * pprl_build_sec line instead of every query re-encoding. */
+  private[graft] object PprlResults {
+    final case class P(pathEnc: DataFrame, compEnc: DataFrame,
+                       pairs: DataFrame)
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), P]
+    def cached(spark: SparkSession, sfDir: String): P =
+      cache.getOrElseUpdate((spark, sfDir), {
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val pathEnc = Pprl.encode(Results.cached(spark, sfDir).trees.toDF()
+          .select(col("id"), col("path").as("field"))).persist(lvl)
+        val compEnc = Pprl.encodeComposite(compositeClkDocs(spark, sfDir),
+          Seq("pathGrams", "langElem", "contentToks"), Pprl.CompositeClk)
+          .persist(lvl)
+        val pairs = Pprl.encodedPairs(compEnc, clk = Pprl.CompositeClk)
+          .persist(lvl)
+        P(pathEnc, compEnc, pairs)
+      })
+  }
+
+  def warmPprl(spark: SparkSession, sfDir: String): Unit = {
+    val p = PprlResults.cached(spark, sfDir)
+    p.pathEnc.count(); p.compEnc.count(); p.pairs.count()
+  }
+
+  /** Ground-truth duplicate pairs (idA < idB) from the corpus labels —
+    * the ONE definition er_blocking_recall and er_pprl_recall share. */
+  private def truthPairs(labels: DataFrame): DataFrame =
+    labels.where(col("groupId") >= 0)
+      .groupBy(col("groupId")).agg(sort_array(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(explode(CandidateGen.pairwise(col("ids"),
+        (x, y) => struct(x.as("idA"), y.as("idB")))).as("p"))
+      .select(col("p.idA"), col("p.idB"))
 
   private[graft] object FsResults {
     final case class Fs(
@@ -1120,15 +1136,13 @@ object ErQueries {
     // packed PPRL bitset words (id, widx, word): the er_pprl oracle
     // recomputes popcounts, pair intersections, dice, and decisions
     // from these with DuckDB's own bit arithmetic
-    Pprl.encode(Results.cached(spark, sfDir).trees.toDF()
-        .select(col("id"), col("path").as("field")))
+    PprlResults.cached(spark, sfDir).pathEnc
       .select(col("id"), posexplode(col("bf")).as(Seq("widx", "word")))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/pprl_words")
     // packed COMPOSITE CLK words (1024-bit: path grams + lang +
     // content tokens): the er_pprl_blocks / er_pprl_recall oracles
     // re-derive band keys, purge, pairs, and Dice from these
-    Pprl.encodeComposite(compositeClkDocs(spark, sfDir),
-        Seq("pathGrams", "langElem", "contentToks"), Pprl.CompositeClk)
+    PprlResults.cached(spark, sfDir).compEnc
       .select(col("id"), posexplode(col("bf")).as(Seq("widx", "word")))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/pprl2_words")
     // full Gotoh D/P/Q matrices per candidate pair (INF encoded -1):
@@ -1564,7 +1578,13 @@ object ErQueries {
            |  (a.ncells = (strlen(f.pathA) + 1) * (strlen(f.pathB) + 1)
            |   AND a.ndistinct = a.ncells
            |   AND a.maxi = strlen(f.pathA)
-           |   AND a.maxj = strlen(f.pathB)) AS cells_complete,
+           |   AND a.maxj = strlen(f.pathB)
+           |   -- the kernel DP is byte-wise while the recurrence check
+           |   -- above compares CHARACTERS via substr; they agree only
+           |   -- on single-byte (ASCII) paths, so that precondition is
+           |   -- itself a verified claim: bytes == chars per path
+           |   AND strlen(f.pathA) = length(f.pathA)
+           |   AND strlen(f.pathB) = length(f.pathB)) AS cells_complete,
            |  k.recurrence_holds
            |FROM fsp f
            |JOIN corner x ON x.idA = f.idA AND x.idB = f.idB
@@ -1645,21 +1665,23 @@ object ErQueries {
       // Hamming-LSH channel quality: volume + truth recall, truth
       // rebuilt from the raw corpus labels, candidates from the same
       // bit-level key replay
+      // one row ALWAYS — a global aggregate with tot as a scalar
+      // subquery, so an empty candidate set still yields the
+      // n_pairs=0 diagnostic row the engine emits (NULL-propagating
+      // sum mirrors Spark's empty-aggregate semantics)
       "er_pprl_recall" ->
         s"""WITH $pprlHlshCtes,
            |labels AS MATERIALIZED (SELECT $idExpr AS id, groupId FROM $corpus),
            |truth AS MATERIALIZED (
            |  SELECT a.id AS idA, b.id AS idB FROM labels a JOIN labels b
-           |  ON a.groupId = b.groupId AND a.groupId >= 0 AND a.id < b.id),
-           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_true_total FROM truth)
-           |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |  ON a.groupId = b.groupId AND a.groupId >= 0 AND a.id < b.id)
+           |SELECT CAST(count(cand.idA) AS BIGINT) AS n_pairs,
            |  CAST(sum(CASE WHEN t.idA IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
            |    AS n_true_captured,
-           |  tot.n_true_total,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_total,
            |  round(CAST(sum(CASE WHEN t.idA IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-           |    / tot.n_true_total, 6) AS recall
-           |FROM cand LEFT JOIN truth t ON cand.idA = t.idA AND cand.idB = t.idB
-           |CROSS JOIN tot GROUP BY tot.n_true_total""".stripMargin,
+           |    / (SELECT count(*) FROM truth), 6) AS recall
+           |FROM cand LEFT JOIN truth t ON cand.idA = t.idA AND cand.idB = t.idB""".stripMargin,
       // CC-Pivot replayed as the identical fixed-round chain: π from
       // DuckDB's own md5, MaxRounds unrolled local-minimum MIS rounds
       // over the dumped match edges, π-minimum pivot assignment via

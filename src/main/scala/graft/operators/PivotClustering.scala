@@ -59,7 +59,7 @@ object PivotClustering {
     * node's pivot (0 for isolated singletons). */
   def cluster(edges: DataFrame, nodes: DataFrame,
               maxRounds: Int = MaxRounds,
-              onRound: (Int, Long, Long) => Unit = (_, _, _) => ()): DataFrame = {
+              onRound: Option[(Int, Long, Long) => Unit] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -95,9 +95,10 @@ object PivotClustering {
         .join(piv.select($"id"), Seq("id"), "left_anti")
         .join(dead, Seq("id"), "left_anti")
         .localCheckpoint(true)
-      val nPiv = piv.count()
       nUnknown = unknown.count()
-      onRound(round, nPiv, nUnknown)
+      // the pivot count is one extra Spark job per round — pay it only
+      // when a caller actually instruments the rounds
+      onRound.foreach(f => f(round, piv.count(), nUnknown))
     }
     require(nUnknown == 0L,
       s"pivot MIS did not converge in $maxRounds rounds ($nUnknown undecided)")

@@ -148,6 +148,14 @@ object Pprl {
     * words, codegen'd, one row per (id, band). */
   def hlshKeys(encoded: DataFrame, cfg: HlshConfig = HlshConfig(),
                clk: ClkConfig = ClkConfig()): DataFrame = {
+    // a clk narrower than the actual filter would silently sample only
+    // its first words (e.g. 4 of the composite's 16) and degrade
+    // blocking to the seed-fragile low-entropy regime — fail loudly
+    // instead (assert_true is codegen'd, one comparison per row)
+    val widthChecked = encoded.withColumn("__w",
+      assert_true(size(col("bf")) === lit(clk.bits / 64),
+        lit(s"CLK width mismatch: filter is not ${clk.bits} bits — " +
+          "pass the clk the table was encoded with")))
     val keyCols = bandPositions(cfg, clk.bits).zipWithIndex.map { case (ps, t) =>
       val k = ps.zipWithIndex.map { case (p, s) =>
         shiftleft(
@@ -156,7 +164,9 @@ object Pprl {
       }.reduce(_ bitwiseOR _)
       concat(lit(s"$t:"), k.cast("string"))
     }
-    encoded.select(col("id"), explode(array(keyCols: _*)).as("key"))
+    widthChecked.select(col("id"), col("__w"),
+        explode(array(keyCols: _*)).as("key"))
+      .drop("__w")
   }
 
   /** Candidate pairs from the band keys with oversized-block PURGING:

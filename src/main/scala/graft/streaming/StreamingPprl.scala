@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.{CandidateGen, Pprl}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -69,8 +69,7 @@ object StreamingPprl {
     * ((key, id), e.g. `Pprl.hlshKeys(encodedBatch, cfg, clk)`). The
     * returned state's blocks are eagerly checkpointed so lineage never
     * chains across batches. */
-  def foldBatch(spark: SparkSession, prev: Option[State],
-                newKeyed: DataFrame,
+  def foldBatch(prev: Option[State], newKeyed: DataFrame,
                 cfg: Pprl.HlshConfig = Pprl.HlshConfig()): State = {
     val blocks = foldBlocks(prev.map(_.blocks), newKeyed, cfg.purge)
       .localCheckpoint(true)
@@ -89,7 +88,7 @@ object StreamingPprl {
 
   /** foreachBatch wiring over a stream of documents already encoded to
     * band keys (key, id). */
-  def start[T](spark: SparkSession, stream: Dataset[T],
+  def start[T](stream: Dataset[T],
                toKeyed: DataFrame => DataFrame,
                cfg: Pprl.HlshConfig = Pprl.HlshConfig())(
                onBatch: State => Unit): StreamingQuery = {
@@ -97,7 +96,7 @@ object StreamingPprl {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[T], _: Long) =>
-        val next = foldBatch(spark, state, toKeyed(batch.toDF()), cfg)
+        val next = foldBatch(state, toKeyed(batch.toDF()), cfg)
         state = Some(next)
         onBatch(next)
       }

@@ -57,7 +57,7 @@ object DrivePivotScale {
       val t0 = System.nanoTime()
       val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
       val out = PivotClustering.cluster(edges, nodeIds, maxRounds = 64,
-        onRound = (r, piv, undec) => rounds += ((r, piv, undec)))
+        onRound = Some((r, piv, undec) => rounds += ((r, piv, undec))))
       val nAssigned = out.count()
       val wall = (System.nanoTime() - t0) / 1e9
       rounds.foreach { case (r, piv, undec) =>

@@ -32,11 +32,11 @@ class StreamingPprlSpec extends AnyFunSuite {
     // (0 pairs) after batch 2; key q stays alive throughout
     val b1 = Seq("k" -> "a", "k" -> "b", "q" -> "x", "q" -> "y")
     val b2 = Seq("k" -> "c", "k" -> "d", "q" -> "z")
-    val st1 = foldBatch(spark, None, keyed(b1),
+    val st1 = foldBatch(None, keyed(b1),
       Pprl.HlshConfig(purge = purge))
     assert(pairSet(pairs(st1)) == batchPairs(b1, purge))
     assert(pairSet(pairs(st1)).contains(("a", "b")), "k visible before purge")
-    val st2 = foldBatch(spark, Some(st1), keyed(b2),
+    val st2 = foldBatch(Some(st1), keyed(b2),
       Pprl.HlshConfig(purge = purge))
     val want2 = batchPairs(b1 ++ b2, purge)
     assert(pairSet(pairs(st2)) == want2)
@@ -53,7 +53,7 @@ class StreamingPprlSpec extends AnyFunSuite {
     var st: Option[State] = None
     var seen = Seq.empty[(String, String)]
     for (b <- batches) {
-      st = Some(foldBatch(spark, st, keyed(b), Pprl.HlshConfig(purge = purge)))
+      st = Some(foldBatch(st, keyed(b), Pprl.HlshConfig(purge = purge)))
       seen ++= b
       assert(pairSet(pairs(st.get)) == batchPairs(seen, purge),
         s"prefix of ${seen.size} rows")
@@ -64,14 +64,14 @@ class StreamingPprlSpec extends AnyFunSuite {
     val purge = 2
     val b1 = Seq("k" -> "a", "k" -> "b")
     val b2 = Seq("k" -> "c")            // kills k (3 > 2)
-    val st1 = foldBatch(spark, None, keyed(b1), Pprl.HlshConfig(purge = purge))
-    val st1r = foldBatch(spark, Some(st1), keyed(b1), Pprl.HlshConfig(purge = purge))
+    val st1 = foldBatch(None, keyed(b1), Pprl.HlshConfig(purge = purge))
+    val st1r = foldBatch(Some(st1), keyed(b1), Pprl.HlshConfig(purge = purge))
     assert(pairSet(pairs(st1r)) == pairSet(pairs(st1)))
-    val st2 = foldBatch(spark, Some(st1r), keyed(b2), Pprl.HlshConfig(purge = purge))
+    val st2 = foldBatch(Some(st1r), keyed(b2), Pprl.HlshConfig(purge = purge))
     assert(pairSet(pairs(st2)).isEmpty)
     // replay the killing batch, then add yet another member: still dead
-    val st2r = foldBatch(spark, Some(st2), keyed(b2), Pprl.HlshConfig(purge = purge))
-    val st3 = foldBatch(spark, Some(st2r), keyed(Seq("k" -> "a")),
+    val st2r = foldBatch(Some(st2), keyed(b2), Pprl.HlshConfig(purge = purge))
+    val st3 = foldBatch(Some(st2r), keyed(Seq("k" -> "a")),
       Pprl.HlshConfig(purge = purge))
     assert(pairSet(pairs(st3)).isEmpty)
     val deadRow = st3.blocks.where(col("key") === "k").collect()(0)
@@ -101,7 +101,7 @@ class StreamingPprlSpec extends AnyFunSuite {
     }
     @volatile var last: Option[State] = None
     val ms = MemoryStream[(String, String, String, Seq[String])]
-    val q = StreamingPprl.start(spark,
+    val q = StreamingPprl.start(
       ms.toDS().toDF("id", "path", "lang", "ctoks"),
       keyedOf) { st => last = Some(st) }
     try {
