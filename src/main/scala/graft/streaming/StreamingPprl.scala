@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.{CandidateGen, Pprl}
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -85,6 +85,35 @@ object StreamingPprl {
         (x, y) => struct(x.as("idA"), y.as("idB")))).as("p"))
       .select(col("p.idA"), col("p.idB"))
       .distinct()
+
+  /** Durable fold: each batch resumes from the latest COMPLETE block
+    * generation in storage (TableIO `_SUCCESS`-gated) and writes the
+    * next — a crash between batches loses nothing, a half-written
+    * generation is refused on resume and overwritten by the retry,
+    * and at-least-once redelivery is idempotent because the fold is
+    * (set-union state). The returned state's blocks read back FROM
+    * storage, so lineage is cut at the table and the next fold's
+    * full-outer join starts from persisted data — the same
+    * generation discipline as [[StreamingLink.updateDurable]] /
+    * [[StreamingDedup.processBatchBucketed]]. */
+  def updateDurable(spark: SparkSession, newKeyed: DataFrame,
+                    io: graft.sources.TableIO, prefix: String = "spprl",
+                    cfg: Pprl.HlshConfig = Pprl.HlshConfig()): State = {
+    val (prev, k) = resumeState(spark, io, prefix)
+    val next = foldBatch(prev, newKeyed, cfg)
+    io.write(next.blocks, s"${prefix}_blocks_b$k")
+    State(io.read(spark, s"${prefix}_blocks_b$k"), k + 1)
+  }
+
+  /** Latest complete generation under `prefix` rebuilt as a State,
+    * plus the generation index the NEXT batch writes. */
+  def resumeState(spark: SparkSession, io: graft.sources.TableIO,
+                  prefix: String): (Option[State], Int) = {
+    var k = 0
+    while (io.exists(spark, s"${prefix}_blocks_b$k")) k += 1
+    if (k == 0) (None, 0)
+    else (Some(State(io.read(spark, s"${prefix}_blocks_b${k - 1}"), k)), k)
+  }
 
   /** foreachBatch wiring over a stream of documents already encoded to
     * band keys (key, id). */

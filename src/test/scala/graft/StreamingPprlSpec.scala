@@ -80,6 +80,34 @@ class StreamingPprlSpec extends AnyFunSuite {
       "tombstone carries no members — state stays bounded")
   }
 
+  test("durable fold: kill-and-resume, half-written generation refused, purge crossing survives restart") {
+    val purge = 3
+    val root = java.nio.file.Files.createTempDirectory("graft_spprl").toString
+    val io = new graft.sources.ParquetTableIO(root)
+    val b1 = Seq("k" -> "a", "k" -> "b", "q" -> "x", "q" -> "y")
+    val b2 = Seq("k" -> "c", "k" -> "d", "q" -> "z")   // kills k across the restart
+    updateDurable(spark, keyed(b1), io, cfg = Pprl.HlshConfig(purge = purge))
+    // "crash": everything below resumes purely from storage
+    val (resumed, k1) = resumeState(spark, io, "spprl")
+    assert(k1 == 1 && resumed.get.batchesSeen == 1)
+    assert(pairSet(pairs(resumed.get)) == batchPairs(b1, purge))
+    // a half-written generation (no _SUCCESS) must be refused on
+    // resume and overwritten by the retried batch
+    io.write(keyed(b2), "spprl_blocks_b1")
+    val succ = new org.apache.hadoop.fs.Path(s"$root/spprl_blocks_b1/_SUCCESS")
+    succ.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(succ, false)
+    val (afterCrash, k2) = resumeState(spark, io, "spprl")
+    assert(k2 == 1 && afterCrash.get.batchesSeen == 1, "half generation must not resume")
+    val st2 = updateDurable(spark, keyed(b2), io, cfg = Pprl.HlshConfig(purge = purge))
+    assert(st2.batchesSeen == 2)
+    assert(pairSet(pairs(st2)) == batchPairs(b1 ++ b2, purge))
+    assert(!pairSet(pairs(st2)).contains(("a", "b")),
+      "purge crossing retracts across the restart boundary")
+    // the on-disk generation reads back complete and identical
+    val (fin, k3) = resumeState(spark, io, "spprl")
+    assert(k3 == 2 && pairSet(pairs(fin.get)) == pairSet(pairs(st2)))
+  }
+
   test("foreachBatch wiring: MemoryStream-fed fold converges to the batch pairs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark; import s.implicits._
