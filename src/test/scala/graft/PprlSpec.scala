@@ -144,6 +144,27 @@ class PprlSpec extends AnyFunSuite {
     assert(Pprl.encodedPairs(encIdent, clk = comp).count() == 1L)
   }
 
+  test("plan lock: purge decides from a map-side-partial distinct count, no cartesian") {
+    val s = spark; import s.implicits._
+    val keyed = Seq(("k1", "a"), ("k1", "b"), ("k2", "c")).toDF("key", "id")
+      .repartition(2)
+    val plan = Pprl.purgedPairs(keyed, 4)
+      .queryExecution.executedPlan.toString
+    // the mega-block guard: the count side must partial-aggregate
+    // map-side (one counter per key per partition crosses the wire,
+    // never a block's member rows) and prune via a semi-join
+    assert(plan.contains("partial_count(distinct"),
+      s"purge count must be a map-side partial distinct count\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"purge must prune through a semi-join\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must never degrade to a cross product\n$plan")
+    // collect_set is bounded by the purge filter upstream; its partial
+    // runs co-located after the semi-join (no extra exchange for it)
+    assert(plan.contains("partial_collect_set"), plan)
+  }
+
   test("determinism: same field -> identical bitset") {
     val s = spark; import s.implicits._
     val enc = Pprl.encode(Seq(("p", "g1/m2.src"), ("q", "g1/m2.src"))
