@@ -786,6 +786,63 @@ object ErQueries {
         .reduce(_ unionByName _)
         .orderBy(col("method"))
     }),
+    // clerical-feedback constrained clustering over the OVER-MERGING
+    // sorted-neighborhood candidate graph: a deterministic ~30 %
+    // "steward sample" of SNM pairs becomes must-links (same truth
+    // group) / cannot-links (different groups), edges are edited,
+    // components re-derived, and residual cannot-link violations
+    // (reachable through unlabeled edges) repaired by evicting the
+    // π-larger endpoint to a singleton. The oracle replays the edit +
+    // recursive-CTE CC + violation + eviction chain from the
+    // er_snm_pairs dump and its own md5 sampling/ordering.
+    "er_feedback_clusters" -> ((s, dir) => {
+      val r = pipeline(s, dir)
+      val fb = feedbackSets(s, dir)
+      Feedback.constrainedClusters(fb.edges, fb.must, fb.cannot,
+          r.trees.toDF().select(col("id")))
+        .orderBy(col("id"))
+    }),
+    // what the feedback bought, in one accounted row: edge/constraint
+    // volumes, violations found, evictions paid, must-links the repair
+    // broke, and B³ F1 against truth BEFORE (raw SNM components) and
+    // AFTER (edited + repaired) — the steward-loop progress metric.
+    "er_feedback_report" -> ((s, dir) => {
+      val r = pipeline(s, dir)
+      val fb = feedbackSets(s, dir)
+      val nodes = r.trees.toDF().select(col("id"))
+      val truth = r.trees.toDF().select(col("id"),
+        concat(lit("g"), col("groupId")).as("truthId"))
+      val before = Clustering.connectedComponents(
+        fb.edges.select(col("idA"), col("idB")), nodes)
+      val after = Feedback.constrainedClusters(
+        fb.edges, fb.must, fb.cannot, nodes)
+      val eff = fb.edges.select(col("idA"), col("idB"))
+        .unionByName(fb.must.select(col("idA"), col("idB"))).distinct()
+        .join(fb.cannot, Seq("idA", "idB"), "left_anti")
+      val editedCc = Clustering.connectedComponents(eff, nodes)
+      val ev = Feedback.evictions(editedCc, fb.cannot, fb.must)
+      val counts = fb.edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(fb.must.agg(count(lit(1)).as("n_must"))))
+        .crossJoin(broadcast(fb.cannot.agg(count(lit(1)).as("n_cannot"))))
+        .crossJoin(broadcast(fb.cannot
+          .join(editedCc.select(col("id").as("idA"), col("clusterId").as("cA")), "idA")
+          .join(editedCc.select(col("id").as("idB"), col("clusterId").as("cB")), "idB")
+          .where(col("cA") === col("cB"))
+          .agg(count(lit(1)).as("n_violated"))))
+        .crossJoin(broadcast(ev.agg(count(lit(1)).as("n_evicted"))))
+        .crossJoin(broadcast(fb.must
+          .join(ev.select(col("id").as("idA")), Seq("idA"), "left_semi")
+          .unionByName(fb.must
+            .join(ev.select(col("id").as("idB")), Seq("idB"), "left_semi"))
+          .distinct()
+          .agg(count(lit(1)).as("n_must_broken"))))
+      val f1Before = ClusterEval.evaluate(before, truth)
+        .select(col("b3_f1").as("b3_f1_before"))
+      val f1After = ClusterEval.evaluate(
+          after.select(col("id"), col("clusterId")), truth)
+        .select(col("b3_f1").as("b3_f1_after"))
+      counts.crossJoin(broadcast(f1Before)).crossJoin(broadcast(f1After))
+    }),
     // TF-IDF cosine comparator (SoftTFIDF basis, Cohen et al. IIWeb'03)
     // over the candidate pairs' content tokens: corpus-level IDF, raw
     // term counts, sparse dot over shared tokens only (the 100 TB shape
@@ -942,6 +999,40 @@ object ErQueries {
   def warmPprl(spark: SparkSession, sfDir: String): Unit = {
     val p = PprlResults.cached(spark, sfDir)
     p.pathEnc.count(); p.compEnc.count(); p.pairs.count()
+  }
+
+  /** Steward-sample threshold for the feedback queries: pairs whose
+    * md5("fb:"+idA+idB) first byte is below 0x4d (~30 %) are "labeled"
+    * by the clerical reviewer — ONE definition, interpolated into the
+    * oracle SQL. */
+  private[graft] val FbHex = "4d"
+
+  private[graft] final case class FbSets(
+      edges: DataFrame, must: DataFrame, cannot: DataFrame)
+
+  /** The deterministic clerical-feedback fixture: the over-merging SNM
+    * candidate graph as the edge set; the sampled pairs labeled against
+    * truth — same-group sampled pairs become must-links, cross-group
+    * (or unlabeled-singleton) ones cannot-links. */
+  private def feedbackSets(spark: SparkSession, sfDir: String): FbSets = {
+    val r = pipeline(spark, sfDir)
+    val snm = SortedNeighborhood.pairs(
+      r.trees.toDF().select(col("id"), col("nTokens")),
+      "id", Seq("nTokens", "id"), SnmWindow)
+      .select(col("idA"), col("idB"))
+    val lab = r.trees.toDF().select(col("id"), col("groupId"))
+    val labeled = snm
+      .join(lab.select(col("id").as("idA"), col("groupId").as("gA")), "idA")
+      .join(lab.select(col("id").as("idB"), col("groupId").as("gB")), "idB")
+      .withColumn("sampled",
+        substring(md5(concat(lit("fb:"), col("idA"), col("idB"))), 1, 2) < FbHex)
+      .withColumn("dup", col("gA") === col("gB") && col("gA") >= 0)
+    FbSets(
+      edges = snm,
+      must = labeled.where(col("sampled") && col("dup"))
+        .select(col("idA"), col("idB")),
+      cannot = labeled.where(col("sampled") && !col("dup"))
+        .select(col("idA"), col("idB")))
   }
 
   /** Ground-truth duplicate pairs (idA < idB) from the corpus labels —
@@ -1360,6 +1451,78 @@ object ErQueries {
          |  SELECT DISTINCT a.id AS idA, b.id AS idB
          |  FROM hk a JOIN hk b ON a.key = b.key AND a.id < b.id)""".stripMargin
     }
+    // the clerical-feedback chain replayed end-to-end: md5 steward
+    // sampling, edge edit, recursive-CTE components over the EDITED
+    // graph, violation detection, and the π-larger eviction — shared
+    // by er_feedback_clusters and er_feedback_report
+    val fbCtes =
+      s"""snm AS MATERIALIZED (
+         |  SELECT idA, idB FROM read_parquet('{OUT}/er_snm_pairs/*.parquet')),
+         |lab AS MATERIALIZED (SELECT $idExpr AS id, groupId FROM $corpus),
+         |fbl AS MATERIALIZED (
+         |  SELECT s.idA, s.idB,
+         |    substr(md5('fb:' || s.idA || s.idB), 1, 2) < '$FbHex' AS sampled,
+         |    (a.groupId = b.groupId AND a.groupId >= 0) AS dup
+         |  FROM snm s JOIN lab a ON a.id = s.idA JOIN lab b ON b.id = s.idB),
+         |mustl AS MATERIALIZED (SELECT idA, idB FROM fbl WHERE sampled AND dup),
+         |cannotl AS MATERIALIZED (
+         |  SELECT idA, idB FROM fbl WHERE sampled AND NOT dup),
+         |eff AS MATERIALIZED (
+         |  SELECT u.idA, u.idB FROM (
+         |    SELECT idA, idB FROM snm UNION SELECT idA, idB FROM mustl) u
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM cannotl c WHERE c.idA = u.idA AND c.idB = u.idB)),
+         |effe AS MATERIALIZED (
+         |  SELECT idA AS a, idB AS b FROM eff
+         |  UNION ALL SELECT idB, idA FROM eff),
+         |nodesl AS MATERIALIZED (SELECT $idExpr AS id FROM $corpus),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodesl
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN effe e ON e.a = reach.r),
+         |cce AS MATERIALIZED (SELECT id, min(r) AS clusterId FROM reach GROUP BY id),
+         |viol AS MATERIALIZED (
+         |  SELECT c.idA, c.idB FROM cannotl c
+         |  JOIN cce x ON x.id = c.idA JOIN cce y ON y.id = c.idB
+         |  WHERE x.clusterId = y.clusterId),
+         |hasmust AS MATERIALIZED (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT idA AS id FROM mustl UNION ALL SELECT idB FROM mustl)),
+         |evict AS MATERIALIZED (
+         |  SELECT DISTINCT CASE
+         |    WHEN ha.id IS NOT NULL AND hb.id IS NULL THEN v.idB
+         |    WHEN hb.id IS NOT NULL AND ha.id IS NULL THEN v.idA
+         |    WHEN md5(v.idA) || v.idA > md5(v.idB) || v.idB THEN v.idA
+         |    ELSE v.idB END AS id
+         |  FROM viol v
+         |  LEFT JOIN hasmust ha ON ha.id = v.idA
+         |  LEFT JOIN hasmust hb ON hb.id = v.idB),
+         |finassign AS MATERIALIZED (
+         |  SELECT c.id,
+         |    CASE WHEN e.id IS NOT NULL THEN 'ev:' || c.id
+         |         ELSE c.clusterId END AS clusterId,
+         |    CAST(e.id IS NOT NULL AS INT) AS evicted
+         |  FROM cce c LEFT JOIN evict e ON e.id = c.id)""".stripMargin
+
+    /** One B³-F1 scalar from an assignment CTE vs the truth labels —
+      * the er_cluster_eval contingency algebra reduced to its f1. */
+    def fbF1(assignCte: String, as: String) =
+      s"""(SELECT round(2e0 * (b3p / n) * (b3r / n) / (b3p / n + b3r / n), 6)
+         | FROM (
+         |  SELECT CAST(sum(ct.n_ct) AS BIGINT) AS n,
+         |    sum(ct.n_ct * ct.n_ct / CAST(cs.n_c AS DOUBLE)) AS b3p,
+         |    sum(ct.n_ct * ct.n_ct / CAST(ts.n_t AS DOUBLE)) AS b3r
+         |  FROM (SELECT a.clusterId, 'g' || l.groupId AS truthId, count(*) AS n_ct
+         |        FROM $assignCte a JOIN lab l ON l.id = a.id GROUP BY 1, 2) ct
+         |  JOIN (SELECT clusterId, sum(n_ct) AS n_c FROM (
+         |          SELECT a.clusterId, 'g' || l.groupId AS truthId, count(*) AS n_ct
+         |          FROM $assignCte a JOIN lab l ON l.id = a.id GROUP BY 1, 2)
+         |        GROUP BY 1) cs USING (clusterId)
+         |  JOIN (SELECT truthId, sum(n_ct) AS n_t FROM (
+         |          SELECT a.clusterId, 'g' || l.groupId AS truthId, count(*) AS n_ct
+         |          FROM $assignCte a JOIN lab l ON l.id = a.id GROUP BY 1, 2)
+         |        GROUP BY 1) ts USING (truthId))) AS $as""".stripMargin
+
     // encoded-space blocking + Dice fully replayed from the packed
     // words — shared verbatim by er_pprl_blocks and its streaming twin
     val pprlBlocksSql =
@@ -1777,6 +1940,42 @@ object ErQueries {
            |${one("er_pivot_clusters", "pivot")}
            |ORDER BY method""".stripMargin
       },
+      // feedback chain: the md5 sample, edge edit, edited-graph CC,
+      // violations, and eviction all re-derived from the er_snm_pairs
+      // dump + the oracle's own labels/order
+      "er_feedback_clusters" ->
+        s"""WITH RECURSIVE
+           |$fbCtes
+           |SELECT id, clusterId, evicted FROM finassign ORDER BY id""".stripMargin,
+      // the accounted repair row: volumes, violations, evictions,
+      // must-links broken, and B³ F1 before (raw SNM components) vs
+      // after (edited + repaired) — a SECOND recursive CC over the raw
+      // graph for the before side
+      "er_feedback_report" ->
+        s"""WITH RECURSIVE
+           |$fbCtes,
+           |snme AS MATERIALIZED (
+           |  SELECT idA AS a, idB AS b FROM snm
+           |  UNION ALL SELECT idB, idA FROM snm),
+           |reachb(id, r) AS (
+           |  SELECT id, id FROM nodesl
+           |  UNION
+           |  SELECT reachb.id, e.b FROM reachb JOIN snme e ON e.a = reachb.r),
+           |ccb AS MATERIALIZED (
+           |  SELECT id, min(r) AS clusterId FROM reachb GROUP BY id)
+           |SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM snm) AS n_edges,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM mustl) AS n_must,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM cannotl) AS n_cannot,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM viol) AS n_violated,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM evict) AS n_evicted,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM (
+           |     SELECT DISTINCT m.idA, m.idB FROM mustl m
+           |     WHERE EXISTS (SELECT 1 FROM evict e WHERE e.id = m.idA)
+           |        OR EXISTS (SELECT 1 FROM evict e WHERE e.id = m.idB)))
+           |    AS n_must_broken,
+           |  ${fbF1("ccb", "b3_f1_before")},
+           |  ${fbF1("finassign", "b3_f1_after")}""".stripMargin,
       // TF-IDF cosine fully re-derived: ids, tokens, tf, df, idf,
       // norms, sparse dot — everything from the raw corpus dump
       "er_tfidf_cosine" ->
