@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Decontaminate, Dedup, SetSimJoin, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Phonetic, SetSimJoin, TextAnalysis}
 import graft.sources.CorpusGen
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -358,6 +358,29 @@ object TextQueries {
         }
         .toDF("doc_id", "n_fingerprints")
         .orderBy(col("doc_id"))
+    }),
+
+    // phonetic blocking over the documents token vocabulary (text words
+    // plus the deterministic synthetic author field — same precedent as
+    // the PII query: the field is ONE expression mirrored in both
+    // engines, everything downstream is genuinely cross-engine): Soundex
+    // equivalence classes — the block histogram a key designer reads.
+    // The oracle replays the ENTIRE Soundex algorithm in SQL, so the
+    // builtin's semantics are verified, not assumed
+    "q_soundex_blocks" -> ((s, dir) => {
+      Phonetic.codeBlocks(Phonetic.vocabulary(phoneticDocs(s, dir), "ptext"))
+        .orderBy(col("code"))
+    }),
+
+    // phonetic block-then-verify: same-Soundex token pairs through the
+    // shared capped candidate generator, verified with Levenshtein —
+    // blocking, cap algebra, AND verification all redone by DuckDB.
+    // The author pool's spelling variants make the blocks collide the
+    // way name fields do (smith/smyth/smithe, ashcraft/ashcroft, ...),
+    // including same-code pairs beyond the edit bound (jackson/jaxon)
+    "q_phonetic_pairs" -> ((s, dir) => {
+      Phonetic.candidatePairs(Phonetic.vocabulary(phoneticDocs(s, dir), "ptext"))
+        .orderBy(col("tokA"), col("tokB"))
     })
   )
 
@@ -680,6 +703,82 @@ object TextQueries {
         |        / greatest(CAST(n_chars AS DOUBLE), 1.0) * 5.0, 1.0) * 0.5)
         |    * 10) AS INT) AS decile
         |  FROM documents)
-        |SELECT decile, count(*) AS n FROM q GROUP BY decile ORDER BY decile""".stripMargin
+        |SELECT decile, count(*) AS n FROM q GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q_soundex_blocks" ->
+      s"""WITH $soundexCtes
+         |SELECT code, count(*) AS n_tokens,
+         |  min(tok) AS first_token, max(tok) AS last_token
+         |FROM sx GROUP BY code ORDER BY code""".stripMargin,
+
+    // blocking (same code), cap (row_number ≤ cap over the distinct
+    // vocabulary — ids are unique, so row_number ≡ capByKey's
+    // dense_rank), and Levenshtein verification all replayed by DuckDB
+    "q_phonetic_pairs" ->
+      s"""WITH $soundexCtes,
+         |k AS (
+         |  SELECT code AS key, tok AS id FROM sx
+         |  QUALIFY row_number() OVER (PARTITION BY code ORDER BY tok)
+         |    <= ${Dedup.DefaultBlockCap})
+         |SELECT a.id AS tokA, b.id AS tokB, a.key AS code,
+         |  CAST(levenshtein(a.id, b.id) AS INT) AS lev,
+         |  levenshtein(a.id, b.id) <= ${Phonetic.DefaultMaxLev} AS is_match
+         |FROM k a JOIN k b ON a.key = b.key AND a.id < b.id
+         |ORDER BY tokA, tokB""".stripMargin
   )
+
+  /** Synthetic author surname per document — deterministic from doc_id,
+    * built from the SAME pool expression in both engines (the PII-query
+    * precedent). The pool is spelling-variant-rich so phonetic blocks
+    * collide the way real name fields do; jackson/jaxon shares a code
+    * at Levenshtein 3, exercising the verify step's reject branch. */
+  private val AuthorPool: Seq[String] = Seq(
+    "robert", "rupert", "ashcraft", "ashcroft", "tymczak", "tymczac",
+    "pfister", "phister", "smith", "smyth", "smithe", "jackson", "jaxon",
+    "meyer", "meier", "myer", "hanna", "hana", "white", "wight",
+    "schmidt", "schmitt", "gauss", "gaus")
+
+  /** documents + `ptext` = text with the synthetic author appended. */
+  private def phoneticDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("ptext", concat_ws(" ", col("text"),
+      element_at(array(AuthorPool.map(lit): _*),
+        (pmod(col("doc_id"), lit(AuthorPool.length)) + 1).cast("int"))))
+
+  private def authorSql: String =
+    s"['${AuthorPool.mkString("','")}'][doc_id % ${AuthorPool.length} + 1]"
+
+  /** DuckDB replay of Spark's builtin `soundex` (classic American
+    * Soundex with H/W TRANSPARENT — equal codes separated only by H/W
+    * collapse: Ashcraft → A261) over the letter-only documents
+    * vocabulary, as CTEs `v` (tokens) / `sx` (tok, code):
+    * translate letters→codes with H/W→7, drop the transparent 7s,
+    * collapse each digit's runs (DuckDB's RE2 regex has no
+    * backreferences, so one regexp_replace per digit instead of
+    * '(\\d)\\1+'), drop the first letter's own leading code group
+    * (unless the first letter was H/W — its 7 is already gone), strip
+    * the vowel separators, then pad to 4. Verified equal to the builtin
+    * on an edge-case battery in PhoneticSpec (who/hanna/ashcraft/
+    * tymczak/pfister/zzyzx/...). */
+  private def soundexCtes: String = {
+    val collapsed = "0123456".foldLeft("replace(d, '7', '')") {
+      (acc, dg) => s"regexp_replace($acc, '$dg+', '$dg', 'g')"
+    }
+    s"""v AS (
+       |  SELECT DISTINCT unnest(regexp_extract_all(
+       |    lower(concat_ws(' ', text, $authorSql)),
+       |    '${graft.operators.Phonetic.TokenPattern}')) AS tok
+       |  FROM documents),
+       |sxd AS (
+       |  SELECT tok,
+       |    translate(upper(tok), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+       |      '01230127022455012623017202') AS d
+       |  FROM v),
+       |sxc AS (SELECT tok, d, $collapsed AS dc FROM sxd),
+       |sx AS (
+       |  SELECT tok,
+       |    substr(upper(tok), 1, 1) || rpad(substr(replace(
+       |      CASE WHEN substr(d, 1, 1) = '7' THEN dc ELSE substr(dc, 2) END,
+       |      '0', ''), 1, 3), 3, '0') AS code
+       |  FROM sxc)""".stripMargin
+  }
 }
