@@ -43,6 +43,10 @@ object ErQueries {
     * both the Scala query and the DuckDB oracle interpolate. */
   private[graft] val SnmWindow = 8
 
+  /** er_editsim_join distance bound — ONE definition; the oracle SQL
+    * interpolates it. */
+  private[graft] val EditSimK = 1
+
   /** er_cluster_split eval bound — the operator owns the ONE definition
     * ([[Survivorship.DefaultEvalBound]]); the oracle SQL interpolates
     * the same value so query and oracle can never drift. */
@@ -454,6 +458,19 @@ object ErQueries {
         .join(lens, "id")
       Survivorship.goldenRecords(pipeline(s, dir).clusters, attrs)
         .orderBy(col("clusterId"))
+    }),
+    // exact edit-distance similarity join over the distinct corpus paths
+    // (q-gram prefix filter + length banding, then Levenshtein verify).
+    // The oracle is a full BRUTE-FORCE recompute — DuckDB's own
+    // levenshtein over all path pairs — so the no-false-negatives
+    // contract is checked head-on, not replayed
+    "er_editsim_join" -> ((s, dir) => {
+      val paths = CorpusGen.corpus(s, dir).toDF()
+        .select(col("path").as("s")).distinct()
+        .withColumn("id", col("s"))
+      EditSimJoin.join(paths, k = EditSimK)
+        .select(col("idA").as("pathA"), col("idB").as("pathB"), col("dist"))
+        .orderBy(col("pathA"), col("pathB"))
     }),
     // sorted-neighborhood candidate pairs over (n_tokens, id), window 8 —
     // the classic complement to hash blocking. The distributed-rank
@@ -922,6 +939,23 @@ object ErQueries {
         .withColumn("f1", round(lit(2.0) * col("tp") /
           (col("n_matched") + col("n_truth")), 6))
     }),
+    // group linkage (On et al., ICDE 2007): repo-level similarity lifted
+    // from the record-level 1:1 cross-catalog matching — matched members
+    // over group sizes as Jaccard/Dice/overlap. The oracle re-derives the
+    // record matching from scratch (the full replayed FS + greedy chain)
+    // and redoes the group lift from the raw corpus labels.
+    "er_group_linkage" -> ((s, dir) => {
+      groupWeightsDf(s, dir).orderBy(col("glft"), col("grgt"))
+    }),
+    // one-to-one group assignment over those weights: the SAME greedy
+    // locally-dominant round chain as the record layer, reused at group
+    // grain and replayed generically by the oracle over its own
+    // re-derived group weight table
+    "er_group_matches" -> ((s, dir) => {
+      GroupLinkage.matchGroups(
+        groupWeightsDf(s, dir), GroupLinkage.DefaultMinJaccard)
+        .orderBy(col("glft"))
+    }),
     "er_sha_invariant" -> ((s, dir) => {
       // per-row invariant (input_hint): sha256 recomputed from the raw
       // corpus equals the value the parse stage carried through
@@ -1118,6 +1152,21 @@ object ErQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Lr(edges, matched)
       })
+  }
+
+  /** Group-linkage weight table (er_group_linkage / er_group_matches):
+    * the record-level 1:1 matching lifted to repo grain. Group labels
+    * come from the persisted (sha-invariant-verified) trees stage; the
+    * oracle re-derives them from the raw corpus independently. Cheap on
+    * top of the warmed link layer (one groupBy over the matched edges +
+    * two broadcast size dims), so no dedicated bench warm line. */
+  private def groupWeightsDf(s: SparkSession, dir: String): DataFrame = {
+    val lab = pipeline(s, dir).trees.toDF().select(col("id"), col("repo"),
+      substring(col("id"), 32, 1).isin(LinkResults.LeftDigits: _*).as("isL"))
+    GroupLinkage.groupWeights(
+      LinkResults.cached(s, dir).matched.select(col("lft"), col("rgt")),
+      lab.where(col("isL")).select(col("id"), col("repo").as("gid")),
+      lab.where(!col("isL")).select(col("id"), col("repo").as("gid")))
   }
 
   /** Force the 1:1 linkage layer's build (cross-catalog edge derivation
@@ -1398,25 +1447,53 @@ object ErQueries {
     // OneToOneMatching.greedyMatch, unrolled MaxRounds deep. Every CTE
     // MATERIALIZED (acc_i is referenced three times — DuckDB would
     // otherwise re-expand the chain exponentially back to the scan).
-    val linkChain = {
+    def greedyChain(src: String, p: String): String = {
       val rounds = (1 to OneToOneMatching.MaxRounds).map { i =>
-        s"""acc$i AS MATERIALIZED (
+        s"""${p}acc$i AS MATERIALIZED (
            |  SELECT lft, rgt, w, $i AS round FROM (
            |    SELECT lft, rgt, w,
            |      row_number() OVER (PARTITION BY lft ORDER BY w DESC, rgt) AS ra,
            |      row_number() OVER (PARTITION BY rgt ORDER BY w DESC, lft) AS rb
-           |    FROM live${i - 1})
+           |    FROM ${p}live${i - 1})
            |  WHERE ra = 1 AND rb = 1),
-           |live$i AS MATERIALIZED (
-           |  SELECT l.lft, l.rgt, l.w FROM live${i - 1} l
-           |  WHERE NOT EXISTS (SELECT 1 FROM acc$i a WHERE a.lft = l.lft)
-           |    AND NOT EXISTS (SELECT 1 FROM acc$i a WHERE a.rgt = l.rgt))""".stripMargin
+           |${p}live$i AS MATERIALIZED (
+           |  SELECT l.lft, l.rgt, l.w FROM ${p}live${i - 1} l
+           |  WHERE NOT EXISTS (SELECT 1 FROM ${p}acc$i a WHERE a.lft = l.lft)
+           |    AND NOT EXISTS (SELECT 1 FROM ${p}acc$i a WHERE a.rgt = l.rgt))""".stripMargin
       }.mkString(",\n")
       val union = (1 to OneToOneMatching.MaxRounds)
-        .map(i => s"SELECT * FROM acc$i").mkString(" UNION ALL ")
-      s"""live0 AS MATERIALIZED (SELECT lft, rgt, w FROM edges),
+        .map(i => s"SELECT * FROM ${p}acc$i").mkString(" UNION ALL ")
+      s"""${p}live0 AS MATERIALIZED ($src),
          |$rounds,
-         |matched AS MATERIALIZED ($union)""".stripMargin
+         |${p}matched AS MATERIALIZED ($union)""".stripMargin
+    }
+    val linkChain = greedyChain("SELECT lft, rgt, w FROM edges", "")
+    // group-linkage lift (er_group_linkage / er_group_matches): labels
+    // re-derived from the raw corpus, matched-member counts over the
+    // replayed record matching, sizes per catalog side, Jaccard/Dice/
+    // overlap — the whole group grain redone independently
+    val groupWeightCtes = {
+      val digits = LinkResults.LeftDigits.map(d => s"'$d'").mkString(",")
+      s"""glab AS MATERIALIZED (
+         |  SELECT $idExpr AS id, repo,
+         |    substr($idExpr, 32, 1) IN ($digits) AS isL
+         |  FROM $corpus),
+         |gm AS (
+         |  SELECT la.repo AS glft, lb.repo AS grgt, count(*) AS n_matched
+         |  FROM (SELECT DISTINCT lft, rgt FROM matched) t
+         |  JOIN glab la ON la.id = t.lft
+         |  JOIN glab lb ON lb.id = t.rgt
+         |  GROUP BY 1, 2),
+         |gszl AS (SELECT repo, count(*) AS n FROM glab WHERE isL GROUP BY 1),
+         |gszr AS (SELECT repo, count(*) AS n FROM glab WHERE NOT isL GROUP BY 1),
+         |gw AS MATERIALIZED (
+         |  SELECT gm.glft, gm.grgt, gm.n_matched,
+         |    gszl.n AS size_l, gszr.n AS size_r,
+         |    round(gm.n_matched / (gszl.n + gszr.n - gm.n_matched), 6) AS jaccard,
+         |    round(gm.n_matched * 2 / (gszl.n + gszr.n), 6) AS dice,
+         |    round(gm.n_matched / least(gszl.n, gszr.n), 6) AS overlap
+         |  FROM gm JOIN gszl ON gszl.repo = gm.glft
+         |  JOIN gszr ON gszr.repo = gm.grgt)""".stripMargin
     }
     // Hamming-LSH over the dumped CLK words, re-derived bit-by-bit:
     // band keys from the SAME bandPositions constants (interpolated as
@@ -2078,6 +2155,26 @@ object ErQueries {
            |$linkEdges,
            |$linkChain
            |SELECT lft, rgt, w, round FROM matched ORDER BY lft""".stripMargin,
+      "er_group_linkage" ->
+        s"""WITH $fsVec,
+           |$fsWeights,
+           |$linkEdges,
+           |$linkChain,
+           |$groupWeightCtes
+           |SELECT * FROM gw ORDER BY glft, grgt""".stripMargin,
+      // the group-grain greedy chain replayed over DuckDB's OWN group
+      // weight table (same unrolled locally-dominant rounds, prefix g)
+      "er_group_matches" ->
+        s"""WITH $fsVec,
+           |$fsWeights,
+           |$linkEdges,
+           |$linkChain,
+           |$groupWeightCtes,
+           |${greedyChain(
+            s"SELECT glft AS lft, grgt AS rgt, jaccard AS w FROM gw " +
+              s"WHERE jaccard >= ${GroupLinkage.DefaultMinJaccard}", "g")}
+           |SELECT lft AS glft, rgt AS grgt, w, round
+           |FROM gmatched ORDER BY glft""".stripMargin,
       "er_link_eval" -> {
         val digits = LinkResults.LeftDigits.map(d => s"'$d'").mkString(",")
         s"""WITH $fsVec,
@@ -2252,6 +2349,16 @@ object ErQueries {
            |JOIN rep ON rep.clusterId = b.clusterId
            |ORDER BY b.clusterId""".stripMargin,
       // sorted-neighborhood pairs: rank + windowed pairing redone from
+      // brute force, no replay: DuckDB's own levenshtein over ALL
+      // distinct path pairs — any pair the prefix filter lost would
+      // surface here as a missing row
+      "er_editsim_join" ->
+        s"""WITH p AS MATERIALIZED (SELECT DISTINCT path FROM $corpus)
+           |SELECT a.path AS pathA, b.path AS pathB,
+           |  CAST(levenshtein(a.path, b.path) AS INT) AS dist
+           |FROM p a JOIN p b ON a.path < b.path
+           |WHERE levenshtein(a.path, b.path) <= $EditSimK
+           |ORDER BY pathA, pathB""".stripMargin,
       // the er_tree_stats dump (itself lexer-oracle-verified)
       "er_snm_pairs" ->
         s"""WITH r AS (
