@@ -891,6 +891,25 @@ object ErQueries {
           round(TokenSim.mongeElkan(col("tB"), col("tA")), 6).as("me_ba"))
         .orderBy(col("idA"), col("idB"))
     }),
+    // Soft-TF-IDF (Cohen/Ravikumar/Fienberg IIWeb'03) — the hybrid that
+    // beat both pure families in the paper's name-matching comparison:
+    // tf-idf weights with JW-fuzzy token matching at θ. The oracle
+    // recomputes the ENTIRE stack (tf/idf/norms, weight lists, struct
+    // argmax, θ acceptance, contribution sum) with DuckDB's OWN
+    // jaro_winkler_similarity — nothing trusted but the pair list
+    "er_soft_tfidf" -> ((s, dir) => {
+      JaroWinkler.register(s) // the lambda-inner jw resolves by name
+      val docs = contentDocs(s, dir)
+        .select(col("id"), slice(TokenSim.tokens(col("content")), 1, 8).as("toks"))
+      val wl = TokenSim.softWeightLists(docs)
+      FsResults.cached(s, dir).features.select(col("idA"), col("idB"))
+        .join(wl.select(col("id").as("idA"), col("wl").as("tA")), Seq("idA"))
+        .join(wl.select(col("id").as("idB"), col("wl").as("tB")), Seq("idB"))
+        .select(col("idA"), col("idB"),
+          TokenSim.softTfIdf(col("tA"), col("tB")).as("soft_ab"),
+          TokenSim.softTfIdf(col("tB"), col("tA")).as("soft_ba"))
+        .orderBy(col("idA"), col("idB"))
+    }),
     // ---- one-to-one bipartite linkage ----------------------------------
     // the corpus split into two deterministic "sources" (last hex digit
     // of the id), FS-accepted cross-source pairs as weighted edges, and
@@ -2106,6 +2125,52 @@ object ErQueries {
            |    list_max(list_transform(tA, y -> jaro_winkler_similarity(x, y)))),
            |    'sum') / len(tB), 6) AS me_ba
            |FROM j ORDER BY idA, idB""".stripMargin,
+      // the full Soft-TF-IDF stack re-derived: weights (same tf/idf as
+      // er_tfidf_cosine), L2-normalized token-sorted weight lists (every
+      // id keeps a row — empty list when nothing weighs), per-token
+      // struct argmax over (rounded jw, partner weight, partner token),
+      // θ acceptance, ordered contribution sum
+      "er_soft_tfidf" -> {
+        val theta = TokenSim.SoftTfIdfTheta
+        def side(a: String, b: String) =
+          s"""round(coalesce(list_sum(list_transform(
+             |    list_transform($a, a -> struct_pack(va := a.v,
+             |      m := list_max(list_transform($b, b -> struct_pack(
+             |        jw := round(jaro_winkler_similarity(a.t, b.t), 6),
+             |        vb := b.v, tb := b.t))))),
+             |    s -> CASE WHEN s.m.jw >= $theta
+             |         THEN s.va * s.m.vb * s.m.jw ELSE 0 END)), 0), 6)""".stripMargin
+        s"""WITH corpus AS MATERIALIZED (
+           |  SELECT $idExpr AS id,
+           |         regexp_extract_all(lower(content), '[a-z0-9]+')[1:8] AS toks
+           |  FROM $corpus),
+           |nn AS (SELECT count(*) AS n FROM corpus),
+           |tfc AS MATERIALIZED (
+           |  SELECT id, token, count(*) AS cnt
+           |  FROM (SELECT id, unnest(toks) AS token FROM corpus) GROUP BY 1, 2),
+           |dft AS MATERIALIZED (SELECT token, count(DISTINCT id) AS df FROM tfc GROUP BY 1),
+           |w AS MATERIALIZED (
+           |  SELECT id, token, cnt * ln(CAST(nn.n AS DOUBLE) / dft.df) AS w
+           |  FROM tfc JOIN dft USING (token) CROSS JOIN nn
+           |  WHERE cnt * ln(CAST(nn.n AS DOUBLE) / dft.df) > 0),
+           |nrm AS MATERIALIZED (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+           |wl AS MATERIALIZED (
+           |  SELECT c.id,
+           |    coalesce(x.wl, CAST([] AS STRUCT(t VARCHAR, v DOUBLE)[])) AS wl
+           |  FROM corpus c LEFT JOIN (
+           |    SELECT w.id,
+           |      list_sort(list(struct_pack(t := w.token, v := w.w / nrm.nrm))) AS wl
+           |    FROM w JOIN nrm ON nrm.id = w.id GROUP BY w.id) x ON x.id = c.id),
+           |fsp AS MATERIALIZED (
+           |  SELECT idA, idB FROM read_parquet('{OUT}/_aux/fs_pairs/*.parquet')),
+           |j AS (SELECT f.idA, f.idB, a.wl AS tA, b.wl AS tB
+           |      FROM fsp f JOIN wl a ON a.id = f.idA
+           |                 JOIN wl b ON b.id = f.idB)
+           |SELECT idA, idB,
+           |  ${side("tA", "tB")} AS soft_ab,
+           |  ${side("tB", "tA")} AS soft_ba
+           |FROM j ORDER BY idA, idB""".stripMargin
+      },
       // B³ + ARI re-derived from the er_clusters dump and DuckDB's own
       // truth labels over the raw corpus: contingency table, marginals,
       // exact integer pair counts, final ratios at 6 dp

@@ -35,6 +35,10 @@ object TokenSim {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
+  /** Soft-TF-IDF acceptance threshold θ (Cohen et al. use 0.9) — ONE
+    * definition; the oracle SQL interpolates it. */
+  val SoftTfIdfTheta = 0.9
+
   /** TF-IDF cosine over candidate pairs.
     *
     * docs: (id, toks); pairs: (idA, idB). Returns
@@ -74,6 +78,58 @@ object TokenSim {
         coalesce(col("shared_tokens"), lit(0L)).as("shared_tokens"),
         round(coalesce(
           col("dot") / (col("nrmA") * col("nrmB")), lit(0.0)), 6).as("cosine"))
+  }
+
+  /** Per-doc L2-NORMALIZED tf-idf weight lists for [[softTfIdf]]:
+    * (id, wl) with wl a token-sorted array of struct(t, v), v = w/‖w‖.
+    * EVERY input id gets a row (empty array when no token has positive
+    * weight), so pair joins never silently drop a member. Same
+    * tf/df/weight definitions as [[tfidfCosine]]. */
+  def softWeightLists(docs: DataFrame): DataFrame = {
+    val n = docs.count() // one scalar: the corpus doc count
+    val tf = docs
+      .select(col("id"), explode(col("toks")).as("token"))
+      .groupBy(col("id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val df = tf.groupBy(col("token"))
+      .agg(countDistinct(col("id")).as("df"))
+    val w = tf.join(df, "token")
+      .select(col("id"), col("token"),
+        (col("cnt") * log(lit(n.toDouble) / col("df"))).as("w"))
+      .where(col("w") > 0)
+    val nrm = w.groupBy(col("id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val lists = w.join(nrm, "id")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(
+        struct(col("token").as("t"), (col("w") / col("nrm")).as("v")))).as("wl"))
+    docs.select(col("id")).join(lists, Seq("id"), "left")
+      .select(col("id"), coalesce(col("wl"),
+        array().cast("array<struct<t:string,v:double>>")).as("wl"))
+  }
+
+  /** Soft-TF-IDF directed similarity (Cohen, Ravikumar, Fienberg,
+    * IIWeb 2003 — the most-cited HYBRID measure of the name-matching
+    * comparison): tokens of A whose best Jaro–Winkler partner in B
+    * clears θ contribute V(w,A)·V(partner,B)·jw — tf-idf weighting
+    * with character-level fuzziness inside the token match.
+    *
+    * `tA`/`tB` are [[softWeightLists]] arrays. The inner jw is ROUNDED
+    * to 6 dp before the θ comparison and the product (the established
+    * cross-engine float-boundary convention — er_jaro_winkler proved
+    * round-6 equality against DuckDB's independent implementation, so
+    * the acceptance set is bit-stable across engines). The argmax is a
+    * struct max over (jw, partner weight, partner token) — a total
+    * order, so ties break identically everywhere. Pure codegen'd
+    * higher-order array functions; empty sides contribute 0. */
+  def softTfIdf(tA: Column, tB: Column, theta: Double = SoftTfIdfTheta): Column = {
+    val contrib = transform(tA, a => {
+      val best = array_max(transform(tB, b => struct(
+        round(JaroWinkler.jaroWinklerSim(a("t"), b("t")), 6).as("jw"),
+        b("v").as("vb"), b("t").as("tb"))))
+      when(best("jw") >= theta, a("v") * best("vb") * best("jw"))
+        .otherwise(lit(0.0))
+    })
+    round(aggregate(contrib, lit(0.0), (acc, x) => acc + x), 6)
   }
 
   /** Monge–Elkan directed similarity me(a→b) = mean over x∈a of

@@ -161,4 +161,24 @@ class PlanSpec extends AnyFunSuite {
       assert(s.contains("Exchange"), "final CPU-balancing repartition lost")
     } finally pairs.unpersist()
   }
+
+  test("edit-sim join: equi-joins only — neither channel degrades to a product") {
+    import org.apache.spark.sql.functions.col
+    val paths = CorpusGen.corpus(spark, dir).toDF()
+      .select(col("path").as("s")).distinct().withColumn("id", col("s"))
+    val s = fmt(graft.operators.EditSimJoin.join(paths, 1))
+    // gram channel verifies through hash/SMJ equi-joins; the short band
+    // is an equi-join on the expanded length key — a nested loop or
+    // cartesian anywhere means exactness started costing O(n²) shipping
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"edit-sim join degraded to a product\n$s")
+  }
+
+  test("phonetic pairs: map-side block cap before the exchange, no products") {
+    val s = fmt(TextQueries.queries("q_phonetic_pairs")(spark, dir))
+    assert(s.contains("WindowGroupLimit") && s.contains("Partial"),
+      s"per-code cap no longer runs map-side\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"phonetic pair generation degraded to a product\n$s")
+  }
 }

@@ -68,4 +68,55 @@ class TokenSimSpec extends AnyFunSuite {
     assert(df(2).getDouble(0) < 1.0 && df(2).getDouble(0) >= 0.0)
     assert(math.abs(df(2).getDouble(0) - (1.0 + jw("qqq", "abc")) / 2.0) < 1e-12)
   }
+
+  private def softPair(docs: org.apache.spark.sql.DataFrame,
+      a: String, b: String): (Double, Double) = {
+    JaroWinkler.register(spark) // order-independent: lambda-inner jw
+    val wl = TokenSim.softWeightLists(docs)
+    val r = pairsDf(a -> b)
+      .join(wl.select(col("id").as("idA"), col("wl").as("tA")), Seq("idA"))
+      .join(wl.select(col("id").as("idB"), col("wl").as("tB")), Seq("idB"))
+      .select(TokenSim.softTfIdf(col("tA"), col("tB")),
+        TokenSim.softTfIdf(col("tB"), col("tA")))
+      .collect()(0)
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  test("soft-tfidf: self-similarity is exactly 1 (L2-normalized weights)") {
+    val docs = docsDf("d1" -> "alpha beta", "d2" -> "gamma beta", "d3" -> "x y")
+    val (ab, ba) = softPair(docs, "d1", "d1")
+    assert(ab == 1.0 && ba == 1.0)
+  }
+
+  test("soft-tfidf: fuzzy partner above θ contributes, recomputed by hand") {
+    def jw(a: String, b: String) = math.rint(JaroWinklerKernel.jaroWinkler(
+      UTF8String.fromString(a), UTF8String.fromString(b)) * 1e6) / 1e6
+    assert(jw("alpha", "alphq") >= TokenSim.SoftTfIdfTheta) // the fuzzy hit
+    val docs = docsDf("d1" -> "alpha beta", "d2" -> "alphq beta", "d3" -> "x y")
+    // weights: alpha/alphq df=1 -> ln3; beta df=2 -> ln(3/2); both docs
+    // have the same norm, so V is shared
+    val l3 = math.log(3.0); val l15 = math.log(1.5)
+    val nrm = math.sqrt(l3 * l3 + l15 * l15)
+    val expect = (l3 / nrm) * (l3 / nrm) * jw("alpha", "alphq") +
+      (l15 / nrm) * (l15 / nrm) * 1.0
+    val (ab, ba) = softPair(docs, "d1", "d2")
+    assert(math.abs(ab - math.rint(expect * 1e6) / 1e6) < 1e-9, s"ab=$ab")
+    assert(ab == ba) // best partners coincide both ways here
+  }
+
+  test("soft-tfidf: best partner below θ contributes zero") {
+    val docs = docsDf("d1" -> "qqqqq beta", "d2" -> "wwwww beta", "d3" -> "x y")
+    val l15 = math.log(1.5); val l3 = math.log(3.0)
+    val nrm = math.sqrt(l3 * l3 + l15 * l15)
+    val expect = (l15 / nrm) * (l15 / nrm) // only beta·beta survives
+    val (ab, _) = softPair(docs, "d1", "d2")
+    assert(math.abs(ab - math.rint(expect * 1e6) / 1e6) < 1e-9, s"ab=$ab")
+  }
+
+  test("soft-tfidf: all-universal-token docs keep their row at 0.0") {
+    // every token of d3 appears in all docs -> weight 0 -> empty list
+    val docs = docsDf("d1" -> "z w alpha", "d2" -> "z w beta", "d3" -> "z w")
+    val (ab, ba) = softPair(docs, "d1", "d3")
+    assert(ab == 0.0 && ba == 0.0)
+  }
 }
