@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Decontaminate, Dedup, Phonetic, SetSimJoin, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Phonetic, SetSimJoin, SuffixBlocking, TextAnalysis}
 import graft.sources.CorpusGen
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -381,6 +381,28 @@ object TextQueries {
     "q_phonetic_pairs" -> ((s, dir) => {
       Phonetic.candidatePairs(Phonetic.vocabulary(phoneticDocs(s, dir), "ptext"))
         .orderBy(col("tokA"), col("tokB"))
+    }),
+
+    // suffix-array blocking over the SAME vocabulary (Aizawa & Oyama
+    // 2005; Christen §4.8): the block-size histogram with the purge
+    // verdict per size — what a key designer reads to pick the purge
+    // bound. The oracle regenerates every suffix with a DuckDB list
+    // comprehension and recounts
+    "q_suffix_blocks" -> ((s, dir) => {
+      SuffixBlocking.blockHistogram(
+          Phonetic.vocabulary(phoneticDocs(s, dir), "ptext"))
+        .orderBy(col("n_tokens"))
+    }),
+
+    // suffix block-then-verify: pairs sharing ≥ 1 surviving suffix
+    // block (oversized blocks PURGED, not capped — the classic
+    // robustness move), deduplicated across blocks, Levenshtein-
+    // verified. Suffix generation, purge, pair algebra, and
+    // verification are ALL replayed by DuckDB
+    "q_suffix_pairs" -> ((s, dir) => {
+      SuffixBlocking.candidatePairs(
+          Phonetic.vocabulary(phoneticDocs(s, dir), "ptext"))
+        .orderBy(col("tokA"), col("tokB"))
     })
   )
 
@@ -724,7 +746,29 @@ object TextQueries {
          |  CAST(levenshtein(a.id, b.id) AS INT) AS lev,
          |  levenshtein(a.id, b.id) <= ${Phonetic.DefaultMaxLev} AS is_match
          |FROM k a JOIN k b ON a.key = b.key AND a.id < b.id
-         |ORDER BY tokA, tokB""".stripMargin
+         |ORDER BY tokA, tokB""".stripMargin,
+
+    // suffix generation (list comprehension), block counts, and the
+    // purge verdict all recomputed by DuckDB from the raw documents
+    "q_suffix_blocks" ->
+      s"""WITH $suffixCtes,
+         |b AS (SELECT key, count(*) AS n_tokens FROM sk GROUP BY key)
+         |SELECT n_tokens, count(*) AS n_blocks,
+         |  (n_tokens >= 2 AND n_tokens <= ${SuffixBlocking.DefaultMaxBlock}) AS alive
+         |FROM b GROUP BY n_tokens ORDER BY n_tokens""".stripMargin,
+
+    // blocking (shared surviving suffix), purge, cross-block pair
+    // dedup, and Levenshtein verification all replayed by DuckDB
+    "q_suffix_pairs" ->
+      s"""WITH $suffixCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.id AS tokA, b.id AS tokB
+         |  FROM sk a
+         |  JOIN sk b ON a.key = b.key AND a.id < b.id
+         |  JOIN alive v2 ON v2.key = a.key)
+         |SELECT tokA, tokB, CAST(levenshtein(tokA, tokB) AS INT) AS lev,
+         |  levenshtein(tokA, tokB) <= ${Phonetic.DefaultMaxLev} AS is_match
+         |FROM cand ORDER BY tokA, tokB""".stripMargin
   )
 
   /** Synthetic author surname per document — deterministic from doc_id,
@@ -736,7 +780,13 @@ object TextQueries {
     "robert", "rupert", "ashcraft", "ashcroft", "tymczak", "tymczac",
     "pfister", "phister", "smith", "smyth", "smithe", "jackson", "jaxon",
     "meyer", "meier", "myer", "hanna", "hana", "white", "wight",
-    "schmidt", "schmitt", "gauss", "gaus")
+    "schmidt", "schmitt", "gauss", "gaus",
+    // prefix-variant pairs: DIFFERENT first letter → different Soundex
+    // codes, shared long suffix — caught by q_suffix_pairs and missed
+    // by q_phonetic_pairs, the textbook complementarity of the two
+    // schemes (Christen §4.8)
+    "catherine", "katherine", "christina", "kristina",
+    "jonathan", "johnathan")
 
   /** documents + `ptext` = text with the synthetic author appended. */
   private def phoneticDocs(s: SparkSession, dir: String): DataFrame =
@@ -759,15 +809,35 @@ object TextQueries {
     * the vowel separators, then pad to 4. Verified equal to the builtin
     * on an edge-case battery in PhoneticSpec (who/hanna/ashcraft/
     * tymczak/pfister/zzyzx/...). */
-  private def soundexCtes: String = {
-    val collapsed = "0123456".foldLeft("replace(d, '7', '')") {
-      (acc, dg) => s"regexp_replace($acc, '$dg+', '$dg', 'g')"
-    }
+  /** The letter-only token vocabulary (text words + synthetic author)
+    * as CTE `v` — the ONE SQL rendering of [[Phonetic.vocabulary]],
+    * shared by the Soundex and suffix-blocking oracles. */
+  private def vocabCte: String =
     s"""v AS (
        |  SELECT DISTINCT unnest(regexp_extract_all(
        |    lower(concat_ws(' ', text, $authorSql)),
        |    '${graft.operators.Phonetic.TokenPattern}')) AS tok
-       |  FROM documents),
+       |  FROM documents)""".stripMargin
+
+  /** DuckDB replay of suffix generation + purge as CTEs `sk` (key, id)
+    * and `alive` (surviving keys) — the [[SuffixBlocking]] constants are
+    * interpolated from their ONE definition. */
+  private def suffixCtes: String =
+    s"""$vocabCte,
+       |sk AS MATERIALIZED (
+       |  SELECT unnest([substr(tok, CAST(x AS INT))
+       |      FOR x IN range(1, length(tok) - ${SuffixBlocking.MinSuffixLen} + 2)]) AS key,
+       |    tok AS id
+       |  FROM v WHERE length(tok) >= ${SuffixBlocking.MinSuffixLen}),
+       |alive AS MATERIALIZED (
+       |  SELECT key FROM sk GROUP BY key
+       |  HAVING count(*) BETWEEN 2 AND ${SuffixBlocking.DefaultMaxBlock})""".stripMargin
+
+  private def soundexCtes: String = {
+    val collapsed = "0123456".foldLeft("replace(d, '7', '')") {
+      (acc, dg) => s"regexp_replace($acc, '$dg+', '$dg', 'g')"
+    }
+    s"""$vocabCte,
        |sxd AS (
        |  SELECT tok,
        |    translate(upper(tok), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',

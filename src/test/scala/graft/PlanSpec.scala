@@ -181,4 +181,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
       s"phonetic pair generation degraded to a product\n$s")
   }
+
+  test("suffix pairs: purge is a count-then-join, never a product") {
+    val s = fmt(TextQueries.queries("q_suffix_pairs")(spark, dir))
+    // the purge joins the survivor keys back on the SAME key the pair
+    // aggregation groups by — any nested loop or cartesian means the
+    // two-pass purge degraded to shipping unpurged blocks
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"suffix pair generation degraded to a product\n$s")
+    assert(s.contains("HashAggregate"), s"purge count no longer an aggregate\n$s")
+  }
 }
