@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AffineGapFn, AffineGapKernel, DamerauLevenshteinFn, JaroWinkler}
+import graft.functions.{AffineGapFn, AffineGapKernel, DamerauLevenshteinFn, JaroWinkler, SmithWatermanFn, SmithWatermanKernel}
 import graft.operators._
 import graft.sources.CorpusGen
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -278,6 +278,17 @@ object ErQueries {
       val truth = r.trees.toDF().select(col("id"),
         concat(lit("g"), col("groupId")).as("truthId"))
       ClusterEval.evaluate(r.clusters, truth)
+    }),
+    // the information-theoretic complement: homogeneity / completeness /
+    // V-measure (Rosenberg & Hirschberg EMNLP'07 — NMI with arithmetic
+    // normalization). The oracle rebuilds the contingency table from
+    // the assignment dump + its OWN truth labels and redoes all four
+    // entropies and the three ratios at 6 dp
+    "er_cluster_nmi" -> ((s, dir) => {
+      val r = pipeline(s, dir)
+      val truth = r.trees.toDF().select(col("id"),
+        concat(lit("g"), col("groupId")).as("truthId"))
+      ClusterEval.vMeasure(r.clusters, truth)
     }),
     // edit scripts for matched pairs through the reference's
     // return_operations surface (TreeDistOps) — one row per operation
@@ -662,6 +673,24 @@ object ErQueries {
       FsResults.cached(s, dir).features
         .select(col("idA"), col("idB"),
           AffineGapFn.affineGap(col("pathA"), col("pathB")).as("ag_path"),
+          lit(true).as("cells_complete"),
+          lit(true).as("recurrence_holds"))
+        .orderBy(col("idA"), col("idB"))
+    }),
+    // Smith–Waterman LOCAL alignment (1981) over the candidate pairs'
+    // paths — the comparator for shared substrings that global
+    // comparators drown in end-gap noise. Same DP-AXIOM oracle shape
+    // as er_affine_gap: the engine dumps the full H matrix
+    // (_aux/sw_cells) and DuckDB re-verifies the zero borders, the
+    // zero-floored interior recurrence cell-by-cell (three window
+    // passes), completeness, and takes the matrix MAX (local, not the
+    // corner) as ITS score. The verdict columns are literal true here
+    // and MEASURED there.
+    "er_smith_waterman" -> ((s, dir) => {
+      SmithWatermanFn.register(s)
+      FsResults.cached(s, dir).features
+        .select(col("idA"), col("idB"),
+          SmithWatermanFn.smithWaterman(col("pathA"), col("pathB")).as("sw_path"),
           lit(true).as("cells_complete"),
           lit(true).as("recurrence_holds"))
         .orderBy(col("idA"), col("idB"))
@@ -1321,6 +1350,23 @@ object ErQueries {
         .toDF("idA", "idB", "i", "j", "dc", "pc", "qc")
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/ag_cells")
     }
+    // full Smith–Waterman H matrix per candidate pair: the
+    // er_smith_waterman oracle re-checks borders + the zero-floored
+    // recurrence cell-by-cell and reads the matrix max as the score
+    locally {
+      import spark.implicits._
+      FsResults.cached(spark, sfDir).features
+        .select("idA", "idB", "pathA", "pathB")
+        .as[(String, String, String, String)]
+        .flatMap { case (ia, ib, pa, pb) =>
+          SmithWatermanKernel.matrix(
+              org.apache.spark.unsafe.types.UTF8String.fromString(pa),
+              org.apache.spark.unsafe.types.UTF8String.fromString(pb))
+            .map { case (i, j, hc) => (ia, ib, i, j, hc) }
+        }
+        .toDF("idA", "idB", "i", "j", "hc")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/sw_cells")
+    }
     locally {
       import spark.implicits._
       val ps = FsResults.cached(spark, sfDir).params
@@ -1851,6 +1897,64 @@ object ErQueries {
            |JOIN chk k ON k.idA = f.idA AND k.idB = f.idB
            |ORDER BY f.idA, f.idB""".stripMargin
       },
+      // Smith–Waterman axiom check (constants interpolated from the ONE
+      // definition in SmithWatermanKernel): zero borders, the
+      // zero-floored local recurrence via three window passes over the
+      // dumped H matrix, completeness, and the matrix MAX as the score
+      // (local alignment reports the best cell, not the corner)
+      "er_smith_waterman" -> {
+        val m = SmithWatermanKernel.MatchScore
+        val x = SmithWatermanKernel.MismatchPenalty
+        val g = SmithWatermanKernel.GapPenalty
+        s"""WITH fsp AS MATERIALIZED (
+           |  SELECT idA, idB, pathA, pathB
+           |  FROM read_parquet('{OUT}/_aux/fs_pairs/*.parquet')),
+           |c AS MATERIALIZED (
+           |  SELECT * FROM read_parquet('{OUT}/_aux/sw_cells/*.parquet')),
+           |n AS MATERIALIZED (
+           |  SELECT idA, idB, i, j, hc,
+           |    lag(hc) OVER w_row  AS h_left,
+           |    lag(hc) OVER w_col  AS h_up,
+           |    lag(hc) OVER w_diag AS h_diag
+           |  FROM c
+           |  WINDOW
+           |    w_row  AS (PARTITION BY idA, idB, i ORDER BY j),
+           |    w_col  AS (PARTITION BY idA, idB, j ORDER BY i),
+           |    w_diag AS (PARTITION BY idA, idB, i - j ORDER BY i)),
+           |chk AS MATERIALIZED (
+           |  SELECT n.idA, n.idB,
+           |    min(CASE
+           |      WHEN n.i = 0 OR n.j = 0 THEN n.hc = 0
+           |      ELSE n.hc = greatest(0,
+           |        n.h_diag + CASE WHEN substr(f.pathA, n.i, 1)
+           |                         = substr(f.pathB, n.j, 1)
+           |                   THEN $m ELSE -$x END,
+           |        n.h_up - $g, n.h_left - $g)
+           |      END) AS recurrence_holds
+           |  FROM n JOIN fsp f ON f.idA = n.idA AND f.idB = n.idB
+           |  GROUP BY 1, 2),
+           |agg AS MATERIALIZED (
+           |  SELECT c.idA, c.idB,
+           |    count(*) AS ncells,
+           |    count(DISTINCT [c.i, c.j]) AS ndistinct,
+           |    max(c.i) AS maxi, max(c.j) AS maxj,
+           |    CAST(max(c.hc) AS INT) AS sw_path
+           |  FROM c GROUP BY 1, 2)
+           |SELECT f.idA, f.idB, a.sw_path,
+           |  (a.ncells = (strlen(f.pathA) + 1) * (strlen(f.pathB) + 1)
+           |   AND a.ndistinct = a.ncells
+           |   AND a.maxi = strlen(f.pathA)
+           |   AND a.maxj = strlen(f.pathB)
+           |   -- byte-wise kernel vs character-wise substr: agreement
+           |   -- requires ASCII paths, itself a verified claim
+           |   AND strlen(f.pathA) = length(f.pathA)
+           |   AND strlen(f.pathB) = length(f.pathB)) AS cells_complete,
+           |  k.recurrence_holds
+           |FROM fsp f
+           |JOIN agg a ON a.idA = f.idA AND a.idB = f.idB
+           |JOIN chk k ON k.idA = f.idA AND k.idB = f.idB
+           |ORDER BY f.idA, f.idB""".stripMargin
+      },
       // PPRL dice: popcounts, word-wise intersection, dice, and the
       // integer-exact decision all recomputed from the dumped packed
       // words with DuckDB's own two's-complement bit_count / &
@@ -2203,6 +2307,50 @@ object ErQueries {
            |  CASE WHEN max_idx = expected THEN 1e0
            |       ELSE round((index_pairs - expected) / (max_idx - expected), 6) END AS ari
            |FROM fin""".stripMargin,
+      // V-measure replay: contingency table from the assignment dump +
+      // DuckDB's own truth labels, all four natural-log entropies and
+      // the homogeneity/completeness/v ratios redone at 6 dp (the
+      // h=1-when-H(T)=0 / c=1-when-H(C)=0 / v=0-when-h+c=0 conventions
+      // mirrored exactly)
+      "er_cluster_nmi" ->
+        s"""WITH assign AS (SELECT id, clusterId FROM read_parquet('{OUT}/er_clusters/*.parquet')),
+           |truthl AS (SELECT $idExpr AS id, 'g' || groupId AS truthId FROM $corpus),
+           |ct AS MATERIALIZED (
+           |  SELECT a.clusterId, t.truthId, count(*) AS n_ct
+           |  FROM assign a JOIN truthl t ON a.id = t.id GROUP BY 1, 2),
+           |c AS MATERIALIZED (SELECT clusterId, sum(n_ct) AS n_c FROM ct GROUP BY 1),
+           |tt AS MATERIALIZED (SELECT truthId, sum(n_ct) AS n_t FROM ct GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_ct) AS BIGINT) AS n FROM ct),
+           |joint AS (
+           |  SELECT
+           |    sum(-CAST(ct.n_ct AS DOUBLE) * ln(CAST(ct.n_ct AS DOUBLE) / CAST(c.n_c AS DOUBLE))) AS n_htc,
+           |    sum(-CAST(ct.n_ct AS DOUBLE) * ln(CAST(ct.n_ct AS DOUBLE) / CAST(tt.n_t AS DOUBLE))) AS n_hct
+           |  FROM ct JOIN c USING (clusterId) JOIN tt USING (truthId)),
+           |hcl AS (SELECT sum(-CAST(n_c AS DOUBLE) / n * ln(CAST(n_c AS DOUBLE) / n)) AS h_clusters
+           |  FROM c, tot),
+           |htr AS (SELECT sum(-CAST(n_t AS DOUBLE) / n * ln(CAST(n_t AS DOUBLE) / n)) AS h_truth
+           |  FROM tt, tot),
+           |fin AS (
+           |  SELECT n, h_truth, h_clusters,
+           |    n_htc / n AS h_t_given_c, n_hct / n AS h_c_given_t
+           |  FROM tot, joint, hcl, htr),
+           |m AS (
+           |  SELECT n, h_truth, h_clusters, h_t_given_c, h_c_given_t,
+           |    CASE WHEN h_truth = 0e0 THEN 1e0
+           |         ELSE 1e0 - h_t_given_c / h_truth END AS homogeneity,
+           |    CASE WHEN h_clusters = 0e0 THEN 1e0
+           |         ELSE 1e0 - h_c_given_t / h_clusters END AS completeness
+           |  FROM fin)
+           |SELECT n, round(h_truth, 6) AS h_truth,
+           |  round(h_clusters, 6) AS h_clusters,
+           |  round(h_t_given_c, 6) AS h_t_given_c,
+           |  round(h_c_given_t, 6) AS h_c_given_t,
+           |  round(homogeneity, 6) AS homogeneity,
+           |  round(completeness, 6) AS completeness,
+           |  round(CASE WHEN homogeneity + completeness = 0e0 THEN 0e0
+           |        ELSE 2e0 * homogeneity * completeness
+           |             / (homogeneity + completeness) END, 6) AS v_measure
+           |FROM m""".stripMargin,
       // greedy 1:1 matching replayed from scratch: DuckDB re-derives the
       // cross-catalog edge set (vectors → weights → decisions from the
       // dumps) and runs the identical locally-dominant-edge round chain

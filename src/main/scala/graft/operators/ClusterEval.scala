@@ -76,4 +76,59 @@ object ClusterEval {
       .select(col("n"), col("a_pairs"), col("b_pairs"), col("index_pairs"),
         col("b3_precision"), col("b3_recall"), col("b3_f1"), col("ari"))
   }
+
+  /** Homogeneity / completeness / V-measure (Rosenberg & Hirschberg,
+    * "V-Measure: a conditional entropy-based external cluster
+    * evaluation measure", EMNLP 2007) — the information-theoretic
+    * complement to [[evaluate]]'s pair-counting scores (V-measure is
+    * exactly NMI with arithmetic normalization). From the SAME
+    * one-shuffle contingency table:
+    *   homogeneity  h = 1 − H(T|C)/H(T)  (each cluster ⊆ one truth class)
+    *   completeness c = 1 − H(C|T)/H(C)  (each truth class ⊆ one cluster)
+    *   v = 2hc/(h+c)
+    * with the paper's conventions h = 1 when H(T) = 0, c = 1 when
+    * H(C) = 0, v = 0 when h + c = 0. Natural-log entropies; every sum
+    * is over contingency cells (≤ #records rows, ≈ #clusters in
+    * practice), so the DuckDB oracle reproduces all columns at 6 dp. */
+  def vMeasure(assign: DataFrame, truth: DataFrame): DataFrame = {
+    val ct = assign.join(truth, "id")
+      .groupBy(col("clusterId"), col("truthId"))
+      .agg(count(lit(1)).as("n_ct"))
+      .localCheckpoint(true)
+    val c = ct.groupBy(col("clusterId")).agg(sum(col("n_ct")).as("n_c"))
+    val t = ct.groupBy(col("truthId")).agg(sum(col("n_ct")).as("n_t"))
+    // n·H(T|C) = −Σ_ct n_ct·ln(n_ct/n_c); a 1-member cell contributes
+    // exactly 0 (ln 1), so no epsilon guards are needed anywhere
+    val joint = ct.join(c, "clusterId").join(t, "truthId").agg(
+      sum(col("n_ct")).as("n"),
+      sum(-col("n_ct").cast("double") *
+        log(col("n_ct").cast("double") / col("n_c"))).as("n_htc"),
+      sum(-col("n_ct").cast("double") *
+        log(col("n_ct").cast("double") / col("n_t"))).as("n_hct"))
+    val hc = c.crossJoin(joint.select(col("n").as("nn")))
+      .agg(sum(-col("n_c").cast("double") / col("nn") *
+        log(col("n_c").cast("double") / col("nn"))).as("h_clusters"))
+    val ht = t.crossJoin(joint.select(col("n").as("nn")))
+      .agg(sum(-col("n_t").cast("double") / col("nn") *
+        log(col("n_t").cast("double") / col("nn"))).as("h_truth"))
+    joint.crossJoin(hc).crossJoin(ht)
+      .withColumn("h_t_given_c", col("n_htc") / col("n"))
+      .withColumn("h_c_given_t", col("n_hct") / col("n"))
+      .withColumn("homogeneity", when(col("h_truth") === 0d, lit(1.0))
+        .otherwise(lit(1.0) - col("h_t_given_c") / col("h_truth")))
+      .withColumn("completeness", when(col("h_clusters") === 0d, lit(1.0))
+        .otherwise(lit(1.0) - col("h_c_given_t") / col("h_clusters")))
+      .withColumn("v_measure",
+        when(col("homogeneity") + col("completeness") === 0d, lit(0.0))
+          .otherwise(lit(2.0) * col("homogeneity") * col("completeness") /
+            (col("homogeneity") + col("completeness"))))
+      .select(col("n"),
+        round(col("h_truth"), 6).as("h_truth"),
+        round(col("h_clusters"), 6).as("h_clusters"),
+        round(col("h_t_given_c"), 6).as("h_t_given_c"),
+        round(col("h_c_given_t"), 6).as("h_c_given_t"),
+        round(col("homogeneity"), 6).as("homogeneity"),
+        round(col("completeness"), 6).as("completeness"),
+        round(col("v_measure"), 6).as("v_measure"))
+  }
 }

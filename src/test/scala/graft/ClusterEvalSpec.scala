@@ -85,4 +85,70 @@ class ClusterEvalSpec extends AnyFunSuite {
     val row = run(ids.map(i => i -> i).toMap, ids.map(i => i -> (i + "t")).toMap)
     assert(row.getAs[Double]("ari") == 1.0 && row.getAs[Double]("b3_f1") == 1.0)
   }
+
+  // ---- V-measure ----
+
+  private def runV(assign: Map[String, String], truth: Map[String, String]) = {
+    import spark.implicits._
+    ClusterEval.vMeasure(
+      assign.toSeq.toDF("id", "clusterId"),
+      truth.toSeq.toDF("id", "truthId")).collect().head
+  }
+
+  /** Homogeneity/completeness/V straight from the EMNLP'07 definitions
+    * (entropies over explicit probability maps — no contingency-table
+    * algebra shared with the operator). */
+  private def bruteV(assign: Map[String, String], truth: Map[String, String]) = {
+    val ids = assign.keys.toSeq
+    val n = ids.size.toDouble
+    def h(label: String => String): Double =
+      -ids.groupBy(label).values.map(_.size / n).map(p => p * math.log(p)).sum
+    def hCond(of: String => String, given: String => String): Double =
+      -ids.groupBy(x => (given(x), of(x))).values.map { cell =>
+        val pJoint = cell.size / n
+        val pGiven = ids.count(x => given(x) == given(cell.head)) / n
+        pJoint * math.log(pJoint / pGiven)
+      }.sum
+    val hT = h(truth); val hC = h(assign)
+    val hom = if (hT == 0) 1.0 else 1.0 - hCond(truth, assign) / hT
+    val com = if (hC == 0) 1.0 else 1.0 - hCond(assign, truth) / hC
+    val v = if (hom + com == 0) 0.0 else 2 * hom * com / (hom + com)
+    (hT, hC, hom, com, v)
+  }
+
+  test("v-measure differential vs the entropy definitions on random labelings") {
+    val rnd = new scala.util.Random(37)
+    for (trial <- 0 until 6) {
+      val ids = (0 until 40).map(i => f"x$i%02d")
+      val assign = ids.map(i => i -> s"c${rnd.nextInt(7)}").toMap
+      val truth = ids.map(i => i -> s"t${rnd.nextInt(6)}").toMap
+      val row = runV(assign, truth)
+      val (hT, hC, hom, com, v) = bruteV(assign, truth)
+      assert(row.getAs[Double]("h_truth") == r6(hT), s"trial $trial hT")
+      assert(row.getAs[Double]("h_clusters") == r6(hC), s"trial $trial hC")
+      assert(row.getAs[Double]("homogeneity") == r6(hom), s"trial $trial hom")
+      assert(row.getAs[Double]("completeness") == r6(com), s"trial $trial com")
+      assert(row.getAs[Double]("v_measure") == r6(v), s"trial $trial v")
+    }
+  }
+
+  test("v-measure degenerate shapes: perfect, one-blob, singletons") {
+    val ids = (0 until 12).map(i => f"x$i%02d")
+    val truth = ids.map(i => i -> s"t${i.drop(1).toInt % 3}").toMap
+    // identical partition: everything 1
+    val perfect = runV(truth.map { case (k, v) => k -> v.replace('t', 'c') }, truth)
+    assert(perfect.getAs[Double]("v_measure") == 1.0 &&
+      perfect.getAs[Double]("homogeneity") == 1.0 &&
+      perfect.getAs[Double]("completeness") == 1.0)
+    // one blob: completeness 1 (every class inside the one cluster),
+    // homogeneity 0 (clusters tell you nothing about the class)
+    val blob = runV(ids.map(i => i -> "c0").toMap, truth)
+    assert(blob.getAs[Double]("completeness") == 1.0 &&
+      blob.getAs[Double]("homogeneity") == 0.0 &&
+      blob.getAs[Double]("v_measure") == 0.0)
+    // all singletons: homogeneity 1, completeness < 1
+    val single = runV(ids.map(i => i -> i).toMap, truth)
+    assert(single.getAs[Double]("homogeneity") == 1.0 &&
+      single.getAs[Double]("completeness") < 1.0)
+  }
 }
