@@ -502,6 +502,31 @@ object ErQueries {
       MetaBlocking.prune(MetaBlocking.pairWeights(keyed, cfg.maxBlockSize))
         .orderBy(col("idA"), col("idB"))
     }),
+    // progressive (pay-as-you-go) ER: the CBS-ranked verification
+    // schedule's quality curve — cumulative truth recall at each spend
+    // decile. The schedule merges the PRECISE channel (capped MinHash
+    // blocks, CBS-weighted) with the NOISY over-generating channel
+    // (sorted-neighborhood window pairs, weight 0), so the ranking has
+    // something real to discriminate: the curve front-loads the
+    // CBS-weighted pairs and pushes the SNM noise to the tail. The
+    // oracle re-derives weights from the dumped block index, takes the
+    // SNM channel from its (independently verified) dump, ranks with
+    // its OWN row_number, re-assigns deciles with the same integer
+    // arithmetic, and recomputes both recall columns
+    "er_progressive" -> ((s, dir) => {
+      val cfg = Pipeline.Config().blocking
+      val r = pipeline(s, dir)
+      val keyed = Blocking.keyedIds(r.trees, cfg)
+      val weights = MetaBlocking.pairWeights(keyed, cfg.maxBlockSize)
+      val snm = SortedNeighborhood.pairs(
+          r.trees.toDF().select(col("id"), col("nTokens")),
+          "id", Seq("nTokens", "id"), SnmWindow)
+        .select(col("idA"), col("idB"), lit(0L).as("weight"))
+      val combined = weights.unionByName(snm)
+        .groupBy(col("idA"), col("idB")).agg(max(col("weight")).as("weight"))
+      val labels = r.trees.toDF().select(col("id"), col("groupId"))
+      Progressive.curve(combined, labels).orderBy(col("decile"))
+    }),
     // leakage-safe train/eval split: whole clusters assigned by a
     // deterministic cluster-id hash, so near-duplicate members can never
     // straddle the boundary. Zero shuffle; the oracle replays the rule
@@ -2602,6 +2627,54 @@ object ErQueries {
            |  (w.weight * na.wcnt >= na.wsum OR w.weight * nb.wcnt >= nb.wsum) AS kept
            |FROM w JOIN n na ON na.id = w.idA JOIN n nb ON nb.id = w.idB
            |ORDER BY w.idA, w.idB""".stripMargin
+      },
+      // the progressive schedule replayed end-to-end: CBS weights from
+      // the dumped block index, DuckDB's own truth labels and
+      // row_number rank (same DESC-weight + id tie-break), the same
+      // integer decile arithmetic, both recall denominators recomputed
+      "er_progressive" -> {
+        val cap = Pipeline.Config().blocking.maxBlockSize
+        s"""WITH k AS (SELECT DISTINCT key, id
+           |           FROM read_parquet('{OUT}/_aux/er_block_index/*.parquet')),
+           |c AS (SELECT key, id FROM (
+           |        SELECT key, id, dense_rank() OVER (PARTITION BY key ORDER BY id) AS rn
+           |        FROM k) WHERE rn <= $cap),
+           |p AS (SELECT a.key, a.id AS idA, b.id AS idB
+           |      FROM c a JOIN c b ON a.key = b.key AND a.id < b.id),
+           |wcbs AS (SELECT idA, idB, CAST(count(*) AS BIGINT) AS weight
+           |      FROM p GROUP BY idA, idB),
+           |u AS (SELECT idA, idB, weight FROM wcbs
+           |      UNION ALL
+           |      SELECT idA, idB, CAST(0 AS BIGINT) AS weight
+           |      FROM read_parquet('{OUT}/er_snm_pairs/*.parquet')),
+           |w AS MATERIALIZED (SELECT idA, idB, max(weight) AS weight
+           |      FROM u GROUP BY idA, idB),
+           |labels AS MATERIALIZED (SELECT $idExpr AS id, groupId FROM $corpus),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM w),
+           |r AS MATERIALIZED (
+           |  SELECT row_number() OVER (ORDER BY w.weight DESC, w.idA, w.idB) AS rank,
+           |    (la.groupId = lb.groupId AND la.groupId >= 0) AS is_dup
+           |  FROM w JOIN labels la ON la.id = w.idA
+           |         JOIN labels lb ON lb.id = w.idB),
+           |capt AS (SELECT CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_true_captured FROM r),
+           |tt AS (SELECT CAST(coalesce(sum((m * (m - 1)) // 2), 0) AS BIGINT)
+           |    AS n_truth_total
+           |  FROM (SELECT count(*) AS m FROM labels WHERE groupId >= 0 GROUP BY groupId)),
+           |d AS (
+           |  SELECT CAST((rank * 10 + n_total - 1) // n_total AS INT) AS decile,
+           |    count(*) AS n_pairs,
+           |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+           |  FROM r, nt GROUP BY 1),
+           |cum AS (
+           |  SELECT decile,
+           |    CAST(sum(n_pairs) OVER (ORDER BY decile) AS BIGINT) AS n_pairs_cum,
+           |    CAST(sum(n_true) OVER (ORDER BY decile) AS BIGINT) AS n_true_cum
+           |  FROM d)
+           |SELECT decile, n_pairs_cum, n_true_cum,
+           |  round(CAST(n_true_cum AS DOUBLE) / n_true_captured, 6) AS recall_captured,
+           |  round(CAST(n_true_cum AS DOUBLE) / n_truth_total, 6) AS recall_total
+           |FROM cum, capt, tt ORDER BY decile""".stripMargin
       },
       // streaming deletion: CC recomputed over the stream's own dumped
       // cumulative matches pruned of deleted endpoints
