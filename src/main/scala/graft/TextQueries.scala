@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Decontaminate, Dedup, Phonetic, SetSimJoin, SuffixBlocking, TextAnalysis}
+import graft.operators.{Canopy, Decontaminate, Dedup, Phonetic, PivotClustering, SetSimJoin, SuffixBlocking, TextAnalysis}
 import graft.sources.CorpusGen
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -403,6 +403,21 @@ object TextQueries {
       SuffixBlocking.candidatePairs(
           Phonetic.vocabulary(phoneticDocs(s, dir), "ptext"))
         .orderBy(col("tokA"), col("tokB"))
+    }),
+
+    // canopy blocking (McCallum KDD'00) over the SAME vocabulary — the
+    // third complementary scheme: character-bigram Jaccard as the cheap
+    // metric, centers = the sequential canopy loop's center set
+    // (≡ greedy MIS over the tight graph under π = md5‖id), membership
+    // = loose neighborhood, canopies overlapping by design. The oracle
+    // replays EVERYTHING: brute-force bigram Jaccard from the raw
+    // documents (re-proving the prefix filter's completeness), the
+    // unrolled MIS round chain under its own md5 order, the membership
+    // join
+    "q_canopy" -> ((s, dir) => {
+      val vocab = Phonetic.vocabulary(phoneticDocs(s, dir), "ptext")
+      Canopy.canopies(Canopy.edges(vocab), vocab)
+        .orderBy(col("center"), col("member"))
     })
   )
 
@@ -768,7 +783,62 @@ object TextQueries {
          |  JOIN alive v2 ON v2.key = a.key)
          |SELECT tokA, tokB, CAST(levenshtein(tokA, tokB) AS INT) AS lev,
          |  levenshtein(tokA, tokB) <= ${Phonetic.DefaultMaxLev} AS is_match
-         |FROM cand ORDER BY tokA, tokB""".stripMargin
+         |FROM cand ORDER BY tokA, tokB""".stripMargin,
+
+    // canopy replay: brute-force bigram Jaccard over the vocabulary
+    // (loose edges — also a completeness proof for the Spark side's
+    // prefix-filtered join), tight adjacency, the greedy-MIS center
+    // chain unrolled round by round under DuckDB's own md5‖id order,
+    // isolated tokens as their own centers, membership join
+    "q_canopy" -> {
+      val rounds = (1 to PivotClustering.MaxRounds).map { k =>
+        s"""p$k AS MATERIALIZED (
+           |  SELECT u.id, u.pi FROM u${k - 1} u
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM adj a JOIN u${k - 1} w ON w.id = a.nb
+           |    WHERE a.id = u.id AND w.pi < u.pi)),
+           |u$k AS MATERIALIZED (
+           |  SELECT u.* FROM u${k - 1} u
+           |  WHERE u.id NOT IN (SELECT id FROM p$k)
+           |    AND u.id NOT IN (
+           |      SELECT a.id FROM adj a JOIN p$k p ON p.id = a.nb))""".stripMargin
+      }.mkString(",\n")
+      val allP = (1 to PivotClustering.MaxRounds)
+        .map(k => s"SELECT id FROM p$k").mkString(" UNION ALL ")
+      s"""WITH $vocabCte,
+         |d AS MATERIALIZED (
+         |  SELECT tok, list_distinct(list_transform(range(1, length(tok)),
+         |    i -> substr(tok, CAST(i AS INT), 2))) AS bg
+         |  FROM v WHERE length(tok) >= 2),
+         |e AS MATERIALIZED (
+         |  SELECT a.tok AS idA, b.tok AS idB,
+         |    CAST(len(list_intersect(a.bg, b.bg)) AS INT) AS isect,
+         |    CAST(len(list_distinct(list_concat(a.bg, b.bg))) AS INT) AS union_n
+         |  FROM d a JOIN d b ON a.tok < b.tok
+         |  WHERE len(list_intersect(a.bg, b.bg)) * ${Canopy.LooseDen}
+         |    >= len(list_distinct(list_concat(a.bg, b.bg))) * ${Canopy.LooseNum}),
+         |adj AS MATERIALIZED (
+         |  SELECT idA AS id, idB AS nb FROM e
+         |  WHERE isect * ${Canopy.TightDen} >= union_n * ${Canopy.TightNum}
+         |  UNION ALL
+         |  SELECT idB, idA FROM e
+         |  WHERE isect * ${Canopy.TightDen} >= union_n * ${Canopy.TightNum}),
+         |u0 AS MATERIALIZED (SELECT DISTINCT id, md5(id) || id AS pi FROM adj),
+         |$rounds,
+         |piv AS MATERIALIZED ($allP),
+         |centers AS MATERIALIZED (
+         |  SELECT id AS center FROM piv
+         |  UNION ALL
+         |  SELECT tok FROM v WHERE tok NOT IN (SELECT id FROM u0)),
+         |und AS (
+         |  SELECT idA AS center, idB AS member, isect, union_n FROM e
+         |  UNION ALL SELECT idB, idA, isect, union_n FROM e)
+         |SELECT center, member,
+         |  round(CAST(isect AS DOUBLE) / union_n, 6) AS jacc
+         |FROM centers JOIN und USING (center)
+         |UNION ALL SELECT center, center AS member, 1e0 AS jacc FROM centers
+         |ORDER BY center, member""".stripMargin
+    }
   )
 
   /** Synthetic author surname per document — deterministic from doc_id,
