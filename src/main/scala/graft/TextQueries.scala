@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Canopy, Decontaminate, Dedup, Phonetic, PivotClustering, SetSimJoin, SuffixBlocking, TextAnalysis}
+import graft.operators.{Canopy, Decontaminate, Dedup, MatchMerge, Phonetic, PivotClustering, SetSimJoin, SuffixBlocking, TextAnalysis}
 import graft.sources.CorpusGen
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -418,6 +418,18 @@ object TextQueries {
       val vocab = Phonetic.vocabulary(phoneticDocs(s, dir), "ptext")
       Canopy.canopies(Canopy.edges(vocab), vocab)
         .orderBy(col("center"), col("member"))
+    }),
+
+    // Swoosh-style iterative match-merge over deterministic chained
+    // profiles (ONE expression mirrored in both engines — the synthetic-
+    // author precedent): per doc-triple, the two "inner" profiles match
+    // at round 1, and ONLY their union matches the "outer" profile —
+    // the merge-creates-new-matches semantics one-shot CC cannot
+    // express. The oracle replays the full round chain: brute-force
+    // matching, a recursive-CTE CC, and the list-union merge per round
+    "q_match_merge" -> ((s, dir) => {
+      MatchMerge.resolve(swooshProfiles(s, dir), MatchMergeNum, MatchMergeDen)
+        .orderBy(col("id"))
     })
   )
 
@@ -838,6 +850,50 @@ object TextQueries {
          |FROM centers JOIN und USING (center)
          |UNION ALL SELECT center, center AS member, 1e0 AS jacc FROM centers
          |ORDER BY center, member""".stripMargin
+    },
+
+    // match-merge fixpoint replay: the synthetic chained profiles (the
+    // ONE expression mirrored from swooshProfiles), then MaxRounds
+    // unrolled rounds of brute-force matching + recursive-CTE connected
+    // components + list-union merge. A no-match round is an identity,
+    // so engine and oracle agree on any fixpoint reached in the bound
+    "q_match_merge" -> {
+      val (num, den) = (MatchMergeNum, MatchMergeDen)
+      val rounds = (1 to MatchMerge.MaxRounds).map { k =>
+        val prev = s"e${k - 1}"
+        s"""p$k AS MATERIALIZED (
+           |  SELECT a.eid AS ea, b.eid AS eb FROM $prev a JOIN $prev b ON a.eid < b.eid
+           |  WHERE len(list_intersect(a.toks, b.toks)) * $den
+           |    >= len(list_distinct(list_concat(a.toks, b.toks))) * $num),
+           |adj$k AS (SELECT ea AS a, eb AS b FROM p$k
+           |          UNION ALL SELECT eb, ea FROM p$k),
+           |reach$k(id, r) AS (
+           |  SELECT eid, eid FROM $prev
+           |  UNION
+           |  SELECT reach$k.id, adj$k.b FROM reach$k JOIN adj$k ON adj$k.a = reach$k.r),
+           |cc$k AS MATERIALIZED (SELECT id, min(r) AS comp FROM reach$k GROUP BY id),
+           |e$k AS MATERIALIZED (
+           |  SELECT c.comp AS eid,
+           |    list_sort(list_distinct(flatten(list(e.members)))) AS members,
+           |    list_sort(list_distinct(flatten(list(e.toks)))) AS toks
+           |  FROM $prev e JOIN cc$k c ON c.id = e.eid
+           |  GROUP BY c.comp)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE prof AS MATERIALIZED (
+         |  SELECT doc_id AS id,
+         |    CASE doc_id % 3
+         |      WHEN 0 THEN [b + 1, b + 2, b + 3, b + 4]
+         |      WHEN 1 THEN [b + 3, b + 4, b + 5, b + 6]
+         |      ELSE [b + 1, b + 2, b + 5, b + 6, b + 7, b + 8] END AS toks
+         |  FROM (SELECT doc_id, (doc_id // 3) * 10 AS b FROM documents)),
+         |e0 AS MATERIALIZED (
+         |  SELECT id AS eid, [id] AS members, list_sort(list_distinct(toks)) AS toks
+         |  FROM prof),
+         |$rounds
+         |SELECT unnest(members) AS id, eid AS entity_id,
+         |  CAST(len(members) AS INT) AS n_members,
+         |  CAST(len(toks) AS INT) AS n_toks
+         |FROM e${MatchMerge.MaxRounds} ORDER BY id""".stripMargin
     }
   )
 
@@ -879,6 +935,27 @@ object TextQueries {
     * the vowel separators, then pad to 4. Verified equal to the builtin
     * on an edge-case battery in PhoneticSpec (who/hanna/ashcraft/
     * tymczak/pfister/zzyzx/...). */
+  /** q_match_merge threshold (Jaccard ≥ 1/3) — ONE definition, both the
+    * Spark query and the oracle interpolate it. */
+  private val MatchMergeNum = 1
+  private val MatchMergeDen = 3
+
+  /** Deterministic chained feature profiles for q_match_merge: docs in
+    * triples (g = doc_id div 3) get inner-left {b+1..b+4}, inner-right
+    * {b+3..b+6}, outer {b+1,b+2,b+5,b+6,b+7,b+8} with b = g·10 — at
+    * θ = 1/3 the inners match each other (2/6), the outer matches
+    * NEITHER inner (2/8) but DOES match their union (4/8). The SQL
+    * mirror lives in the q_match_merge oracle. */
+  private def swooshProfiles(s: SparkSession, dir: String): DataFrame = {
+    val b = expr("(doc_id DIV 3) * 10")
+    val r = pmod(col("doc_id"), lit(3))
+    docs(s, dir).select(col("doc_id").as("id"),
+      when(r === 0, array(b + lit(1), b + lit(2), b + lit(3), b + lit(4)))
+        .when(r === 1, array(b + lit(3), b + lit(4), b + lit(5), b + lit(6)))
+        .otherwise(array(b + lit(1), b + lit(2), b + lit(5), b + lit(6),
+          b + lit(7), b + lit(8))).as("toks"))
+  }
+
   /** The letter-only token vocabulary (text words + synthetic author)
     * as CTE `v` — the ONE SQL rendering of [[Phonetic.vocabulary]],
     * shared by the Soundex and suffix-blocking oracles. */
