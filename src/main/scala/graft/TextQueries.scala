@@ -430,6 +430,43 @@ object TextQueries {
     "q_match_merge" -> ((s, dir) => {
       MatchMerge.resolve(swooshProfiles(s, dir), MatchMergeNum, MatchMergeDen)
         .orderBy(col("id"))
+    }),
+
+    // the key designer's table: Soundex vs suffix vs canopy (vs their
+    // union) on the SAME vocabulary — pair completeness against a
+    // brute-force Levenshtein ≤ 2 truth, reduction ratio vs C(|V|, 2).
+    // The truth crossJoin is a documented diagnostic over the
+    // Heaps-sublinear vocabulary (the ANN-brute-force precedent), not a
+    // pipeline stage. The union row quantifies the complementarity the
+    // three schemes were built for
+    "q_blocking_quality" -> ((s, dir) => {
+      val vocab = Phonetic.vocabulary(phoneticDocs(s, dir), "ptext")
+        .localCheckpoint(true)
+      val ph = Phonetic.candidatePairs(vocab).select(col("tokA"), col("tokB"))
+      val sf = SuffixBlocking.candidatePairs(vocab).select(col("tokA"), col("tokB"))
+      val cn = Canopy.candidatePairs(Canopy.canopies(Canopy.edges(vocab), vocab))
+      val un = ph.unionByName(sf).unionByName(cn).distinct()
+      val truth = vocab.select(col("tok").as("tokA"))
+        .crossJoin(vocab.select(col("tok").as("tokB")))
+        .where(col("tokA") < col("tokB") &&
+          levenshtein(col("tokA"), col("tokB")) <= Phonetic.DefaultMaxLev)
+        .withColumn("hit", lit(true))
+        .localCheckpoint(true)
+      val nV = vocab.agg(count(lit(1)).as("n_vocab"))
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      def row(name: String, pairs: DataFrame) =
+        pairs.join(truth, Seq("tokA", "tokB"), "left")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("hit"), 1L).otherwise(0L)).as("n_captured"))
+          .crossJoin(nT).crossJoin(nV)
+          .select(lit(name).as("scheme"), col("n_pairs"), col("n_captured"),
+            round(col("n_captured").cast("double") / col("n_truth"), 6)
+              .as("pair_completeness"),
+            round(lit(1.0) - col("n_pairs").cast("double") /
+              shiftright(col("n_vocab") * (col("n_vocab") - lit(1L)), 1), 6)
+              .as("reduction_ratio"))
+      Seq(row("soundex", ph), row("suffix", sf), row("canopy", cn),
+        row("union", un)).reduce(_ unionByName _).orderBy(col("scheme"))
     })
   )
 
@@ -802,55 +839,62 @@ object TextQueries {
     // prefix-filtered join), tight adjacency, the greedy-MIS center
     // chain unrolled round by round under DuckDB's own md5‖id order,
     // isolated tokens as their own centers, membership join
-    "q_canopy" -> {
-      val rounds = (1 to PivotClustering.MaxRounds).map { k =>
-        s"""p$k AS MATERIALIZED (
-           |  SELECT u.id, u.pi FROM u${k - 1} u
-           |  WHERE NOT EXISTS (
-           |    SELECT 1 FROM adj a JOIN u${k - 1} w ON w.id = a.nb
-           |    WHERE a.id = u.id AND w.pi < u.pi)),
-           |u$k AS MATERIALIZED (
-           |  SELECT u.* FROM u${k - 1} u
-           |  WHERE u.id NOT IN (SELECT id FROM p$k)
-           |    AND u.id NOT IN (
-           |      SELECT a.id FROM adj a JOIN p$k p ON p.id = a.nb))""".stripMargin
-      }.mkString(",\n")
-      val allP = (1 to PivotClustering.MaxRounds)
-        .map(k => s"SELECT id FROM p$k").mkString(" UNION ALL ")
+    "q_canopy" ->
       s"""WITH $vocabCte,
-         |d AS MATERIALIZED (
-         |  SELECT tok, list_distinct(list_transform(range(1, length(tok)),
-         |    i -> substr(tok, CAST(i AS INT), 2))) AS bg
-         |  FROM v WHERE length(tok) >= 2),
-         |e AS MATERIALIZED (
-         |  SELECT a.tok AS idA, b.tok AS idB,
-         |    CAST(len(list_intersect(a.bg, b.bg)) AS INT) AS isect,
-         |    CAST(len(list_distinct(list_concat(a.bg, b.bg))) AS INT) AS union_n
-         |  FROM d a JOIN d b ON a.tok < b.tok
-         |  WHERE len(list_intersect(a.bg, b.bg)) * ${Canopy.LooseDen}
-         |    >= len(list_distinct(list_concat(a.bg, b.bg))) * ${Canopy.LooseNum}),
-         |adj AS MATERIALIZED (
-         |  SELECT idA AS id, idB AS nb FROM e
-         |  WHERE isect * ${Canopy.TightDen} >= union_n * ${Canopy.TightNum}
-         |  UNION ALL
-         |  SELECT idB, idA FROM e
-         |  WHERE isect * ${Canopy.TightDen} >= union_n * ${Canopy.TightNum}),
-         |u0 AS MATERIALIZED (SELECT DISTINCT id, md5(id) || id AS pi FROM adj),
-         |$rounds,
-         |piv AS MATERIALIZED ($allP),
-         |centers AS MATERIALIZED (
-         |  SELECT id AS center FROM piv
-         |  UNION ALL
-         |  SELECT tok FROM v WHERE tok NOT IN (SELECT id FROM u0)),
-         |und AS (
-         |  SELECT idA AS center, idB AS member, isect, union_n FROM e
-         |  UNION ALL SELECT idB, idA, isect, union_n FROM e)
+         |$canopyBody
          |SELECT center, member,
          |  round(CAST(isect AS DOUBLE) / union_n, 6) AS jacc
          |FROM centers JOIN und USING (center)
          |UNION ALL SELECT center, center AS member, 1e0 AS jacc FROM centers
-         |ORDER BY center, member""".stripMargin
-    },
+         |ORDER BY center, member""".stripMargin,
+
+    // the key designer's comparison table: all three vocabulary
+    // blocking schemes (plus their union) scored on pair completeness
+    // against a brute-force Levenshtein ≤ maxLev truth and on reduction
+    // ratio vs C(|V|, 2) — each channel's pairs, the truth, and both
+    // metrics recomputed end-to-end by DuckDB from the raw documents
+    "q_blocking_quality" ->
+      s"""WITH $vocabCte,
+         |$soundexBody,
+         |pk AS (SELECT code AS key, tok AS id FROM sx
+         |  QUALIFY row_number() OVER (PARTITION BY code ORDER BY tok)
+         |    <= ${Dedup.DefaultBlockCap}),
+         |ph AS MATERIALIZED (
+         |  SELECT a.id AS tokA, b.id AS tokB
+         |  FROM pk a JOIN pk b ON a.key = b.key AND a.id < b.id),
+         |$suffixBody,
+         |sfp AS MATERIALIZED (
+         |  SELECT DISTINCT a.id AS tokA, b.id AS tokB
+         |  FROM sk a JOIN sk b ON a.key = b.key AND a.id < b.id
+         |  JOIN alive v2 ON v2.key = a.key),
+         |$canopyBody,
+         |cnp AS MATERIALIZED (
+         |  SELECT DISTINCT m1.member AS tokA, m2.member AS tokB
+         |  FROM allmem m1 JOIN allmem m2
+         |    ON m1.center = m2.center AND m1.member < m2.member),
+         |tv AS MATERIALIZED (
+         |  SELECT a.tok AS tokA, b.tok AS tokB, TRUE AS hit
+         |  FROM v a JOIN v b ON a.tok < b.tok
+         |  WHERE levenshtein(a.tok, b.tok) <= ${Phonetic.DefaultMaxLev}),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tv),
+         |chan AS (
+         |  SELECT 'soundex' AS scheme, tokA, tokB FROM ph
+         |  UNION ALL SELECT 'suffix', tokA, tokB FROM sfp
+         |  UNION ALL SELECT 'canopy', tokA, tokB FROM cnp
+         |  UNION ALL SELECT 'union', tokA, tokB FROM (
+         |    SELECT tokA, tokB FROM ph
+         |    UNION SELECT tokA, tokB FROM sfp
+         |    UNION SELECT tokA, tokB FROM cnp)),
+         |q AS (
+         |  SELECT scheme, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN tv.hit THEN 1 ELSE 0 END) AS BIGINT) AS n_captured
+         |  FROM chan LEFT JOIN tv USING (tokA, tokB) GROUP BY scheme)
+         |SELECT scheme, n_pairs, n_captured,
+         |  round(CAST(n_captured AS DOUBLE) / nt.n, 6) AS pair_completeness,
+         |  round(1e0 - CAST(n_pairs AS DOUBLE)
+         |    / ((nv.n * (nv.n - 1)) // 2), 6) AS reduction_ratio
+         |FROM q, nv, nt ORDER BY scheme""".stripMargin,
 
     // match-merge fixpoint replay: the synthetic chained profiles (the
     // ONE expression mirrored from swooshProfiles), then MaxRounds
@@ -968,10 +1012,11 @@ object TextQueries {
 
   /** DuckDB replay of suffix generation + purge as CTEs `sk` (key, id)
     * and `alive` (surviving keys) — the [[SuffixBlocking]] constants are
-    * interpolated from their ONE definition. */
-  private def suffixCtes: String =
-    s"""$vocabCte,
-       |sk AS MATERIALIZED (
+    * interpolated from their ONE definition. Body only (no `v`), so the
+    * blocking-quality oracle can compose all three schemes over ONE
+    * vocabulary CTE. */
+  private def suffixBody: String =
+    s"""sk AS MATERIALIZED (
        |  SELECT unnest([substr(tok, CAST(x AS INT))
        |      FOR x IN range(1, length(tok) - ${SuffixBlocking.MinSuffixLen} + 2)]) AS key,
        |    tok AS id
@@ -980,12 +1025,66 @@ object TextQueries {
        |  SELECT key FROM sk GROUP BY key
        |  HAVING count(*) BETWEEN 2 AND ${SuffixBlocking.DefaultMaxBlock})""".stripMargin
 
-  private def soundexCtes: String = {
+  private def suffixCtes: String = s"$vocabCte,\n$suffixBody"
+
+  /** Canopy replay body (no `v`): bigram sets, brute-force loose edges,
+    * tight adjacency, the unrolled greedy-MIS center chain under
+    * DuckDB's own md5‖id order, centers incl. isolated tokens, the
+    * loose neighborhood `und`, and full membership `allmem`. Constants
+    * interpolated from [[Canopy]]'s ONE definition. */
+  private def canopyBody: String = {
+    val rounds = (1 to PivotClustering.MaxRounds).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT u.id, u.pi FROM u${k - 1} u
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM adj a JOIN u${k - 1} w ON w.id = a.nb
+         |    WHERE a.id = u.id AND w.pi < u.pi)),
+         |u$k AS MATERIALIZED (
+         |  SELECT u.* FROM u${k - 1} u
+         |  WHERE u.id NOT IN (SELECT id FROM p$k)
+         |    AND u.id NOT IN (
+         |      SELECT a.id FROM adj a JOIN p$k p ON p.id = a.nb))""".stripMargin
+    }.mkString(",\n")
+    val allP = (1 to PivotClustering.MaxRounds)
+      .map(k => s"SELECT id FROM p$k").mkString(" UNION ALL ")
+    s"""d AS MATERIALIZED (
+       |  SELECT tok, list_distinct(list_transform(range(1, length(tok)),
+       |    i -> substr(tok, CAST(i AS INT), 2))) AS bg
+       |  FROM v WHERE length(tok) >= 2),
+       |e AS MATERIALIZED (
+       |  SELECT a.tok AS idA, b.tok AS idB,
+       |    CAST(len(list_intersect(a.bg, b.bg)) AS INT) AS isect,
+       |    CAST(len(list_distinct(list_concat(a.bg, b.bg))) AS INT) AS union_n
+       |  FROM d a JOIN d b ON a.tok < b.tok
+       |  WHERE len(list_intersect(a.bg, b.bg)) * ${Canopy.LooseDen}
+       |    >= len(list_distinct(list_concat(a.bg, b.bg))) * ${Canopy.LooseNum}),
+       |adj AS MATERIALIZED (
+       |  SELECT idA AS id, idB AS nb FROM e
+       |  WHERE isect * ${Canopy.TightDen} >= union_n * ${Canopy.TightNum}
+       |  UNION ALL
+       |  SELECT idB, idA FROM e
+       |  WHERE isect * ${Canopy.TightDen} >= union_n * ${Canopy.TightNum}),
+       |u0 AS MATERIALIZED (SELECT DISTINCT id, md5(id) || id AS pi FROM adj),
+       |$rounds,
+       |piv AS MATERIALIZED ($allP),
+       |centers AS MATERIALIZED (
+       |  SELECT id AS center FROM piv
+       |  UNION ALL
+       |  SELECT tok FROM v WHERE tok NOT IN (SELECT id FROM u0)),
+       |und AS (
+       |  SELECT idA AS center, idB AS member, isect, union_n FROM e
+       |  UNION ALL SELECT idB, idA, isect, union_n FROM e),
+       |allmem AS (
+       |  SELECT center, member FROM centers JOIN und USING (center)
+       |  UNION ALL SELECT center, center AS member FROM centers)""".stripMargin
+  }
+
+  /** Soundex replay body (no `v`) — see [[soundexCtes]]. */
+  private def soundexBody: String = {
     val collapsed = "0123456".foldLeft("replace(d, '7', '')") {
       (acc, dg) => s"regexp_replace($acc, '$dg+', '$dg', 'g')"
     }
-    s"""$vocabCte,
-       |sxd AS (
+    s"""sxd AS (
        |  SELECT tok,
        |    translate(upper(tok), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
        |      '01230127022455012623017202') AS d
@@ -998,4 +1097,6 @@ object TextQueries {
        |      '0', ''), 1, 3), 3, '0') AS code
        |  FROM sxc)""".stripMargin
   }
+
+  private def soundexCtes: String = s"$vocabCte,\n$soundexBody"
 }

@@ -85,4 +85,18 @@ object Canopy {
       .unionByName(centers.select(col("center"),
         col("center").as("member"), lit(1.0).as("jacc")))
   }
+
+  /** Co-canopy candidate pairs (tokA < tokB, deduplicated across
+    * canopies) — the block-then-verify surface the expensive comparator
+    * reads. Canopy sizes are bounded by the loose-graph degree, so the
+    * per-canopy collect stays small; the pair algebra is the shared
+    * [[CandidateGen.pairwise]]. */
+  def candidatePairs(can: DataFrame): DataFrame =
+    can.groupBy(col("center"))
+      .agg(sort_array(collect_set(col("member"))).as("ms"))
+      .where(size(col("ms")) >= 2)
+      .select(explode(CandidateGen.pairwise(col("ms"),
+        (x, y) => struct(x.as("tokA"), y.as("tokB")))).as("p"))
+      .select(col("p.tokA"), col("p.tokB"))
+      .distinct()
 }
