@@ -45,7 +45,8 @@ object MatchMerge {
     * within `maxRounds` (a 100 TB run would checkpoint and resume
     * rather than loop blind). */
   def resolve(profiles: DataFrame, tNum: Int, tDen: Int,
-      maxRounds: Int = MaxRounds): DataFrame = {
+      maxRounds: Int = MaxRounds,
+      onRound: Option[(Int, Long) => Unit] = None): DataFrame = {
     var cur = profiles
       .select(col("id").as("eid"), array(col("id")).as("members"),
         array_sort(array_distinct(col("toks"))).as("toks"))
@@ -71,6 +72,9 @@ object MatchMerge {
               .as("toks"))
           .select(col("clusterId").as("eid"), col("members"), col("toks"))
           .localCheckpoint(true)
+        // the entity count is one extra job per round — pay it only
+        // when a caller actually instruments the rounds
+        onRound.foreach(f => f(rounds, cur.count()))
       }
     }
     require(converged,
