@@ -442,9 +442,14 @@ object TextQueries {
     "q_blocking_quality" -> ((s, dir) => {
       val vocab = Phonetic.vocabulary(phoneticDocs(s, dir), "ptext")
         .localCheckpoint(true)
+      // each channel is read twice (its own row + the union row):
+      // checkpoint so neither shuffle chain executes twice
       val ph = Phonetic.candidatePairs(vocab).select(col("tokA"), col("tokB"))
+        .localCheckpoint(true)
       val sf = SuffixBlocking.candidatePairs(vocab).select(col("tokA"), col("tokB"))
+        .localCheckpoint(true)
       val cn = Canopy.candidatePairs(Canopy.canopies(Canopy.edges(vocab), vocab))
+        .localCheckpoint(true)
       val un = ph.unionByName(sf).unionByName(cn).distinct()
       val truth = vocab.select(col("tok").as("tokA"))
         .crossJoin(vocab.select(col("tok").as("tokB")))
@@ -456,8 +461,11 @@ object TextQueries {
       val nT = truth.agg(count(lit(1)).as("n_truth"))
       def row(name: String, pairs: DataFrame) =
         pairs.join(truth, Seq("tokA", "tokB"), "left")
+          // coalesce: an EMPTY channel must report (0, 0), not NULL —
+          // the oracle's scheme dimension emits the zero row too
           .agg(count(lit(1)).as("n_pairs"),
-            sum(when(col("hit"), 1L).otherwise(0L)).as("n_captured"))
+            coalesce(sum(when(col("hit"), 1L).otherwise(0L)), lit(0L))
+              .as("n_captured"))
           .crossJoin(nT).crossJoin(nV)
           .select(lit(name).as("scheme"), col("n_pairs"), col("n_captured"),
             round(col("n_captured").cast("double") / col("n_truth"), 6)
@@ -868,9 +876,12 @@ object TextQueries {
          |  FROM sk a JOIN sk b ON a.key = b.key AND a.id < b.id
          |  JOIN alive v2 ON v2.key = a.key),
          |$canopyBody,
+         |amc AS (SELECT center, member FROM allmem
+         |  QUALIFY row_number() OVER (PARTITION BY center ORDER BY member)
+         |    <= ${Dedup.DefaultBlockCap}),
          |cnp AS MATERIALIZED (
          |  SELECT DISTINCT m1.member AS tokA, m2.member AS tokB
-         |  FROM allmem m1 JOIN allmem m2
+         |  FROM amc m1 JOIN amc m2
          |    ON m1.center = m2.center AND m1.member < m2.member),
          |tv AS MATERIALIZED (
          |  SELECT a.tok AS tokA, b.tok AS tokB, TRUE AS hit
@@ -886,10 +897,17 @@ object TextQueries {
          |    SELECT tokA, tokB FROM ph
          |    UNION SELECT tokA, tokB FROM sfp
          |    UNION SELECT tokA, tokB FROM cnp)),
-         |q AS (
+         |qq AS (
          |  SELECT scheme, CAST(count(*) AS BIGINT) AS n_pairs,
          |    CAST(sum(CASE WHEN tv.hit THEN 1 ELSE 0 END) AS BIGINT) AS n_captured
-         |  FROM chan LEFT JOIN tv USING (tokA, tokB) GROUP BY scheme)
+         |  FROM chan LEFT JOIN tv USING (tokA, tokB) GROUP BY scheme),
+         |-- the scheme dimension keeps an EMPTY channel's (0, 0) row —
+         |-- mirroring Spark's always-one-row global aggregate per scheme
+         |q AS (
+         |  SELECT s.scheme, coalesce(qq.n_pairs, 0) AS n_pairs,
+         |    coalesce(qq.n_captured, 0) AS n_captured
+         |  FROM (SELECT unnest(['canopy', 'soundex', 'suffix', 'union']) AS scheme) s
+         |  LEFT JOIN qq USING (scheme))
          |SELECT scheme, n_pairs, n_captured,
          |  round(CAST(n_captured AS DOUBLE) / nt.n, 6) AS pair_completeness,
          |  round(1e0 - CAST(n_pairs AS DOUBLE)
@@ -967,18 +985,6 @@ object TextQueries {
   private def authorSql: String =
     s"['${AuthorPool.mkString("','")}'][doc_id % ${AuthorPool.length} + 1]"
 
-  /** DuckDB replay of Spark's builtin `soundex` (classic American
-    * Soundex with H/W TRANSPARENT — equal codes separated only by H/W
-    * collapse: Ashcraft → A261) over the letter-only documents
-    * vocabulary, as CTEs `v` (tokens) / `sx` (tok, code):
-    * translate letters→codes with H/W→7, drop the transparent 7s,
-    * collapse each digit's runs (DuckDB's RE2 regex has no
-    * backreferences, so one regexp_replace per digit instead of
-    * '(\\d)\\1+'), drop the first letter's own leading code group
-    * (unless the first letter was H/W — its 7 is already gone), strip
-    * the vowel separators, then pad to 4. Verified equal to the builtin
-    * on an edge-case battery in PhoneticSpec (who/hanna/ashcraft/
-    * tymczak/pfister/zzyzx/...). */
   /** q_match_merge threshold (Jaccard ≥ 1/3) — ONE definition, both the
     * Spark query and the oracle interpolate it. */
   private val MatchMergeNum = 1
@@ -1079,7 +1085,20 @@ object TextQueries {
        |  UNION ALL SELECT center, center AS member FROM centers)""".stripMargin
   }
 
-  /** Soundex replay body (no `v`) — see [[soundexCtes]]. */
+  /** DuckDB replay of Spark's builtin `soundex` (classic American
+    * Soundex with H/W TRANSPARENT — equal codes separated only by H/W
+    * collapse: Ashcraft → A261) over the letter-only documents
+    * vocabulary, as CTEs `sxd`/`sxc`/`sx` (tok, code) reading the
+    * shared `v` vocabulary CTE: translate letters→codes with H/W→7,
+    * drop the transparent 7s, collapse each digit's runs (DuckDB's RE2
+    * regex has no backreferences, so one regexp_replace per digit
+    * instead of '(\\d)\\1+'), drop the first letter's own leading code
+    * group (unless the first letter was H/W — its 7 is already gone),
+    * strip the vowel separators, then pad to 4. Verified equal to the
+    * builtin on an edge-case battery in PhoneticSpec (who/hanna/
+    * ashcraft/tymczak/pfister/zzyzx/...). Body only (no `v`), so the
+    * blocking-quality oracle can compose the schemes over ONE
+    * vocabulary CTE; [[soundexCtes]] prepends `v`. */
   private def soundexBody: String = {
     val collapsed = "0123456".foldLeft("replace(d, '7', '')") {
       (acc, dg) => s"regexp_replace($acc, '$dg+', '$dg', 'g')"

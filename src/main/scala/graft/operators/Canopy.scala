@@ -88,15 +88,13 @@ object Canopy {
 
   /** Co-canopy candidate pairs (tokA < tokB, deduplicated across
     * canopies) — the block-then-verify surface the expensive comparator
-    * reads. Canopy sizes are bounded by the loose-graph degree, so the
-    * per-canopy collect stays small; the pair algebra is the shared
-    * [[CandidateGen.pairwise]]. */
-  def candidatePairs(can: DataFrame): DataFrame =
-    can.groupBy(col("center"))
-      .agg(sort_array(collect_set(col("member"))).as("ms"))
-      .where(size(col("ms")) >= 2)
-      .select(explode(CandidateGen.pairwise(col("ms"),
-        (x, y) => struct(x.as("tokA"), y.as("tokB")))).as("p"))
-      .select(col("p.tokA"), col("p.tokB"))
-      .distinct()
+    * reads. Routed through the shared CAPPED generator: a hub center
+    * whose loose neighborhood degenerates (many short tokens over a
+    * small alphabet) is bounded by `cap` exactly like every other
+    * blocking channel, so the per-canopy collect can never OOM an
+    * executor at 10^12-row scale. */
+  def candidatePairs(can: DataFrame, cap: Int = Dedup.DefaultBlockCap): DataFrame =
+    CandidateGen.pairsFromKeys(
+        can.select(col("center").as("key"), col("member").as("id")), cap)
+      .select(col("idA").as("tokA"), col("idB").as("tokB"))
 }

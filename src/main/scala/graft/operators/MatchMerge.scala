@@ -53,7 +53,7 @@ object MatchMerge {
       .localCheckpoint(true)
     var rounds = 0
     var converged = false
-    while (!converged && rounds < maxRounds) {
+    while (!converged) {
       val pairs = SetSimJoin.join(
           cur.select(col("eid").as("id"), col("toks")), tNum, tDen)
         .select(col("idA"), col("idB"))
@@ -61,6 +61,11 @@ object MatchMerge {
       if (pairs.head(1).isEmpty) converged = true
       else {
         rounds += 1
+        // the bound counts MERGE rounds, so a fixpoint needing exactly
+        // maxRounds merges still gets its matchless probe afterwards —
+        // the oracle unrolls maxRounds rounds and must agree on it
+        require(rounds <= maxRounds,
+          s"match-merge did not reach its fixpoint in $maxRounds rounds")
         val cc = Clustering.connectedComponents(
           pairs, cur.select(col("eid").as("id")))
         cur = cur.join(cc, cur("eid") === cc("id"))
@@ -77,8 +82,6 @@ object MatchMerge {
         onRound.foreach(f => f(rounds, cur.count()))
       }
     }
-    require(converged,
-      s"match-merge did not reach its fixpoint in $maxRounds rounds")
     cur.select(explode(col("members")).as("id"), col("eid").as("entity_id"),
       size(col("members")).as("n_members"), size(col("toks")).as("n_toks"))
   }

@@ -29,7 +29,9 @@ object Progressive {
 
   /** `weights`: (idA, idB, weight) candidate pairs with the cheap proxy;
     * `labels`: (id, groupId), groupId ≥ 0 marking true duplicate groups.
-    * Returns the 10-row curve: decile, n_pairs_cum, n_true_cum,
+    * Returns one row per non-empty spend decile — all 10 whenever the
+    * schedule holds ≥ 10 pairs (with fewer, ranks skip deciles):
+    * decile, n_pairs_cum, n_true_cum,
     * recall_captured (vs truth pairs present in the candidate set) and
     * recall_total (vs ALL truth pairs — blocking misses included, so the
     * curve cannot hide upstream recall loss). */

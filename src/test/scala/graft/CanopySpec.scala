@@ -81,7 +81,9 @@ class CanopySpec extends AnyFunSuite {
   }
 
   test("canopies overlap: a bridge token joins two centers' canopies") {
-    // hand graph: 'abab' tight to neither center but loose to both
+    // abcde/abcdx are tight (bigram Jaccard 3/5); cdeab shares enough
+    // bigrams to be loose to abcde without being tight to either —
+    // the exact shape asserted below by the sequential differential
     val toks = Seq("abcde", "abcdx", "cdeab")
     val got = run(toks)
     val centersOf = got.groupBy(_._2).map { case (m, cs) => m -> cs.map(_._1) }
