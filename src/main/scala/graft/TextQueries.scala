@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Canopy, Decontaminate, Dedup, MatchMerge, Phonetic, PivotClustering, SetSimJoin, SuffixBlocking, TextAnalysis}
+import graft.operators.{BlockSplit, Canopy, Decontaminate, Dedup, MatchMerge, Phonetic, PivotClustering, SetSimJoin, SuffixBlocking, TextAnalysis}
 import graft.sources.CorpusGen
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -475,6 +475,59 @@ object TextQueries {
               .as("reduction_ratio"))
       Seq(row("soundex", ph), row("suffix", sf), row("canopy", cn),
         row("union", un)).reduce(_ unionByName _).orderBy(col("scheme"))
+    }),
+
+    // exact skew-balanced pair enumeration (BlockSplit family, Kolb/
+    // Thor/Rahm ICDE'12) over the MinHash block index: every within-
+    // block pair exactly once, per-row emission balanced to within one
+    // pair by the circular rule — the recall-LOSSLESS complement to the
+    // capped q_minhash_neardup path. The oracle replays the ENTIRE rule
+    // (member rank, block size, D(idx, n) bound, modular partner) from
+    // the dumped raw (key, id) table and must reproduce every row
+    "q_balanced_pairs" -> ((s, dir) => {
+      BlockSplit.balancedPairs(
+          Dedup.minHashKeyed(corpusDf(s, dir), "doc_id", "text"))
+        .orderBy(col("key"), col("idA"), col("idB"))
+    }),
+
+    // the BlockSplit CONTRACT table, per block size: emitted-pair count
+    // vs an independent brute-force within-block join (coverage — no
+    // recall loss), captured = their intersection (exactness), and the
+    // worst per-row emission imbalance (≤ 1 by construction, counting
+    // zero-emitters). DuckDB recomputes every column from the raw
+    // (key, id) dump alone: brute pairs from its own self-join, emission
+    // counts from its own replay of the circular rule
+    "q_balanced_coverage" -> ((s, dir) => {
+      val kd = Dedup.minHashKeyed(corpusDf(s, dir), "doc_id", "text")
+        .select(col("key"), col("id")).distinct().localCheckpoint(true)
+      val ix = BlockSplit.indexed(kd).localCheckpoint(true)
+      val pr = BlockSplit.balancedPairs(kd).localCheckpoint(true)
+      val brute = kd.as("a").join(kd.as("b"),
+          col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+        .select(col("a.key").as("key"), col("a.id").as("idA"),
+          col("b.id").as("idB"))
+        .localCheckpoint(true)
+      // per-row emission counts INCLUDING rows that emit nothing
+      // (n = 2, idx = 1): left join from the full member index
+      val emCnt = pr.groupBy(col("key"), col("emitter_idx").as("idx"))
+        .agg(count(lit(1)).as("m"))
+      val perKey = ix.where(col("n") >= 2L)
+        .join(emCnt, Seq("key", "idx"), "left")
+        .select(col("key"), col("n"), coalesce(col("m"), lit(0L)).as("m"))
+        .groupBy(col("key"), col("n"))
+        .agg(sum(col("m")).as("n_emitted"),
+          min(col("m")).as("min_emit"), max(col("m")).as("max_emit"))
+      val bruteCnt = brute.groupBy(col("key")).agg(count(lit(1)).as("n_brute"))
+      val capt = pr.join(brute, Seq("key", "idA", "idB"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n_captured"))
+      perKey.join(bruteCnt, Seq("key"), "left").join(capt, Seq("key"), "left")
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(coalesce(col("n_brute"), lit(0L))).as("n_brute"),
+          sum(col("n_emitted")).as("n_emitted"),
+          sum(coalesce(col("n_captured"), lit(0L))).as("n_captured"),
+          max(col("max_emit") - col("min_emit")).as("max_imbalance"))
+        .orderBy(col("n"))
     })
   )
 
@@ -557,6 +610,35 @@ object TextQueries {
        |cand AS (
        |  SELECT DISTINCT a.id AS idA, b.id AS idB
        |  FROM k a JOIN k b ON a.key = b.key AND a.id < b.id)""".stripMargin
+
+  // BlockSplit's circular emission rule replayed from the raw dumped
+  // (key, id) band-key table: DISTINCT members, rank + block size,
+  // D(idx, n) bound (integer `//` division mirrors Spark's shiftright),
+  // generate_series deltas, modular partner lookup. bix/bpr are
+  // MATERIALIZED — both are referenced more than once downstream and
+  // DuckDB inlines plain CTEs per reference site.
+  private def balancedRuleSql: String =
+    s"""bkd AS (
+       |  SELECT DISTINCT key, id FROM read_parquet('{OUT}/_aux/minhash_keys/*.parquet')),
+       |bix AS MATERIALIZED (
+       |  SELECT key, id,
+       |    row_number() OVER (PARTITION BY key ORDER BY id) - 1 AS idx,
+       |    count(*) OVER (PARTITION BY key) AS n
+       |  FROM bkd),
+       |bem AS (
+       |  SELECT key, id, idx, n,
+       |    CASE WHEN n % 2 = 1 THEN (n - 1) // 2
+       |         WHEN idx < n // 2 THEN n // 2
+       |         ELSE n // 2 - 1 END AS dmax
+       |  FROM bix WHERE n >= 2),
+       |bed AS (
+       |  SELECT key, id, idx, n, unnest(generate_series(1, dmax)) AS d
+       |  FROM bem WHERE dmax >= 1),
+       |bpr AS MATERIALIZED (
+       |  SELECT e.key, least(e.id, p.id) AS idA, greatest(e.id, p.id) AS idB,
+       |    e.idx AS emitter_idx, e.d
+       |  FROM bed e JOIN bix p
+       |    ON p.key = e.key AND p.idx = (e.idx + e.d) % e.n)""".stripMargin
 
   /** See the q_dedup_incremental comment in [[oracleSql]] — stages are
     * GENERATED from [[IncDedupBatches]], one (n, c, p) CTE triple per
@@ -913,6 +995,50 @@ object TextQueries {
          |  round(1e0 - CAST(n_pairs AS DOUBLE)
          |    / ((nv.n * (nv.n - 1)) // 2), 6) AS reduction_ratio
          |FROM q, nv, nt ORDER BY scheme""".stripMargin,
+
+    // BlockSplit circular-rule replay: DuckDB re-derives member ranks,
+    // block sizes, the D(idx, n) emission bound, and the modular partner
+    // from the raw dumped (key, id) table — every emitted pair row must
+    // match exactly (same rule, independently executed)
+    "q_balanced_pairs" ->
+      s"""WITH $balancedRuleSql
+         |SELECT key, idA, idB, emitter_idx, d FROM bpr
+         |ORDER BY key, idA, idB""".stripMargin,
+
+    // BlockSplit contract replay: brute-force within-block pairs from
+    // DuckDB's OWN self-join (coverage truth), emission counts from
+    // DuckDB's OWN rule replay (incl. zero-emitters), their
+    // intersection, and the per-row imbalance — all from the raw
+    // (key, id) dump, grouped by block size
+    "q_balanced_coverage" ->
+      s"""WITH $balancedRuleSql,
+         |brute AS MATERIALIZED (
+         |  SELECT a.key, a.id AS idA, b.id AS idB
+         |  FROM bix a JOIN bix b ON a.key = b.key AND a.id < b.id),
+         |emc AS (
+         |  SELECT i.key, i.n, coalesce(CAST(c.m AS BIGINT), 0) AS m
+         |  FROM bix i LEFT JOIN (
+         |    SELECT key, emitter_idx, count(*) AS m FROM bpr
+         |    GROUP BY key, emitter_idx) c
+         |    ON c.key = i.key AND c.emitter_idx = i.idx
+         |  WHERE i.n >= 2),
+         |pk AS (
+         |  SELECT key, n, CAST(sum(m) AS BIGINT) AS n_emitted,
+         |    min(m) AS min_emit, max(m) AS max_emit
+         |  FROM emc GROUP BY key, n),
+         |bc AS (SELECT key, CAST(count(*) AS BIGINT) AS n_brute
+         |       FROM brute GROUP BY key),
+         |cp AS (SELECT p.key, CAST(count(*) AS BIGINT) AS n_captured
+         |       FROM bpr p JOIN brute b
+         |         ON b.key = p.key AND b.idA = p.idA AND b.idB = p.idB
+         |       GROUP BY p.key)
+         |SELECT n, CAST(count(*) AS BIGINT) AS n_blocks,
+         |  CAST(sum(coalesce(bc.n_brute, 0)) AS BIGINT) AS n_brute,
+         |  CAST(sum(pk.n_emitted) AS BIGINT) AS n_emitted,
+         |  CAST(sum(coalesce(cp.n_captured, 0)) AS BIGINT) AS n_captured,
+         |  max(pk.max_emit - pk.min_emit) AS max_imbalance
+         |FROM pk LEFT JOIN bc USING (key) LEFT JOIN cp USING (key)
+         |GROUP BY n ORDER BY n""".stripMargin,
 
     // match-merge fixpoint replay: the synthetic chained profiles (the
     // ONE expression mirrored from swooshProfiles), then MaxRounds

@@ -191,4 +191,21 @@ class PlanSpec extends AnyFunSuite {
       s"suffix pair generation degraded to a product\n$s")
     assert(s.contains("HashAggregate"), s"purge count no longer an aggregate\n$s")
   }
+
+  test("balanced pairs: index windows share one exchange, partner join never a product") {
+    import org.apache.spark.sql.functions.col
+    val keyed = spark.range(200).select((col("id") % 7L).as("key"), col("id"))
+    val ixPlan = fmt(graft.operators.BlockSplit.indexed(keyed))
+    // the rank window and the size window both partitionBy(key): one
+    // hash partitioning must serve both — a second exchange here means
+    // the whole block index pays a duplicated shuffle at corpus scale
+    assert(ixPlan.linesIterator.count(_.matches(".*\\bExchange \\(\\d+\\)")) == 1,
+      s"member rank and block size no longer share one exchange\n$ixPlan")
+    val s = fmt(graft.operators.BlockSplit.balancedPairs(keyed))
+    // partner resolution is an equi-join on (key, jdx) — that hash
+    // spread over partner indexes IS the skew guarantee; a nested loop
+    // or cartesian collapses a hot block back onto one task
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"partner resolution degraded to a product\n$s")
+  }
 }
