@@ -44,6 +44,23 @@ object TextQueries {
     * is a measured cost knob, not a correctness one, on this corpus. */
   private val SetSimNum = 4
   private val SetSimDen = 5
+
+  /** q_cosine_simjoin threshold (9/10) — same single-definition rule;
+    * the oracle interpolates the SQUARES so the integer predicate is
+    * identical in both engines. */
+  private val CosSimNum = 9
+  private val CosSimDen = 10
+
+  /** The (id, toks) word-3-gram shingle-set frame both exact
+    * set-similarity joins run on — ONE definition for the Jaccard and
+    * cosine twins (the oracle mirrors it in [[setSimDocsSql]]). */
+  private def setSimDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id").as("id"), TextAnalysis.tokensCol(col("text")).as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(col("id"), array_distinct(transform(
+        sequence(lit(0), size(col("tk")) - 3),
+        i => concat_ws(" ", slice(col("tk"), i + lit(1), lit(3))))).as("toks"))
   private val RepetitionMaxFrac = 0.6
   private val Bm25Terms = Seq("spark", "merge", "window")
   private val Bm25K = 20
@@ -142,16 +159,20 @@ object TextQueries {
     // threshold, so any prefix-filter completeness bug shows as missing
     // rows.
     "q_setsim_join" -> ((s, dir) => {
-      val d = docs(s, dir)
-        .select(col("doc_id").as("id"), TextAnalysis.tokensCol(col("text")).as("tk"))
-        .where(size(col("tk")) >= 3)
-        .select(col("id"), array_distinct(transform(
-          sequence(lit(0), size(col("tk")) - 3),
-          i => concat_ws(" ", slice(col("tk"), i + lit(1), lit(3))))).as("toks"))
-      SetSimJoin.join(d, SetSimNum, SetSimDen)
+      SetSimJoin.join(setSimDocs(s, dir), SetSimNum, SetSimDen)
         .select(col("idA"), col("idB"),
           col("isect").cast("long").as("isect"),
           col("union_n").cast("long").as("union_n"), col("jaccard"))
+        .orderBy(col("idA"), col("idB"))
+    }),
+
+    // EXACT cosine set-similarity self-join (All-Pairs, binary sets):
+    // all doc pairs with shingle-set cosine ≥ 9/10 — the αx = ⌈n·t²⌉
+    // symmetric prefix, integer-exact squared threshold (no sqrt, no
+    // float boundary). Same brute-force C(n,2) oracle shape as the
+    // Jaccard twin: a prefix-completeness bug shows as missing rows
+    "q_cosine_simjoin" -> ((s, dir) => {
+      SetSimJoin.cosineJoin(setSimDocs(s, dir), CosSimNum, CosSimDen)
         .orderBy(col("idA"), col("idB"))
     }),
 
@@ -611,6 +632,16 @@ object TextQueries {
        |  SELECT DISTINCT a.id AS idA, b.id AS idB
        |  FROM k a JOIN k b ON a.key = b.key AND a.id < b.id)""".stripMargin
 
+  // the word-3-gram shingle-set frame both exact set-similarity oracles
+  // brute-force over — mirrors [[setSimDocs]] exactly
+  private def setSimDocsSql: String =
+    """d0 AS (SELECT doc_id AS id,
+      |         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      |       FROM documents),
+      |d AS (SELECT id, list_distinct(list_transform(range(1, len(tk) - 1),
+      |        i -> array_to_string(tk[i:i+2], ' '))) AS toks
+      |      FROM d0 WHERE len(tk) >= 3)""".stripMargin
+
   // BlockSplit's circular emission rule replayed from the raw dumped
   // (key, id) band-key table: DISTINCT members, rank + block size,
   // D(idx, n) bound (integer `//` division mirrors Spark's shiftright),
@@ -807,12 +838,7 @@ object TextQueries {
          |  CASE WHEN lang = 'en' THEN '$SampleHexEn' ELSE '$SampleHexRest' END
          |ORDER BY doc_id""".stripMargin,
     "q_setsim_join" ->
-      s"""WITH d0 AS (SELECT doc_id AS id,
-         |              regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
-         |            FROM documents),
-         |d AS (SELECT id, list_distinct(list_transform(range(1, len(tk) - 1),
-         |        i -> array_to_string(tk[i:i+2], ' '))) AS toks
-         |      FROM d0 WHERE len(tk) >= 3),
+      s"""WITH $setSimDocsSql,
          |p AS (SELECT a.id AS idA, b.id AS idB,
          |        CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS isect,
          |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT) AS union_n
@@ -820,6 +846,22 @@ object TextQueries {
          |SELECT idA, idB, isect, union_n,
          |  round(CAST(isect AS DOUBLE) / union_n, 6) AS jaccard
          |FROM p WHERE isect * $SetSimDen >= union_n * $SetSimNum
+         |ORDER BY idA, idB""".stripMargin,
+
+    // brute-force cosine over the SAME shingle frame: every C(n,2)
+    // pair, integer-exact SQUARED threshold (isect²·tDen² ≥ nA·nB·tNum²
+    // — sqrt never computed in either engine), cos² as a 6-dp rational
+    "q_cosine_simjoin" ->
+      s"""WITH $setSimDocsSql,
+         |p AS (SELECT a.id AS idA, b.id AS idB,
+         |        CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS isect,
+         |        CAST(len(a.toks) AS BIGINT) AS nA, CAST(len(b.toks) AS BIGINT) AS nB
+         |      FROM d a JOIN d b ON a.id < b.id)
+         |SELECT idA, idB, isect, nA, nB,
+         |  round(CAST(isect * isect AS DOUBLE) / (nA * nB), 6) AS cos2
+         |FROM p
+         |WHERE isect * isect * ${CosSimDen.toLong * CosSimDen}
+         |  >= nA * nB * ${CosSimNum.toLong * CosSimNum}
          |ORDER BY idA, idB""".stripMargin,
     "q_repetition_filter" ->
       s"""SELECT doc_id, lang,

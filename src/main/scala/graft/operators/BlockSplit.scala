@@ -78,6 +78,20 @@ object BlockSplit {
       // n = 2, idx = 1 has dmax = 0 — and Spark's sequence(1, 0)
       // DESCENDS rather than returning empty, so the guard is load-bearing
       .where(col("dmax") >= 1L)
+      // spread the block's MEMBERS before emission: after the index
+      // window a hot block's n rows sit in one hash(key) partition, and
+      // if the partner side broadcasts, nothing downstream would ever
+      // redistribute them — the whole C(n,2) explode would run on one
+      // task (measured: n = 10^4 ⇒ 5·10^7 pairs on a single core).
+      // This exchange ships only the n narrow member rows, spreading
+      // them by (key, idx) so each task explodes an even share of the
+      // block's deltas; with a broadcast partner the output inherits
+      // this spread, with SMJ the join's own (key, jdx) exchange
+      // re-spreads by partner. The partition count is pinned because
+      // AQE would coalesce this exchange by its INPUT bytes (narrow
+      // member rows) and hand the ~n/2-fanout explode back to one task
+      .repartition(keyed.sparkSession.sessionState.conf.numShufflePartitions,
+        col("key"), col("idx"))
       .select(col("key"), col("id"), col("idx"), col("n"),
         explode(sequence(lit(1L), col("dmax"))).as("d"))
       .withColumn("jdx", pmod(col("idx") + col("d"), col("n")))

@@ -79,4 +79,58 @@ object SetSimJoin {
       .select(col("idA"), col("idB"), col("isect"), col("union_n"),
         round(col("isect").cast("double") / col("union_n"), 6).as("jaccard"))
   }
+
+  /** EXACT cosine set-similarity self-join over binary token sets
+    * (All-Pairs, Bayardo et al. WWW'07 §3 cosine case):
+    * cos(x, y) = |x∩y| / √(|x|·|y|) ≥ tNum/tDen, no false negatives.
+    *
+    * Completeness of the symmetric prefix: a qualifying pair has
+    * overlap ≥ t·√(|x||y|) ≥ t²·|x| on each side (length filter:
+    * min ≥ t²·max, same derivation), so with αx = ⌈|x|·tNum²/tDen²⌉
+    * the SMALLEST shared token in the global rare-first order must sit
+    * inside BOTH prefixes of length |·| − α + 1 — were it in x's
+    * suffix (the α−1 largest tokens of x), the ≥ α−1 other shared
+    * tokens, all larger, could not fit behind it. Verification is
+    * integer-exact: isect²·tDen² ≥ |x|·|y|·tNum² (both sides long —
+    * no float boundary between engines); the reported `cos2` is the
+    * squared cosine as a 6-dp rational, sqrt never computed.
+    * Same two-shuffle scale shape as [[join]].
+    */
+  def cosineJoin(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val (t2Num, t2Den) = (tNum.toLong * tNum, tDen.toLong * tDen)
+    val tok = docs.select(col("id"), explode(col("toks")).as("token"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val ordered = tok.join(freq, "token")
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("freq"), col("token")))),
+        s => s("token")).as("toks"))
+    val n = size(col("toks"))
+    // αx = ⌈n·t²⌉ in exact integer arithmetic
+    val alpha = floor((n * t2Num + lit(t2Den - 1)) / t2Den).cast("int")
+    val prefix = ordered.select(col("id"), n.as("n"),
+      explode(slice(col("toks"), lit(1), n - alpha + 1)).as("token"))
+    val cands = prefix.groupBy(col("token"))
+      .agg(sort_array(collect_set(struct(col("id"), col("n")))).as("ms"))
+      .where(size(col("ms")) >= 2)
+      // length filter: cos ≥ t ⇒ min(|x|,|y|)·tDen² ≥ max·tNum²
+      .select(explode(CandidateGen.pairwise(col("ms"),
+        (x, y) => struct(x("id").as("idA"), y("id").as("idB")),
+        (x, y) => least(x("n"), y("n")).cast("long") * t2Den >=
+          greatest(x("n"), y("n")).cast("long") * t2Num))
+        .as("p"))
+      .select(col("p.idA"), col("p.idB"))
+      .distinct()
+    val slim = ordered.select(col("id"), col("toks"))
+    cands
+      .join(slim.withColumnRenamed("id", "idA").withColumnRenamed("toks", "tA"), "idA")
+      .join(slim.withColumnRenamed("id", "idB").withColumnRenamed("toks", "tB"), "idB")
+      .select(col("idA"), col("idB"),
+        size(array_intersect(col("tA"), col("tB"))).cast("long").as("isect"),
+        size(col("tA")).cast("long").as("nA"), size(col("tB")).cast("long").as("nB"))
+      .where(col("isect") * col("isect") * t2Den >= col("nA") * col("nB") * t2Num)
+      .select(col("idA"), col("idB"), col("isect"), col("nA"), col("nB"),
+        round((col("isect") * col("isect")).cast("double") / (col("nA") * col("nB")), 6)
+          .as("cos2"))
+  }
 }

@@ -84,4 +84,49 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(r.head.getInt(2) == 2 && r.head.getInt(3) == 4)
     assert(r.head.getDouble(4) == 0.5)
   }
+
+  // ---- cosine twin ----
+
+  private def bruteCos(docs: Seq[(String, Set[String])], tNum: Int, tDen: Int) =
+    (for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      (ia, ta) = docs(i); (ib, tb) = docs(j)
+      is = ta.intersect(tb).size.toLong
+      if is * is * tDen * tDen >= ta.size.toLong * tb.size * tNum * tNum
+    } yield (if (ia < ib) (ia, ib) else (ib, ia))).toSet
+
+  private def runCos(docs: Seq[(String, Set[String])], tNum: Int, tDen: Int) = {
+    import spark.implicits._
+    val df = docs.map { case (id, t) => (id, t.toSeq) }.toDF("id", "toks")
+    SetSimJoin.cosineJoin(df, tNum, tDen)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+  }
+
+  test("cosine differential vs brute force over random token sets") {
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 40).map(i => f"t$i%02d")
+    for (trial <- 0 until 5) {
+      val docs = (0 until 30).map { i =>
+        val k = 1 + rnd.nextInt(12) // singletons included: α = 1 edge
+        (f"d$i%02d", rnd.shuffle(vocab).take(k).toSet)
+      }
+      for ((num, den) <- Seq((1, 2), (7, 10), (9, 10), (1, 1)))
+        assert(runCos(docs, num, den) == bruteCos(docs, num, den),
+          s"trial $trial t=$num/$den")
+    }
+  }
+
+  test("cosine threshold is inclusive, integer-exact, and sqrt-free") {
+    // isect = 2, |a| = 2, |b| = 4 → cos² = 4/8 exactly: cos = 1/√2
+    val docs = Seq(("a", Set("1", "2")), ("b", Set("1", "2", "3", "4")))
+    // t = 7/10: cos² = 0.5 ≥ 0.49 → kept
+    assert(runCos(docs, 7, 10) == Set(("a", "b")))
+    // t = 8/10: 0.5·100 = 50 < 64 → dropped (50 vs 64 — no float near-miss)
+    assert(runCos(docs, 8, 10).isEmpty)
+    // containment pair a ⊂ b, |a| = 3, |b| = 4: cos² = 9/12 = 0.75;
+    // the integer predicate is 9·tDen² ≥ 12·tNum²
+    val sub = Seq(("a", Set("1", "2", "3")), ("b", Set("1", "2", "3", "4")))
+    assert(runCos(sub, 86, 100) == Set(("a", "b"))) // 90000 ≥ 88752 → kept
+    assert(runCos(sub, 87, 100).isEmpty)            // 90000 < 90828 → dropped
+  }
 }
