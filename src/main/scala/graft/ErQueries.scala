@@ -173,6 +173,9 @@ object ErQueries {
     * stream/edit-script twins). */
   def warmFs(spark: SparkSession, sfDir: String): Unit = {
     FsResults.cached(spark, sfDir).vectors.count()
+    // the missing-data twin rides the same line: it reuses the persisted
+    // feature table, adding only its own vector persist + ternary EM
+    FsMissingResults.cached(spark, sfDir).vectors.count()
     ()
   }
 
@@ -649,6 +652,45 @@ object ErQueries {
       val fs = FsResults.cached(s, dir)
       FellegiSunter.valueWeights(fs.features, pipeline(s, dir).trees.toDF(), fs.params)
         .orderBy(col("idA"), col("idB"))
+    }),
+    // ---- missing-data (ternary γ) Fellegi–Sunter twin -----------------
+    // ternary EM fit: per-field m/u with MISSING observations excluded
+    // from both masses, plus each field's observed missingness rate. The
+    // oracle re-derives the ternary vectors from the feature dump
+    // (identical integer missingness predicates), then replays the
+    // full fixed-iteration ternary EM as a generated SQL chain
+    "er_fs_missing_params" -> ((s, dir) => {
+      import s.implicits._
+      val fsm = FsMissingResults.cached(s, dir)
+      val rateCols = FellegiSunter.fieldNames.indices.map(j =>
+        round(avg(when(col(s"c$j") === FellegiSunter.CodeMissing, 1.0)
+          .otherwise(0.0)), 6).as(s"r$j"))
+      val rates = fsm.vectors.agg(rateCols.head, rateCols.tail: _*).collect()(0)
+      val ps = fsm.params
+      FellegiSunter.fieldNames.indices.map(j =>
+        (j, FellegiSunter.fieldNames(j), ps.m(j), ps.u(j), ps.p, rates.getDouble(j)))
+        .toDF("j", "field", "m_raw", "u_raw", "p_raw", "miss_rate")
+        .select(col("j"), col("field"), round(col("m_raw"), 5).as("m"),
+          round(col("u_raw"), 5).as("u"), round(col("p_raw"), 5).as("p"),
+          col("miss_rate"))
+        .orderBy(col("j"))
+    }),
+    // per-pair ternary codes, weight, posterior, decision — missing
+    // fields contribute EXACTLY 0 to the weight and factor 1 to both
+    // likelihoods. The oracle recomputes everything from the feature
+    // dump + the full-precision dumped ternary params
+    "er_fs_missing" -> ((s, dir) => {
+      FsMissingResults.cached(s, dir).weighted
+        .select(col("idA"), col("idB"), col("c0"), col("c1"), col("c2"),
+          col("c3"), col("c4"), col("pattern"), col("weight"),
+          col("posterior"), col("decision"))
+        .orderBy(col("idA"), col("idB"))
+    }),
+    // decision quality UNDER missingness vs the same ground truth — the
+    // robustness row: ~27 %/20 %/33 % of three fields' observations
+    // withheld, decisions re-derived, confusion recomputed by DuckDB
+    "er_fs_missing_eval" -> ((s, dir) => {
+      FellegiSunter.evalDecisions(FsMissingResults.cached(s, dir).weighted)
     }),
     // native Jaro / Jaro–Winkler comparators (codegen'd Catalyst
     // expressions) over the candidate pairs' member filename and full
@@ -1190,6 +1232,27 @@ object ErQueries {
       })
   }
 
+  /** Missing-data (ternary γ) Fellegi–Sunter twin, computed once per
+    * (session, sfDir) on top of [[FsResults]]' persisted feature table —
+    * deterministic missingness channels, ternary EM with per-field
+    * observed masses, weight-0 missing contributions. */
+  private[graft] object FsMissingResults {
+    final case class FsM(
+        vectors: DataFrame,
+        params: FellegiSunter.FsParams,
+        weighted: DataFrame)
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), FsM]
+    def cached(spark: SparkSession, sfDir: String): FsM =
+      cache.getOrElseUpdate((spark, sfDir), {
+        val vectors = FellegiSunter
+          .vectorsMissing(FsResults.cached(spark, sfDir).features)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val params = FellegiSunter.fitEmTernary(vectors)
+        FsM(vectors, params, FellegiSunter.weighTernary(spark, vectors, params))
+      })
+  }
+
   /** One-to-one linkage layer, computed once per (session, sfDir): the
     * corpus split into two deterministic catalogs by the id's last hex
     * digit (0–7 → left, 8–f → right — a stand-in for "two ingestion
@@ -1399,6 +1462,13 @@ object ErQueries {
         .map(j => (j, ps.m(j), ps.u(j), ps.p))
         .toDF("j", "m", "u", "p")
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/fs_params_full")
+      // full-precision ternary params for the missing-data twin's
+      // weight/posterior oracle arithmetic (parquet doubles, bit-exact)
+      val pm = FsMissingResults.cached(spark, sfDir).params
+      FellegiSunter.fieldNames.indices
+        .map(j => (j, pm.m(j), pm.u(j), pm.p))
+        .toDF("j", "m", "u", "p")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/fs_missing_params_full")
     }
     // (key,id) block-index rows — engine-internal MinHash band keys; the
     // er_meta_blocking oracle redoes cap → pair → weight → prune from it
@@ -1509,6 +1579,99 @@ object ErQueries {
          |    SELECT w.idA, w.idB, w.gidA, w.gidB, w.pattern, round(w.wsum, 6) AS weight,
          |      round((prb.p * w.pm) / (prb.p * w.pm + (1e0 - prb.p) * w.pu), 6) AS posterior
          |    FROM w CROSS JOIN prb))""".stripMargin
+    // ---- missing-data (ternary) FS fragments ----
+    // ternary vectors re-derived from the SAME feature dump: identical
+    // integer missingness predicates as FellegiSunter.vectorsMissing
+    val fsVecM = {
+      val tn = FellegiSunter.SizeRelTenths
+      val ms = FellegiSunter.CodeMissing
+      s"""fsp AS MATERIALIZED (SELECT * FROM read_parquet('{OUT}/_aux/fs_pairs/*.parquet')),
+         |vecm AS MATERIALIZED (
+         |  SELECT idA, idB, gidA, gidB, c0, c1, c2, c3, c4,
+         |         c0 + 3*c1 + 9*c2 + 27*c3 + 81*c4 AS pattern
+         |  FROM (
+         |    SELECT idA, idB, gidA, gidB,
+         |      CASE WHEN normDist <= ${FellegiSunter.TedAgree}e0 THEN 1 ELSE 0 END AS c0,
+         |      CASE WHEN nA % 7 = 0 OR nB % 7 = 0 THEN $ms
+         |           WHEN $tn * abs(nA - nB) <= greatest(nA, nB) THEN 1 ELSE 0 END AS c1,
+         |      CASE WHEN $tn * abs(tokA - tokB) <= greatest(tokA, tokB) THEN 1 ELSE 0 END AS c2,
+         |      CASE WHEN (length(pathA) + length(pathB)) % 5 = 0 THEN $ms
+         |           WHEN string_split(pathA, '/')[-1] = string_split(pathB, '/')[-1] THEN 1 ELSE 0 END AS c3,
+         |      CASE WHEN (tokA + tokB) % 3 = 0 THEN $ms
+         |           WHEN langA = langB THEN 1 ELSE 0 END AS c4
+         |    FROM fsp)),
+         |tfields AS MATERIALIZED (SELECT * FROM (VALUES ${
+              FellegiSunter.fieldNames.indices
+                .map(j => s"($j, ${FellegiSunter.pow3(j)})").mkString(", ")
+            }) AS t(j, pw))""".stripMargin
+    }
+    // the fixed-iteration TERNARY EM replayed in SQL: digit
+    // (pattern // 3^j) % 3 — 1 agree, 0 disagree, 2 missing (factor 1 in
+    // both class likelihoods, excluded from both M-step masses — note
+    // the PER-FIELD denominators, the one structural difference from the
+    // binary chain). Every CTE MATERIALIZED (same inlining rationale)
+    val fsEmChainT = {
+      val eps = "1e-6"; val hi = "(1e0 - 1e-6)"
+      val iters = (1 to FellegiSunter.EmIters).map { i =>
+        val pv = s"tpar${i - 1}"; val rv = s"tpr${i - 1}"
+        s"""te$i AS MATERIALIZED (
+           |  SELECT pt.pattern, pt.cnt,
+           |    exp(sum(ln(CASE (pt.pattern // par.pw) % 3 WHEN 1 THEN par.m WHEN 0 THEN 1e0 - par.m ELSE 1e0 END))) AS pm,
+           |    exp(sum(ln(CASE (pt.pattern // par.pw) % 3 WHEN 1 THEN par.u WHEN 0 THEN 1e0 - par.u ELSE 1e0 END))) AS pu
+           |  FROM tpat pt CROSS JOIN $pv par GROUP BY pt.pattern, pt.cnt),
+           |tg$i AS MATERIALIZED (
+           |  SELECT e.pattern, e.cnt,
+           |         (pr.p * e.pm) / (pr.p * e.pm + (1e0 - pr.p) * e.pu) AS g
+           |  FROM te$i e CROSS JOIN $rv pr),
+           |tpar$i AS MATERIALIZED (
+           |  SELECT f.j, f.pw,
+           |    least(greatest(
+           |      sum(CASE WHEN (g.pattern // f.pw) % 3 = 1 THEN g.g * g.cnt ELSE 0e0 END)
+           |      / sum(CASE WHEN (g.pattern // f.pw) % 3 <> 2 THEN g.g * g.cnt ELSE 0e0 END), $eps), $hi) AS m,
+           |    least(greatest(
+           |      sum(CASE WHEN (g.pattern // f.pw) % 3 = 1 THEN (1e0 - g.g) * g.cnt ELSE 0e0 END)
+           |      / sum(CASE WHEN (g.pattern // f.pw) % 3 <> 2 THEN (1e0 - g.g) * g.cnt ELSE 0e0 END), $eps), $hi) AS u
+           |  FROM tg$i g CROSS JOIN tfields f GROUP BY f.j, f.pw),
+           |tpr$i AS MATERIALIZED (SELECT least(greatest(sum(g * cnt) / sum(cnt), $eps), $hi) AS p FROM tg$i)""".stripMargin
+      }.mkString(",\n")
+      s"""tpat AS MATERIALIZED (SELECT pattern, count(*) AS cnt FROM vecm GROUP BY pattern),
+         |tpar0 AS (SELECT j, pw, 0.9e0 AS m, 0.1e0 AS u FROM tfields),
+         |tpr0 AS (SELECT 0.1e0 AS p),
+         |$iters""".stripMargin
+    }
+    // per-pair ternary weight/posterior/decision from the full-precision
+    // dumped ternary params — missing digits add 0 to the weight sum and
+    // factor 1 to both likelihoods
+    val fsWeightsM =
+      s"""tpp AS MATERIALIZED (
+         |  SELECT par.j, f.pw, par.m, par.u
+         |  FROM read_parquet('{OUT}/_aux/fs_missing_params_full/*.parquet') par
+         |  JOIN tfields f ON f.j = par.j),
+         |tprb AS (SELECT max(p) AS p FROM read_parquet('{OUT}/_aux/fs_missing_params_full/*.parquet')),
+         |tw AS MATERIALIZED (
+         |  SELECT v.idA, v.idB, v.gidA, v.gidB,
+         |    v.c0, v.c1, v.c2, v.c3, v.c4, v.pattern,
+         |    sum(CASE (v.pattern // par.pw) % 3
+         |          WHEN 1 THEN ln(par.m / par.u)
+         |          WHEN 0 THEN ln((1e0 - par.m) / (1e0 - par.u))
+         |          ELSE 0e0 END) / ln(2e0) AS wsum,
+         |    exp(sum(ln(CASE (v.pattern // par.pw) % 3 WHEN 1 THEN par.m WHEN 0 THEN 1e0 - par.m ELSE 1e0 END))) AS pm,
+         |    exp(sum(ln(CASE (v.pattern // par.pw) % 3 WHEN 1 THEN par.u WHEN 0 THEN 1e0 - par.u ELSE 1e0 END))) AS pu
+         |  FROM vecm v CROSS JOIN tpp par
+         |  GROUP BY v.idA, v.idB, v.gidA, v.gidB, v.c0, v.c1, v.c2, v.c3, v.c4, v.pattern),
+         |tdec AS MATERIALIZED (
+         |  SELECT idA, idB, gidA, gidB, c0, c1, c2, c3, c4, pattern,
+         |    weight, posterior,
+         |    CASE WHEN posterior >= ${FellegiSunter.PosteriorMatch}e0 THEN 'match'
+         |         WHEN posterior <= ${FellegiSunter.PosteriorNonMatch}e0 THEN 'nonmatch'
+         |         ELSE 'possible' END AS decision
+         |  FROM (
+         |    SELECT tw.idA, tw.idB, tw.gidA, tw.gidB,
+         |      tw.c0, tw.c1, tw.c2, tw.c3, tw.c4, tw.pattern,
+         |      round(tw.wsum, 6) AS weight,
+         |      round((tprb.p * tw.pm) / (tprb.p * tw.pm + (1e0 - tprb.p) * tw.pu), 6) AS posterior
+         |    FROM tw CROSS JOIN tprb))""".stripMargin
+
     // ---- one-to-one linkage fragments (er_link_1to1 / er_link_eval) ----
     // cross-catalog FS-accepted edges re-derived from `dec` (which the
     // oracle itself rebuilt from the feature dump + full-precision
@@ -1792,6 +1955,45 @@ object ErQueries {
            |        ELSE ln((1e0 - par.m) / (1e0 - par.u)) / ln(2e0) END, 6) AS contribution
            |FROM vecp v CROSS JOIN par ORDER BY idA, idB, j""".stripMargin
       },
+      // missing-data twin: ternary vectors re-derived, the FULL ternary
+      // EM replayed (per-field observed masses), per-field miss rates
+      // recounted from DuckDB's own codes
+      "er_fs_missing_params" -> {
+        val fieldCase = FellegiSunter.fieldNames.zipWithIndex
+          .map { case (f, j) => s"WHEN $j THEN '$f'" }.mkString(" ")
+        s"""WITH $fsVecM,
+           |$fsEmChainT,
+           |trates AS (
+           |  SELECT f.j,
+           |    round(avg(CASE WHEN (v.pattern // f.pw) % 3 = ${FellegiSunter.CodeMissing}
+           |                   THEN 1e0 ELSE 0e0 END), 6) AS miss_rate
+           |  FROM vecm v CROSS JOIN tfields f GROUP BY f.j)
+           |SELECT par.j AS j, CASE par.j $fieldCase END AS field,
+           |  round(par.m, 5) AS m, round(par.u, 5) AS u, round(pr.p, 5) AS p,
+           |  tr.miss_rate
+           |FROM tpar${FellegiSunter.EmIters} par
+           |CROSS JOIN tpr${FellegiSunter.EmIters} pr
+           |JOIN trates tr ON tr.j = par.j
+           |ORDER BY j""".stripMargin
+      },
+      "er_fs_missing" ->
+        s"""WITH $fsVecM,
+           |$fsWeightsM
+           |SELECT idA, idB, c0, c1, c2, c3, c4, pattern,
+           |  weight, posterior, decision
+           |FROM tdec ORDER BY idA, idB""".stripMargin,
+      "er_fs_missing_eval" ->
+        s"""WITH $fsVecM,
+           |$fsWeightsM
+           |SELECT
+           |  count(CASE WHEN gidA = gidB AND decision = 'match' THEN 1 END) AS tp,
+           |  count(CASE WHEN gidA <> gidB AND decision = 'match' THEN 1 END) AS fp,
+           |  count(CASE WHEN gidA = gidB AND decision <> 'match' THEN 1 END) AS fn,
+           |  count(CASE WHEN gidA <> gidB AND decision <> 'match' THEN 1 END) AS tn,
+           |  round(tp::DOUBLE / (tp + fp), 6) AS precision,
+           |  round(tp::DOUBLE / (tp + fn), 6) AS recall,
+           |  round(2e0 * tp / (2e0 * tp + fp + fn), 6) AS f1
+           |FROM tdec""".stripMargin,
       "er_fs_review" ->
         s"""WITH $fsVec,
            |$fsWeights

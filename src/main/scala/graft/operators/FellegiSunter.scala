@@ -306,6 +306,146 @@ object FellegiSunter {
     vectors.join(broadcast(tbl), Seq("pattern"))
   }
 
+  // ---- missing-data (ternary γ) extension ----------------------------
+  // Real comparison vectors have a third outcome: the field VALUE IS
+  // ABSENT on one side (a source that never captured it, a null, free
+  // text). The Fellegi–Sunter treatment (F&S 1969 §3; Christen 2012
+  // §6.2): a missing field is EXCLUDED from the likelihood product
+  // (evidence absent is not evidence of absence), contributes weight 0
+  // to the decision, and is excluded from BOTH numerator and denominator
+  // of its field's m/u estimates — so each field keeps its own observed
+  // mass in the M-step instead of the binary fit's shared denominator.
+
+  /** Ternary code values: 0 disagree, 1 agree, 2 missing; patterns pack
+    * base-3 (pattern = Σ c_j·3^j < 3^k = 243). */
+  val CodeMissing = 2
+  private[graft] val pow3: Array[Int] = Array.iterate(1, k + 1)(_ * 3)
+
+  /** Ternary comparison vectors over the SAME dumped feature table the
+    * binary layer uses, with deterministic missingness channels —
+    * integer predicates only, mirrored verbatim by the oracle SQL: the
+    * size field is unobserved when either side's node count ≡ 0 (mod 7),
+    * the name field when the two path lengths sum ≡ 0 (mod 5), the lang
+    * field when the token counts sum ≡ 0 (mod 3). ted/tokens stay
+    * always-observed so the mixture stays separable under any draw. */
+  def vectorsMissing(features: DataFrame): DataFrame = {
+    def code(miss: org.apache.spark.sql.Column, agree: org.apache.spark.sql.Column) =
+      when(miss, lit(CodeMissing)).otherwise(when(agree, 1).otherwise(0))
+    features
+      .withColumn("c0", code(lit(false), col("normDist") <= lit(TedAgree)))
+      .withColumn("c1", code(
+        pmod(col("nA"), lit(7)) === 0 || pmod(col("nB"), lit(7)) === 0,
+        lit(SizeRelTenths) * abs(col("nA") - col("nB")) <= greatest(col("nA"), col("nB"))))
+      .withColumn("c2", code(lit(false),
+        lit(SizeRelTenths) * abs(col("tokA") - col("tokB")) <= greatest(col("tokA"), col("tokB"))))
+      .withColumn("c3", code(
+        pmod(length(col("pathA")) + length(col("pathB")), lit(5)) === 0,
+        element_at(split(col("pathA"), "/"), -1) === element_at(split(col("pathB"), "/"), -1)))
+      .withColumn("c4", code(
+        pmod(col("tokA") + col("tokB"), lit(3)) === 0,
+        col("langA") === col("langB")))
+      .withColumn("pattern",
+        col("c0") + col("c1") * 3 + col("c2") * 9 + col("c3") * 27 + col("c4") * 81)
+  }
+
+  def fitEmTernary(vectors: DataFrame, iters: Int = EmIters): FsParams = {
+    val hist = vectors.groupBy(col("pattern")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    fitEmTernaryHistogram(hist, iters)
+  }
+
+  /** EM over the ternary pattern histogram (≤ 3^k rows driver-side —
+    * the same bounded-histogram discipline as the binary fit, identical
+    * init/clamp/exp(Σ ln ·) arithmetic). Digit 2 contributes factor 1 to
+    * both class likelihoods and is absent from its field's M-step
+    * masses. On a histogram with no missing digit anywhere this reduces
+    * EXACTLY to [[fitEmHistogram]] (per-field denominators all equal the
+    * shared one) — pinned by FellegiSunterSpec. */
+  def fitEmTernaryHistogram(hist: Array[(Int, Long)], iters: Int = EmIters): FsParams = {
+    var m = Array.fill(k)(0.9)
+    var u = Array.fill(k)(0.1)
+    var p = 0.1
+    var it = 0
+    while (it < iters) {
+      val g = hist.map { case (pat, cnt) =>
+        var sm = 0.0; var su = 0.0
+        var j = 0
+        while (j < k) {
+          (pat / pow3(j)) % 3 match {
+            case 1 => sm += math.log(m(j)); su += math.log(u(j))
+            case 0 => sm += math.log(1.0 - m(j)); su += math.log(1.0 - u(j))
+            case _ => () // missing: excluded from the product
+          }
+          j += 1
+        }
+        val pm = math.exp(sm); val pu = math.exp(su)
+        (pat, cnt, p * pm / (p * pm + (1.0 - p) * pu))
+      }
+      val nm = Array.fill(k)(0.0); val nu = Array.fill(k)(0.0)
+      val dm = Array.fill(k)(0.0); val du = Array.fill(k)(0.0)
+      var gc = 0.0; var tot = 0.0
+      g.foreach { case (pat, cnt, gi) =>
+        val c = cnt.toDouble
+        var j = 0
+        while (j < k) {
+          val d = (pat / pow3(j)) % 3
+          if (d != CodeMissing) {
+            dm(j) += gi * c; du(j) += (1.0 - gi) * c
+            if (d == 1) { nm(j) += gi * c; nu(j) += (1.0 - gi) * c }
+          }
+          j += 1
+        }
+        gc += gi * c; tot += c
+      }
+      m = Array.tabulate(k)(j => clamp(nm(j) / dm(j)))
+      u = Array.tabulate(k)(j => clamp(nu(j) / du(j)))
+      p = clamp(gc / tot)
+      it += 1
+    }
+    FsParams(m, u, p)
+  }
+
+  /** All-3^k-pattern decision table — missing digits contribute weight 0
+    * and likelihood factor 1; otherwise [[patternTable]]'s arithmetic. */
+  def patternTableTernary(params: FsParams): Seq[(Int, Double, Double)] = {
+    val ln2 = math.log(2.0)
+    (0 until pow3(k)).map { pat =>
+      var wsum = 0.0; var sm = 0.0; var su = 0.0
+      var j = 0
+      while (j < k) {
+        (pat / pow3(j)) % 3 match {
+          case 1 =>
+            wsum += math.log(params.m(j) / params.u(j))
+            sm += math.log(params.m(j)); su += math.log(params.u(j))
+          case 0 =>
+            wsum += math.log((1.0 - params.m(j)) / (1.0 - params.u(j)))
+            sm += math.log(1.0 - params.m(j)); su += math.log(1.0 - params.u(j))
+          case _ => ()
+        }
+        j += 1
+      }
+      val pm = math.exp(sm); val pu = math.exp(su)
+      val post = params.p * pm / (params.p * pm + (1.0 - params.p) * pu)
+      (pat, wsum / ln2, post)
+    }
+  }
+
+  /** [[weigh]] for ternary vectors: broadcast join against the 243-row
+    * ternary pattern table (same rounded-posterior decision rule). */
+  def weighTernary(spark: SparkSession, vectors: DataFrame, params: FsParams): DataFrame = {
+    import spark.implicits._
+    val tbl = patternTableTernary(params)
+      .toDF("pattern", "w_raw", "post_raw")
+      .select(col("pattern"),
+        round(col("w_raw"), 6).as("weight"),
+        round(col("post_raw"), 6).as("posterior"))
+      .withColumn("decision",
+        when(col("posterior") >= lit(PosteriorMatch), "match")
+          .when(col("posterior") <= lit(PosteriorNonMatch), "nonmatch")
+          .otherwise("possible"))
+    vectors.join(broadcast(tbl), Seq("pattern"))
+  }
+
   /** Pair-level confusion + precision/recall/F1 of the FS 'match'
     * decision against ground-truth labels (same groupId) — decision
     * quality over the CANDIDATE pairs (blocking recall is measured

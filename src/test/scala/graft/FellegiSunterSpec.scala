@@ -167,4 +167,82 @@ class FellegiSunterSpec extends AnyFunSuite {
     val f1 = eval.getAs[Double]("f1")
     assert(f1 >= 0.99, s"FS decision F1 on assessment pairs: $f1 (eval row: $eval)")
   }
+
+  // ---- missing-data (ternary) extension ----
+
+  /** Binary histogram re-encoded base-3 (digits 0/1 only, no missing). */
+  private def toTernary(hist: Array[(Int, Long)], k: Int): Array[(Int, Long)] =
+    hist.map { case (pat, cnt) =>
+      (0 until k).map(j => ((pat >> j) & 1) * FellegiSunter.pow3(j)).sum -> cnt
+    }
+
+  test("ternary EM with no missing digits reduces EXACTLY to the binary EM") {
+    val m = Array(0.95, 0.9, 0.85, 0.6, 0.7)
+    val u = Array(0.05, 0.2, 0.15, 0.4, 0.02)
+    val hist = syntheticHist(m, u, 0.3, 1000000L)
+    val bin = FellegiSunter.fitEmHistogram(hist)
+    val ter = FellegiSunter.fitEmTernaryHistogram(toTernary(hist, m.length))
+    // same doubles, bit for bit: with every field observed in every
+    // pattern, the per-field denominators all equal the shared one
+    assert(ter.p == bin.p)
+    for (j <- m.indices) {
+      assert(ter.m(j) == bin.m(j), s"m($j)")
+      assert(ter.u(j) == bin.u(j), s"u($j)")
+    }
+  }
+
+  test("ternary pattern table: a missing digit contributes weight 0 and factor 1") {
+    val params = FellegiSunter.FsParams(
+      Array(0.95, 0.9, 0.85, 0.6, 0.7), Array(0.05, 0.2, 0.15, 0.4, 0.02), 0.3)
+    val tbl = FellegiSunter.patternTableTernary(params).map(t => t._1 -> t).toMap
+    val ln2 = math.log(2.0)
+    for (j <- 0 until FellegiSunter.k; base <- Seq(0, 1 + 3 + 9 + 27 + 81)) {
+      // take an all-disagree / all-agree pattern and flip field j to
+      // missing: the weight must drop by exactly field j's term
+      val dj = (base / FellegiSunter.pow3(j)) % 3
+      val term =
+        if (dj == 1) math.log(params.m(j) / params.u(j)) / ln2
+        else math.log((1.0 - params.m(j)) / (1.0 - params.u(j))) / ln2
+      val miss = base + (FellegiSunter.CodeMissing - dj) * FellegiSunter.pow3(j)
+      assert(math.abs(tbl(miss)._2 - (tbl(base)._2 - term)) < 1e-9,
+        s"field $j from base $base")
+    }
+  }
+
+  test("EM with per-field missingness still recovers the generator on observed masses") {
+    // inject 1/3 missing on field 1 of the exact-expectation histogram:
+    // every pattern splits into (2/3 observed, 1/3 missing-at-random on
+    // that field) — MAR noise must not move the other fields' estimates
+    val m = Array(0.95, 0.9, 0.85, 0.6, 0.7)
+    val u = Array(0.05, 0.2, 0.15, 0.4, 0.02)
+    val tern = toTernary(syntheticHist(m, u, 0.3, 9000000L), m.length)
+    val withMissing = tern.flatMap { case (pat, cnt) =>
+      val d1 = (pat / 3) % 3
+      val masked = pat + (FellegiSunter.CodeMissing - d1) * 3
+      Seq(pat -> (cnt * 2 / 3), masked -> (cnt / 3))
+    }.groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2).sum }.toArray
+    val fit = FellegiSunter.fitEmTernaryHistogram(withMissing, iters = 200)
+    assert(math.abs(fit.p - 0.3) < 0.02, s"p: ${fit.p}")
+    for (j <- m.indices) {
+      assert(math.abs(fit.m(j) - m(j)) < 0.03, s"m($j): ${fit.m(j)}")
+      assert(math.abs(fit.u(j) - u(j)) < 0.03, s"u($j): ${fit.u(j)}")
+    }
+  }
+
+  test("pipeline integration: ternary FS decisions stay >= 0.98 F1 under injected missingness") {
+    val fsm = ErQueries.FsMissingResults.cached(spark, "/root/testdata/sf0.001")
+    // the three channels really fire (rates > 0) and the strong fields
+    // stay informative
+    val rates = fsm.vectors.agg(
+      avg(when(col("c1") === FellegiSunter.CodeMissing, 1.0).otherwise(0.0)).as("r1"),
+      avg(when(col("c3") === FellegiSunter.CodeMissing, 1.0).otherwise(0.0)).as("r3"),
+      avg(when(col("c4") === FellegiSunter.CodeMissing, 1.0).otherwise(0.0)).as("r4"))
+      .collect()(0)
+    assert(rates.getDouble(0) > 0.05 && rates.getDouble(1) > 0.05 &&
+      rates.getDouble(2) > 0.05, s"missingness channels must fire: $rates")
+    assert(fsm.params.m(0) > fsm.params.u(0))
+    val eval = FellegiSunter.evalDecisions(fsm.weighted).collect()(0)
+    val f1 = eval.getAs[Double]("f1")
+    assert(f1 >= 0.98, s"ternary FS F1 under missingness: $f1 (eval: $eval)")
+  }
 }
