@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{BlockSplit, Canopy, Decontaminate, Dedup, MatchMerge, Phonetic, PivotClustering, SetSimJoin, SuffixBlocking, TextAnalysis}
+import graft.operators.{BlockingScheme, BlockSplit, Canopy, Decontaminate, Dedup, MatchMerge, Phonetic, PivotClustering, SetSimJoin, SuffixBlocking, TextAnalysis}
 import graft.sources.CorpusGen
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -549,6 +549,47 @@ object TextQueries {
           sum(coalesce(col("n_captured"), lit(0L))).as("n_captured"),
           max(col("max_emit") - col("min_emit")).as("max_imbalance"))
         .orderBy(col("n"))
+    }),
+
+    // adaptive (learned) disjunctive blocking — Bilenko ICDM'06 family:
+    // greedy forward selection over four channels (the three schemes +
+    // a deliberately cheap-and-dirty length-band channel the greedy
+    // should rank last), each step picking the best marginal
+    // truth-coverage-per-pair ratio against what's already selected.
+    // Output = every (step, remaining-channel) evaluation with the pick
+    // flag; DuckDB replays the WHOLE chain — channels, truth, marginal
+    // set algebra, the ratio order, every pick — from the raw documents
+    "q_blocking_scheme" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = Phonetic.vocabulary(phoneticDocs(s, dir), "ptext")
+        .localCheckpoint(true)
+      val ph = Phonetic.candidatePairs(vocab).select(col("tokA"), col("tokB"))
+        .localCheckpoint(true)
+      val sf = SuffixBlocking.candidatePairs(vocab).select(col("tokA"), col("tokB"))
+        .localCheckpoint(true)
+      val cn = Canopy.candidatePairs(Canopy.canopies(Canopy.edges(vocab), vocab))
+        .localCheckpoint(true)
+      val lb = vocab.as("a").join(vocab.as("b"),
+          length(col("a.tok")) === length(col("b.tok")) && col("a.tok") < col("b.tok"))
+        .select(col("a.tok").as("tokA"), col("b.tok").as("tokB"))
+        .localCheckpoint(true)
+      val truth = vocab.select(col("tok").as("tokA"))
+        .crossJoin(vocab.select(col("tok").as("tokB")))
+        .where(col("tokA") < col("tokB") &&
+          levenshtein(col("tokA"), col("tokB")) <= Phonetic.DefaultMaxLev)
+        .localCheckpoint(true)
+      BlockingScheme.greedyChain(
+          Seq("soundex" -> ph, "suffix" -> sf, "canopy" -> cn, "lenband" -> lb),
+          truth)
+        .toDF()
+        .select(col("step"), col("scheme"),
+          col("marginalTruth").as("marginal_truth"),
+          col("marginalPairs").as("marginal_pairs"),
+          round(when(col("marginalPairs") === 0, lit(0.0))
+            .otherwise(col("marginalTruth").cast("double") / col("marginalPairs")), 6)
+            .as("ratio"),
+          col("chosen"))
+        .orderBy(col("step"), col("scheme"))
     })
   )
 
@@ -987,30 +1028,7 @@ object TextQueries {
     // metrics recomputed end-to-end by DuckDB from the raw documents
     "q_blocking_quality" ->
       s"""WITH $vocabCte,
-         |$soundexBody,
-         |pk AS (SELECT code AS key, tok AS id FROM sx
-         |  QUALIFY row_number() OVER (PARTITION BY code ORDER BY tok)
-         |    <= ${Dedup.DefaultBlockCap}),
-         |ph AS MATERIALIZED (
-         |  SELECT a.id AS tokA, b.id AS tokB
-         |  FROM pk a JOIN pk b ON a.key = b.key AND a.id < b.id),
-         |$suffixBody,
-         |sfp AS MATERIALIZED (
-         |  SELECT DISTINCT a.id AS tokA, b.id AS tokB
-         |  FROM sk a JOIN sk b ON a.key = b.key AND a.id < b.id
-         |  JOIN alive v2 ON v2.key = a.key),
-         |$canopyBody,
-         |amc AS (SELECT center, member FROM allmem
-         |  QUALIFY row_number() OVER (PARTITION BY center ORDER BY member)
-         |    <= ${Dedup.DefaultBlockCap}),
-         |cnp AS MATERIALIZED (
-         |  SELECT DISTINCT m1.member AS tokA, m2.member AS tokB
-         |  FROM amc m1 JOIN amc m2
-         |    ON m1.center = m2.center AND m1.member < m2.member),
-         |tv AS MATERIALIZED (
-         |  SELECT a.tok AS tokA, b.tok AS tokB, TRUE AS hit
-         |  FROM v a JOIN v b ON a.tok < b.tok
-         |  WHERE levenshtein(a.tok, b.tok) <= ${Phonetic.DefaultMaxLev}),
+         |$channelPairsCte,
          |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
          |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tv),
          |chan AS (
@@ -1037,6 +1055,27 @@ object TextQueries {
          |  round(1e0 - CAST(n_pairs AS DOUBLE)
          |    / ((nv.n * (nv.n - 1)) // 2), 6) AS reduction_ratio
          |FROM q, nv, nt ORDER BY scheme""".stripMargin,
+
+    // greedy blocking-scheme chain replayed end-to-end: the three
+    // channel bodies + the cheap length-band channel, the truth, every
+    // step's marginal set algebra (NOT EXISTS against the growing
+    // selected union), the double-ratio pick order, and the pick flags
+    "q_blocking_scheme" ->
+      s"""WITH $vocabCte,
+         |$channelPairsCte,
+         |lbp AS MATERIALIZED (
+         |  SELECT a.tok AS tokA, b.tok AS tokB
+         |  FROM v a JOIN v b ON length(a.tok) = length(b.tok) AND a.tok < b.tok),
+         |chanS AS MATERIALIZED (
+         |  SELECT 'soundex' AS scheme, tokA, tokB FROM ph
+         |  UNION ALL SELECT 'suffix', tokA, tokB FROM sfp
+         |  UNION ALL SELECT 'canopy', tokA, tokB FROM cnp
+         |  UNION ALL SELECT 'lenband', tokA, tokB FROM lbp),
+         |${blockingSchemeSteps(Seq("canopy", "lenband", "soundex", "suffix"))}
+         |SELECT step, scheme, mt AS marginal_truth, np AS marginal_pairs,
+         |  round(CASE WHEN np = 0 THEN 0e0 ELSE mt * 1e0 / np END, 6) AS ratio,
+         |  chosen
+         |FROM evall ORDER BY step, scheme""".stripMargin,
 
     // BlockSplit circular-rule replay: DuckDB re-derives member ranks,
     // block sizes, the D(idx, n) emission bound, and the modular partner
@@ -1200,6 +1239,93 @@ object TextQueries {
        |  HAVING count(*) BETWEEN 2 AND ${SuffixBlocking.DefaultMaxBlock})""".stripMargin
 
   private def suffixCtes: String = s"$vocabCte,\n$suffixBody"
+
+  /** The three blocking channels' pair CTEs (ph/sfp/cnp, capped/purged
+    * exactly as the operators) + the Levenshtein truth `tv`, over the
+    * shared vocabulary `v` — composed by BOTH the blocking-quality and
+    * the blocking-scheme oracles. */
+  private def channelPairsCte: String =
+    s"""$soundexBody,
+       |pk AS (SELECT code AS key, tok AS id FROM sx
+       |  QUALIFY row_number() OVER (PARTITION BY code ORDER BY tok)
+       |    <= ${Dedup.DefaultBlockCap}),
+       |ph AS MATERIALIZED (
+       |  SELECT a.id AS tokA, b.id AS tokB
+       |  FROM pk a JOIN pk b ON a.key = b.key AND a.id < b.id),
+       |$suffixBody,
+       |sfp AS MATERIALIZED (
+       |  SELECT DISTINCT a.id AS tokA, b.id AS tokB
+       |  FROM sk a JOIN sk b ON a.key = b.key AND a.id < b.id
+       |  JOIN alive v2 ON v2.key = a.key),
+       |$canopyBody,
+       |amc AS (SELECT center, member FROM allmem
+       |  QUALIFY row_number() OVER (PARTITION BY center ORDER BY member)
+       |    <= ${Dedup.DefaultBlockCap}),
+       |cnp AS MATERIALIZED (
+       |  SELECT DISTINCT m1.member AS tokA, m2.member AS tokB
+       |  FROM amc m1 JOIN amc m2
+       |    ON m1.center = m2.center AND m1.member < m2.member),
+       |tv AS MATERIALIZED (
+       |  SELECT a.tok AS tokA, b.tok AS tokB, TRUE AS hit
+       |  FROM v a JOIN v b ON a.tok < b.tok
+       |  WHERE levenshtein(a.tok, b.tok) <= ${Phonetic.DefaultMaxLev})""".stripMargin
+
+  /** The greedy blocking-scheme chain replayed in SQL: per step, fresh
+    * (not-yet-selected) candidate rows of the remaining channels, the
+    * per-channel marginal counts (zero-row channels kept by the scheme
+    * dimension), the pick via the SAME double-ratio order (IEEE division
+    * of exact integer counts — identical in both engines; np = 0 → 0;
+    * scheme-name tie-break), and the growing selected union. */
+  private def blockingSchemeSteps(names: Seq[String]): String = {
+    val k = names.size
+    val steps = (1 to k).map { i =>
+      val prevPicks = (1 until i).map(j => s"SELECT scheme FROM pick$j")
+        .mkString(" UNION ALL ")
+      val notPicked =
+        if (i == 1) "TRUE" else s"c.scheme NOT IN ($prevPicks)"
+      val dimNotPicked =
+        if (i == 1) "TRUE" else s"s.scheme NOT IN ($prevPicks)"
+      val freshCond =
+        if (i == 1) ""
+        else
+          s"""
+             |    AND NOT EXISTS (SELECT 1 FROM sel${i - 1} sl
+             |      WHERE sl.tokA = c.tokA AND sl.tokB = c.tokB)""".stripMargin
+      val selBody =
+        if (i == 1)
+          "SELECT c.tokA, c.tokB FROM chanS c JOIN pick1 p ON p.scheme = c.scheme"
+        else
+          s"""SELECT tokA, tokB FROM sel${i - 1}
+             |    UNION ALL
+             |    SELECT c.tokA, c.tokB FROM chanS c JOIN pick$i p ON p.scheme = c.scheme""".stripMargin
+      s"""f$i AS MATERIALIZED (
+         |  SELECT c.scheme, c.tokA, c.tokB FROM chanS c
+         |  WHERE $notPicked$freshCond),
+         |ev$i AS MATERIALIZED (
+         |  SELECT s.scheme, $i AS step,
+         |    coalesce(q.np, 0) AS np, coalesce(q.mt, 0) AS mt
+         |  FROM schemes s LEFT JOIN (
+         |    SELECT f.scheme, CAST(count(*) AS BIGINT) AS np,
+         |      CAST(sum(CASE WHEN tv.hit THEN 1 ELSE 0 END) AS BIGINT) AS mt
+         |    FROM f$i f LEFT JOIN tv USING (tokA, tokB)
+         |    GROUP BY f.scheme) q USING (scheme)
+         |  WHERE $dimNotPicked),
+         |pick$i AS MATERIALIZED (
+         |  SELECT scheme FROM ev$i
+         |  QUALIFY row_number() OVER (ORDER BY
+         |    CASE WHEN np = 0 THEN 0e0 ELSE mt * 1e0 / np END DESC, scheme) = 1),
+         |sel$i AS MATERIALIZED (
+         |  SELECT DISTINCT tokA, tokB FROM (
+         |    $selBody))""".stripMargin
+    }.mkString(",\n")
+    val evs = (1 to k).map(i =>
+      s"""SELECT e.step, e.scheme, e.mt, e.np,
+         |  e.scheme = (SELECT scheme FROM pick$i) AS chosen FROM ev$i e""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    s"""schemes AS (SELECT unnest([${names.sorted.map(n => s"'$n'").mkString(", ")}]) AS scheme),
+       |$steps,
+       |evall AS ($evs)""".stripMargin
+  }
 
   /** Canopy replay body (no `v`): bigram sets, brute-force loose edges,
     * tight adjacency, the unrolled greedy-MIS center chain under
