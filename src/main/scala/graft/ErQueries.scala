@@ -31,6 +31,15 @@ object ErQueries {
     * never silently extend past the band, where censored distances
     * would be counted as matches). Values are exact k/100 doubles whose
     * toString round-trips identically in Scala and DuckDB. */
+  /** er_collective thresholds — ONE definition for the Scala query and
+    * the interpolated oracle SQL. tauHi = the confident band (matches
+    * on attributes alone); the lo band is the pipeline's scoring edge
+    * `Pipeline.Config().tau`, so "borderline" = in-band but not
+    * confident. */
+  private[graft] val CollTauHi = 0.01
+  private[graft] val CollMinSupport = 1
+  private[graft] val CollRounds = 3
+
   private[graft] val tauGrid: Seq[Double] = {
     val tau = Pipeline.Config().tau
     // floor, not round: a half-centesimal band edge (tau = 0.085) must
@@ -224,6 +233,33 @@ object ErQueries {
         .orderBy(col("tau"))
     }),
     "er_clusters" -> ((s, dir) => pipeline(s, dir).clusters.orderBy(col("id"))),
+    // the SAME components via the independent Hash-to-Min algorithm
+    // (Rastogi et al. ICDE'13) — second CC family, cross-checked by the
+    // same recursive-CTE oracle recompute as er_clusters
+    "er_cc_hashmin" -> ((s, dir) => {
+      val r = pipeline(s, dir)
+      HashToMin.connectedComponents(r.matches, r.trees.toDF().select(col("id")))
+        .orderBy(col("id"))
+    }),
+    // collective (relational) ER: borderline pairs (in the tau band but
+    // not confident) accepted only when the repo pair / directory pair
+    // they connect already holds other matched pairs —
+    // Bhattacharya–Getoor-style relational evidence over two context
+    // channels. The oracle UNROLLS every round in SQL from the
+    // er_scores dump + its own id→repo/dir recomputation
+    // (per-channel self-exclusion arithmetic and all)
+    "er_collective" -> ((s, dir) => {
+      val r = pipeline(s, dir)
+      val t = r.trees.toDF()
+      val ctx = t.select(col("id"), lit("repo").as("channel"), col("repo").as("ctx"))
+        .unionByName(t.select(col("id"), lit("dir").as("channel"),
+          when(col("path").contains("/"),
+            regexp_replace(col("path"), "/[^/]*$", "")).otherwise(lit("")).as("ctx")))
+      CollectiveEr.resolve(
+        r.scores.toDF().select(col("idA"), col("idB"), col("normDist").as("dist")),
+        ctx, CollTauHi, Pipeline.Config().tau, CollMinSupport, CollRounds)
+        .orderBy(col("idA"), col("idB"))
+    }),
     "er_cluster_sizes" -> ((s, dir) => {
       pipeline(s, dir).clusters
         .groupBy(col("clusterId")).agg(count(lit(1)).as("size"))
@@ -2977,6 +3013,69 @@ object ErQueries {
           |    UNION
           |    SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
           |SELECT id, min(r) AS clusterId FROM reach GROUP BY id ORDER BY id""".stripMargin,
+      // hash-to-min must land on the exact same components — verified by
+      // the same independent recursive-CTE recompute, NOT by comparing
+      // the two Spark outputs to each other
+      "er_cc_hashmin" ->
+        """WITH RECURSIVE
+          |  m AS (SELECT idA, idB FROM read_parquet('{OUT}/er_scores/*.parquet') WHERE isMatch),
+          |  e AS (SELECT idA AS a, idB AS b FROM m UNION ALL SELECT idB, idA FROM m),
+          |  nodes AS (SELECT id FROM read_parquet('{OUT}/er_trees/*.parquet')),
+          |  reach(id, r) AS (
+          |    SELECT id, id FROM nodes
+          |    UNION
+          |    SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
+          |SELECT id, min(r) AS clusterId FROM reach GROUP BY id ORDER BY id""".stripMargin,
+      // collective ER: every round unrolled — per-round per-channel
+      // context-pair affinity, per-pair evidence sum with the pair's
+      // own match excluded in each channel, decisions re-derived round
+      // by round
+      "er_collective" -> {
+        val tauLo = Pipeline.Config().tau
+        val rounds = (1 to CollRounds).map { k =>
+          s"""aff$k AS (
+             |  SELECT p.channel, p.cA, p.cB, count(*) AS n
+             |  FROM pc p JOIN m${k - 1} m USING (idA, idB)
+             |  WHERE m.m GROUP BY 1, 2, 3),
+             |sup$k AS (
+             |  SELECT p.idA, p.idB,
+             |    CAST(sum(coalesce(a.n, 0)
+             |      - CASE WHEN m.m THEN 1 ELSE 0 END) AS BIGINT) AS support
+             |  FROM pc p JOIN m${k - 1} m USING (idA, idB)
+             |  LEFT JOIN aff$k a
+             |    ON a.channel = p.channel AND a.cA = p.cA AND a.cB = p.cB
+             |  GROUP BY 1, 2),
+             |m$k AS MATERIALIZED (
+             |  SELECT b.idA, b.idB, b.dist, b.base,
+             |    coalesce(s.support, 0) AS support,
+             |    b.base OR (b.dist <= ${tauLo}e0
+             |      AND coalesce(s.support, 0) >= $CollMinSupport) AS m
+             |  FROM m0 b LEFT JOIN sup$k s USING (idA, idB))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH lab AS (
+           |  SELECT $idExpr AS id, repo,
+           |    CASE WHEN strpos(path, '/') > 0
+           |      THEN regexp_replace(path, '/[^/]*$$', '') ELSE '' END AS dirp
+           |  FROM $corpus),
+           |ctx AS (SELECT id, 'repo' AS channel, repo AS ctx FROM lab
+           |        UNION ALL SELECT id, 'dir', dirp FROM lab),
+           |sc AS (SELECT idA, idB, normDist AS dist
+           |       FROM read_parquet('{OUT}/er_scores/*.parquet')),
+           |pc AS MATERIALIZED (
+           |  SELECT sc.idA, sc.idB, a.channel,
+           |    least(a.ctx, b.ctx) AS cA, greatest(a.ctx, b.ctx) AS cB
+           |  FROM sc
+           |  JOIN ctx a ON sc.idA = a.id
+           |  JOIN ctx b ON sc.idB = b.id AND a.channel = b.channel),
+           |m0 AS MATERIALIZED (
+           |  SELECT idA, idB, dist, dist <= ${CollTauHi}e0 AS base,
+           |    0 AS support, dist <= ${CollTauHi}e0 AS m
+           |  FROM sc),
+           |$rounds
+           |SELECT idA, idB, dist, base AS base_match, support,
+           |  m AS final_match
+           |FROM m$CollRounds ORDER BY idA, idB""".stripMargin
+      },
       "er_cluster_cohesion" ->
         """WITH s AS (
           |  SELECT * FROM read_parquet('{OUT}/er_scores/*.parquet') WHERE isMatch),

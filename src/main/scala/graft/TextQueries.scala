@@ -166,6 +166,26 @@ object TextQueries {
         .orderBy(col("idA"), col("idB"))
     }),
 
+    // PPJoin (prefix + POSITIONAL filter): the same exact join through
+    // the tightened candidate funnel — result must be identical to
+    // q_setsim_join, and the same brute-force oracle proves it
+    // independently (not by comparing the two Spark outputs)
+    "q_ppjoin" -> ((s, dir) => {
+      SetSimJoin.ppjoin(setSimDocs(s, dir), SetSimNum, SetSimDen)
+        .select(col("idA"), col("idB"),
+          col("isect").cast("long").as("isect"),
+          col("union_n").cast("long").as("union_n"), col("jaccard"))
+        .orderBy(col("idA"), col("idB"))
+    }),
+    // the PPJoin candidate funnel (prefix-filter pairs → positional
+    // survivors → verified pairs): the oracle REPLAYS the whole
+    // derivation in SQL — rare-first ordering, prefix lengths, grouped
+    // pair algebra, the α/ubound positional bound, exact verification —
+    // so the filter's correctness AND its measured reduction are both
+    // cross-engine-checked
+    "q_ppjoin_stats" -> ((s, dir) =>
+      SetSimJoin.ppjoinStats(setSimDocs(s, dir), SetSimNum, SetSimDen)),
+
     // EXACT cosine set-similarity self-join (All-Pairs, binary sets):
     // all doc pairs with shingle-set cosine ≥ 9/10 — the αx = ⌈n·t²⌉
     // symmetric prefix, integer-exact squared threshold (no sqrt, no
@@ -888,6 +908,58 @@ object TextQueries {
          |  round(CAST(isect AS DOUBLE) / union_n, 6) AS jaccard
          |FROM p WHERE isect * $SetSimDen >= union_n * $SetSimNum
          |ORDER BY idA, idB""".stripMargin,
+
+    // PPJoin result: the SAME brute-force oracle as q_setsim_join — the
+    // positional filter must not change the result set by one row
+    "q_ppjoin" ->
+      s"""WITH $setSimDocsSql,
+         |p AS (SELECT a.id AS idA, b.id AS idB,
+         |        CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS isect,
+         |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT) AS union_n
+         |      FROM d a JOIN d b ON a.id < b.id)
+         |SELECT idA, idB, isect, union_n,
+         |  round(CAST(isect AS DOUBLE) / union_n, 6) AS jaccard
+         |FROM p WHERE isect * $SetSimDen >= union_n * $SetSimNum
+         |ORDER BY idA, idB""".stripMargin,
+    // full candidate-funnel replay: DuckDB re-derives the rare-first
+    // global order (row_number over (freq, token) — tokens are distinct
+    // per doc, so the tie-break is total), the prefix windows, the
+    // grouped pair emission with the length filter, the positional
+    // α/ubound prune, and the exact verification — all three funnel
+    // counts must match the Scala stages exactly
+    "q_ppjoin_stats" -> {
+      val (tn, td) = (SetSimNum, SetSimDen)
+      s"""WITH $setSimDocsSql,
+         |tokf AS (SELECT id, unnest(toks) AS token FROM d),
+         |freq AS (SELECT token, count(*) AS freq FROM tokf GROUP BY token),
+         |ordered AS (
+         |  SELECT id, token,
+         |    row_number() OVER (PARTITION BY id ORDER BY freq, token) AS pos,
+         |    count(*) OVER (PARTITION BY id) AS n
+         |  FROM tokf JOIN freq USING (token)),
+         |pfx AS (
+         |  SELECT id, token, pos, n FROM ordered
+         |  WHERE pos <= n - ((n * $tn + ${td - 1}) // $td) + 1),
+         |cand AS (
+         |  SELECT a.id AS idA, b.id AS idB,
+         |    max(a.n) AS nA, max(b.n) AS nB,
+         |    min(a.pos) AS posA, min(b.pos) AS posB
+         |  FROM pfx a JOIN pfx b ON a.token = b.token AND a.id < b.id
+         |  WHERE least(a.n, b.n) * $td >= greatest(a.n, b.n) * $tn
+         |  GROUP BY a.id, b.id),
+         |posf AS (
+         |  SELECT * FROM cand
+         |  WHERE 1 + least(nA - posA, nB - posB)
+         |    >= ($tn * (nA + nB) + ${tn + td - 1}) // ${tn + td}),
+         |fin AS (
+         |  SELECT p.idA, p.idB
+         |  FROM posf p JOIN d x ON x.id = p.idA JOIN d y ON y.id = p.idB
+         |  WHERE len(list_intersect(x.toks, y.toks)) * $td
+         |    >= len(list_distinct(list_concat(x.toks, y.toks))) * $tn)
+         |SELECT (SELECT count(*) FROM cand) AS n_prefix_cands,
+         |       (SELECT count(*) FROM posf) AS n_pos_cands,
+         |       (SELECT count(*) FROM fin) AS n_pairs""".stripMargin
+    },
 
     // brute-force cosine over the SAME shingle frame: every C(n,2)
     // pair, integer-exact SQUARED threshold (isect²·tDen² ≥ nA·nB·tNum²

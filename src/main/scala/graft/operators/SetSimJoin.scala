@@ -80,6 +80,90 @@ object SetSimJoin {
         round(col("isect").cast("double") / col("union_n"), 6).as("jaccard"))
   }
 
+  /** PPJoin (Xiao et al., "Efficient Similarity Joins for Near-Duplicate
+    * Detection", WWW'08 — public paper): [[join]]'s prefix filter
+    * tightened with the POSITIONAL filter. Exact — the result set is
+    * identical to [[join]] — but strictly fewer pairs reach the
+    * verification join, which at corpus scale is the expensive stage
+    * (it rejoins the full token arrays).
+    *
+    * The positional filter: Jaccard ≥ t ⇔ overlap ≥ α where
+    * α = ⌈t·(|x|+|y|)/(1+t)⌉ (in exact integers:
+    * ⌈tNum·(nx+ny)/(tNum+tDen)⌉). For a candidate pair, let (i, j) be
+    * the 1-indexed positions of their FIRST common token in the shared
+    * rare-first global order. No common token precedes it on either
+    * side, so overlap ≤ 1 + min(nx − i, ny − j); prune when that upper
+    * bound < α. The first common token is always the minimal SHARED
+    * PREFIX token: were any common token earlier in the order, its
+    * position would be smaller than a known in-prefix position, hence
+    * itself inside both prefixes — contradiction with minimality. And
+    * positions are order-consistent across docs, so per pair
+    * (min posA, min posB) over shared prefix tokens are exactly that
+    * token's (i, j) — one groupBy replaces [[join]]'s distinct, same
+    * shuffle count.
+    */
+  def ppjoin(docs: DataFrame, tNum: Int, tDen: Int): DataFrame =
+    ppjoinStages(docs, tNum, tDen)._3
+
+  /** 1-row candidate funnel: distinct pairs surviving prefix + length
+    * filters, survivors of the positional filter, final verified pairs
+    * — the measured evidence that the positional filter pays for itself
+    * before the verification join. Lazy (no actions). */
+  def ppjoinStats(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    val (pre, pos, fin) = ppjoinStages(docs, tNum, tDen)
+    pre.agg(count(lit(1)).as("n_prefix_cands"))
+      .crossJoin(pos.agg(count(lit(1)).as("n_pos_cands")))
+      .crossJoin(fin.agg(count(lit(1)).as("n_pairs")))
+  }
+
+  private def ppjoinStages(docs: DataFrame, tNum: Int, tDen: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val tok = docs.select(col("id"), explode(col("toks")).as("token"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val ordered = tok.join(freq, "token")
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("freq"), col("token")))),
+        s => s("token")).as("toks"))
+    val n = size(col("toks"))
+    val pfxLen = n - ceilFrac(n, tNum, tDen) + 1
+    // 1-indexed position within the FULL rare-first order — the i/j the
+    // positional bound needs
+    val prefix = ordered
+      .select(col("id"), n.as("n"), posexplode(slice(col("toks"), lit(1), pfxLen)))
+      .select(col("id"), col("n"), (col("pos") + 1).as("pos"), col("col").as("token"))
+    val cands = prefix.groupBy(col("token"))
+      .agg(sort_array(collect_set(struct(col("id"), col("n"), col("pos")))).as("ms"))
+      .where(size(col("ms")) >= 2)
+      .select(explode(CandidateGen.pairwise(col("ms"),
+        (x, y) => struct(x("id").as("idA"), y("id").as("idB"),
+          x("n").as("nA"), y("n").as("nB"),
+          x("pos").as("posA"), y("pos").as("posB")),
+        (x, y) => least(x("n"), y("n")) * tDen >= greatest(x("n"), y("n")) * tNum))
+        .as("p"))
+      .select(col("p.*"))
+      // one groupBy where join() has a distinct — same shuffle count;
+      // nA/nB are constant per id (max is just a pick)
+      .groupBy(col("idA"), col("idB"))
+      .agg(max(col("nA")).as("nA"), max(col("nB")).as("nB"),
+        min(col("posA")).as("posA"), min(col("posB")).as("posB"))
+    val alpha = floor(((col("nA") + col("nB")) * tNum + lit(tNum + tDen - 1))
+      / (tNum + tDen)).cast("int")
+    val ubound = lit(1) + least(col("nA") - col("posA"), col("nB") - col("posB"))
+    val posPass = cands.where(ubound >= alpha).select(col("idA"), col("idB"))
+    val slim = ordered.select(col("id"), col("toks"))
+    val fin = posPass
+      .join(slim.withColumnRenamed("id", "idA").withColumnRenamed("toks", "tA"), "idA")
+      .join(slim.withColumnRenamed("id", "idB").withColumnRenamed("toks", "tB"), "idB")
+      .select(col("idA"), col("idB"),
+        size(array_intersect(col("tA"), col("tB"))).as("isect"),
+        size(array_union(col("tA"), col("tB"))).as("union_n"))
+      .where(col("isect") * tDen >= col("union_n") * tNum)
+      .select(col("idA"), col("idB"), col("isect"), col("union_n"),
+        round(col("isect").cast("double") / col("union_n"), 6).as("jaccard"))
+    (cands.select(col("idA"), col("idB")), posPass, fin)
+  }
+
   /** EXACT cosine set-similarity self-join over binary token sets
     * (All-Pairs, Bayardo et al. WWW'07 §3 cosine case):
     * cos(x, y) = |x∩y| / √(|x|·|y|) ≥ tNum/tDen, no false negatives.

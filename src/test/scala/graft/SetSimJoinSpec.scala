@@ -116,6 +116,70 @@ class SetSimJoinSpec extends AnyFunSuite {
     }
   }
 
+  // ---- PPJoin (positional filter) twin ----
+
+  private def runPp(docs: Seq[(String, Set[String])], tNum: Int, tDen: Int) = {
+    import spark.implicits._
+    val df = docs.map { case (id, t) => (id, t.toSeq) }.toDF("id", "toks")
+    SetSimJoin.ppjoin(df, tNum, tDen)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+  }
+
+  test("ppjoin differential: identical result to brute force AND to join()") {
+    val rnd = new scala.util.Random(37)
+    val vocab = (0 until 40).map(i => f"t$i%02d")
+    for (trial <- 0 until 5) {
+      val docs = (0 until 30).map { i =>
+        val k = 2 + rnd.nextInt(11)
+        (f"d$i%02d", rnd.shuffle(vocab).take(k).toSet)
+      }
+      for ((num, den) <- Seq((1, 2), (7, 10), (9, 10), (1, 1))) {
+        val want = brute(docs, num, den)
+        assert(runPp(docs, num, den) == want, s"trial $trial t=$num/$den vs brute")
+        assert(run(docs, num, den) == want, s"trial $trial t=$num/$den join twin")
+      }
+    }
+  }
+
+  test("positional filter strictly prunes candidates without losing pairs") {
+    import spark.implicits._
+    // a/b share an 8-token tail behind 2 unique heads (n = 10 each,
+    // t = 7/10): the first common token sits at position 3 of both
+    // rare-first orders — inside the prefix (len 4), so the pair IS a
+    // prefix candidate — but ubound = 1 + min(10−3, 10−3) = 8 < α = 9
+    // (true overlap 8, J = 8/12 < 0.7), so the positional bound prunes
+    // it before the verification join. c = a exactly, so a–c survives
+    // everything (first common token at position 1, ubound 10 ≥ 9).
+    val shared = (0 until 8).map(i => s"s$i")
+    val docs = Seq(
+      ("a", Seq("u1", "u2") ++ shared),
+      ("b", Seq("v1", "v2") ++ shared),
+      ("c", Seq("u1", "u2") ++ shared))
+    val df = docs.toDF("id", "toks")
+    val st = SetSimJoin.ppjoinStats(df, 7, 10).collect().head
+    val (pre, pos, fin) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    assert(pre == 3L, s"all three pairs are prefix candidates: pre=$pre")
+    assert(pos == 1L, s"a–b and b–c must be positionally pruned: pos=$pos")
+    assert(fin == 1L, "only the identical a–c pair verifies")
+    assert(SetSimJoin.join(df, 7, 10).count() == fin)
+    assert(runPp(docs.map { case (id, t) => (id, t.toSet) }, 7, 10) == Set(("a", "c")))
+  }
+
+  test("ppjoin funnel counts are consistent on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = (0 until 30).map(i => f"v$i%02d")
+    val docs = (0 until 25).map { i =>
+      val k = 3 + rnd.nextInt(9)
+      (f"p$i%02d", rnd.shuffle(vocab).take(k))
+    }
+    val df = docs.toDF("id", "toks")
+    val st = SetSimJoin.ppjoinStats(df, 7, 10).collect().head
+    val (pre, pos, fin) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    assert(pre >= pos && pos >= fin)
+    assert(fin == SetSimJoin.join(df, 7, 10).count())
+  }
+
   test("cosine threshold is inclusive, integer-exact, and sqrt-free") {
     // isect = 2, |a| = 2, |b| = 4 → cos² = 4/8 exactly: cos = 1/√2
     val docs = Seq(("a", Set("1", "2")), ("b", Set("1", "2", "3", "4")))
