@@ -40,6 +40,21 @@ object ErQueries {
   private[graft] val CollMinSupport = 1
   private[graft] val CollRounds = 3
 
+  /** Independent connected-components recompute (recursive-CTE reach
+    * over the dumped match edges) — the ONE oracle body both CC
+    * families (er_clusters star-contraction, er_cc_hashmin) verify
+    * against. */
+  private val ccReachSql: String =
+    """WITH RECURSIVE
+      |  m AS (SELECT idA, idB FROM read_parquet('{OUT}/er_scores/*.parquet') WHERE isMatch),
+      |  e AS (SELECT idA AS a, idB AS b FROM m UNION ALL SELECT idB, idA FROM m),
+      |  nodes AS (SELECT id FROM read_parquet('{OUT}/er_trees/*.parquet')),
+      |  reach(id, r) AS (
+      |    SELECT id, id FROM nodes
+      |    UNION
+      |    SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
+      |SELECT id, min(r) AS clusterId FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   private[graft] val tauGrid: Seq[Double] = {
     val tau = Pipeline.Config().tau
     // floor, not round: a half-centesimal band edge (tau = 0.085) must
@@ -3003,29 +3018,12 @@ object ErQueries {
           |  SELECT clusterId, count(*) AS size
           |  FROM read_parquet('{OUT}/er_clusters/*.parquet') GROUP BY clusterId)
           |SELECT size, count(*) AS n_clusters FROM cs GROUP BY size ORDER BY size""".stripMargin,
-      "er_clusters" ->
-        """WITH RECURSIVE
-          |  m AS (SELECT idA, idB FROM read_parquet('{OUT}/er_scores/*.parquet') WHERE isMatch),
-          |  e AS (SELECT idA AS a, idB AS b FROM m UNION ALL SELECT idB, idA FROM m),
-          |  nodes AS (SELECT id FROM read_parquet('{OUT}/er_trees/*.parquet')),
-          |  reach(id, r) AS (
-          |    SELECT id, id FROM nodes
-          |    UNION
-          |    SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
-          |SELECT id, min(r) AS clusterId FROM reach GROUP BY id ORDER BY id""".stripMargin,
+      "er_clusters" -> ccReachSql,
       // hash-to-min must land on the exact same components — verified by
-      // the same independent recursive-CTE recompute, NOT by comparing
-      // the two Spark outputs to each other
-      "er_cc_hashmin" ->
-        """WITH RECURSIVE
-          |  m AS (SELECT idA, idB FROM read_parquet('{OUT}/er_scores/*.parquet') WHERE isMatch),
-          |  e AS (SELECT idA AS a, idB AS b FROM m UNION ALL SELECT idB, idA FROM m),
-          |  nodes AS (SELECT id FROM read_parquet('{OUT}/er_trees/*.parquet')),
-          |  reach(id, r) AS (
-          |    SELECT id, id FROM nodes
-          |    UNION
-          |    SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
-          |SELECT id, min(r) AS clusterId FROM reach GROUP BY id ORDER BY id""".stripMargin,
+      // the same independent recursive-CTE recompute (ONE string, so a
+      // future fix cannot reach only one of the two entries), NOT by
+      // comparing the two Spark outputs to each other
+      "er_cc_hashmin" -> ccReachSql,
       // collective ER: every round unrolled — per-round per-channel
       // context-pair affinity, per-pair evidence sum with the pair's
       // own match excluded in each channel, decisions re-derived round

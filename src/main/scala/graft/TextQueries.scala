@@ -481,23 +481,9 @@ object TextQueries {
     // pipeline stage. The union row quantifies the complementarity the
     // three schemes were built for
     "q_blocking_quality" -> ((s, dir) => {
-      val vocab = Phonetic.vocabulary(phoneticDocs(s, dir), "ptext")
-        .localCheckpoint(true)
-      // each channel is read twice (its own row + the union row):
-      // checkpoint so neither shuffle chain executes twice
-      val ph = Phonetic.candidatePairs(vocab).select(col("tokA"), col("tokB"))
-        .localCheckpoint(true)
-      val sf = SuffixBlocking.candidatePairs(vocab).select(col("tokA"), col("tokB"))
-        .localCheckpoint(true)
-      val cn = Canopy.candidatePairs(Canopy.canopies(Canopy.edges(vocab), vocab))
-        .localCheckpoint(true)
-      val un = ph.unionByName(sf).unionByName(cn).distinct()
-      val truth = vocab.select(col("tok").as("tokA"))
-        .crossJoin(vocab.select(col("tok").as("tokB")))
-        .where(col("tokA") < col("tokB") &&
-          levenshtein(col("tokA"), col("tokB")) <= Phonetic.DefaultMaxLev)
-        .withColumn("hit", lit(true))
-        .localCheckpoint(true)
+      val (vocab, chans, truth0) = blockingChannels(s, dir)
+      val un = chans.map(_._2).reduce(_ unionByName _).distinct()
+      val truth = truth0.withColumn("hit", lit(true))
       val nV = vocab.agg(count(lit(1)).as("n_vocab"))
       val nT = truth.agg(count(lit(1)).as("n_truth"))
       def row(name: String, pairs: DataFrame) =
@@ -514,8 +500,8 @@ object TextQueries {
             round(lit(1.0) - col("n_pairs").cast("double") /
               shiftright(col("n_vocab") * (col("n_vocab") - lit(1L)), 1), 6)
               .as("reduction_ratio"))
-      Seq(row("soundex", ph), row("suffix", sf), row("canopy", cn),
-        row("union", un)).reduce(_ unionByName _).orderBy(col("scheme"))
+      (chans.map { case (nm, p) => row(nm, p) } :+ row("union", un))
+        .reduce(_ unionByName _).orderBy(col("scheme"))
     }),
 
     // exact skew-balanced pair enumeration (BlockSplit family, Kolb/
@@ -581,26 +567,12 @@ object TextQueries {
     // set algebra, the ratio order, every pick — from the raw documents
     "q_blocking_scheme" -> ((s, dir) => {
       import s.implicits._
-      val vocab = Phonetic.vocabulary(phoneticDocs(s, dir), "ptext")
-        .localCheckpoint(true)
-      val ph = Phonetic.candidatePairs(vocab).select(col("tokA"), col("tokB"))
-        .localCheckpoint(true)
-      val sf = SuffixBlocking.candidatePairs(vocab).select(col("tokA"), col("tokB"))
-        .localCheckpoint(true)
-      val cn = Canopy.candidatePairs(Canopy.canopies(Canopy.edges(vocab), vocab))
-        .localCheckpoint(true)
+      val (vocab, chans, truth) = blockingChannels(s, dir)
       val lb = vocab.as("a").join(vocab.as("b"),
           length(col("a.tok")) === length(col("b.tok")) && col("a.tok") < col("b.tok"))
         .select(col("a.tok").as("tokA"), col("b.tok").as("tokB"))
         .localCheckpoint(true)
-      val truth = vocab.select(col("tok").as("tokA"))
-        .crossJoin(vocab.select(col("tok").as("tokB")))
-        .where(col("tokA") < col("tokB") &&
-          levenshtein(col("tokA"), col("tokB")) <= Phonetic.DefaultMaxLev)
-        .localCheckpoint(true)
-      BlockingScheme.greedyChain(
-          Seq("soundex" -> ph, "suffix" -> sf, "canopy" -> cn, "lenband" -> lb),
-          truth)
+      BlockingScheme.greedyChain(chans :+ ("lenband" -> lb), truth)
         .toDF()
         .select(col("step"), col("scheme"),
           col("marginalTruth").as("marginal_truth"),
@@ -702,6 +674,20 @@ object TextQueries {
       |d AS (SELECT id, list_distinct(list_transform(range(1, len(tk) - 1),
       |        i -> array_to_string(tk[i:i+2], ' '))) AS toks
       |      FROM d0 WHERE len(tk) >= 3)""".stripMargin
+
+  /** Brute-force exact-Jaccard oracle body shared by q_setsim_join AND
+    * q_ppjoin — the two queries must verify against the SAME recompute,
+    * so it exists exactly once. */
+  private def setSimBruteSql: String =
+    s"""WITH $setSimDocsSql,
+       |p AS (SELECT a.id AS idA, b.id AS idB,
+       |        CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS isect,
+       |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT) AS union_n
+       |      FROM d a JOIN d b ON a.id < b.id)
+       |SELECT idA, idB, isect, union_n,
+       |  round(CAST(isect AS DOUBLE) / union_n, 6) AS jaccard
+       |FROM p WHERE isect * $SetSimDen >= union_n * $SetSimNum
+       |ORDER BY idA, idB""".stripMargin
 
   // BlockSplit's circular emission rule replayed from the raw dumped
   // (key, id) band-key table: DISTINCT members, rank + block size,
@@ -898,29 +884,12 @@ object TextQueries {
          |WHERE substring(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 2) <
          |  CASE WHEN lang = 'en' THEN '$SampleHexEn' ELSE '$SampleHexRest' END
          |ORDER BY doc_id""".stripMargin,
-    "q_setsim_join" ->
-      s"""WITH $setSimDocsSql,
-         |p AS (SELECT a.id AS idA, b.id AS idB,
-         |        CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS isect,
-         |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT) AS union_n
-         |      FROM d a JOIN d b ON a.id < b.id)
-         |SELECT idA, idB, isect, union_n,
-         |  round(CAST(isect AS DOUBLE) / union_n, 6) AS jaccard
-         |FROM p WHERE isect * $SetSimDen >= union_n * $SetSimNum
-         |ORDER BY idA, idB""".stripMargin,
+    "q_setsim_join" -> setSimBruteSql,
 
-    // PPJoin result: the SAME brute-force oracle as q_setsim_join — the
-    // positional filter must not change the result set by one row
-    "q_ppjoin" ->
-      s"""WITH $setSimDocsSql,
-         |p AS (SELECT a.id AS idA, b.id AS idB,
-         |        CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS isect,
-         |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT) AS union_n
-         |      FROM d a JOIN d b ON a.id < b.id)
-         |SELECT idA, idB, isect, union_n,
-         |  round(CAST(isect AS DOUBLE) / union_n, 6) AS jaccard
-         |FROM p WHERE isect * $SetSimDen >= union_n * $SetSimNum
-         |ORDER BY idA, idB""".stripMargin,
+    // PPJoin result: the SAME brute-force oracle as q_setsim_join (one
+    // string, not two copies that could drift) — the positional filter
+    // must not change the result set by one row
+    "q_ppjoin" -> setSimBruteSql,
     // full candidate-funnel replay: DuckDB re-derives the rare-first
     // global order (row_number over (freq, token) — tokens are distinct
     // per doc, so the tie-break is total), the prefix windows, the
@@ -937,17 +906,17 @@ object TextQueries {
          |    row_number() OVER (PARTITION BY id ORDER BY freq, token) AS pos,
          |    count(*) OVER (PARTITION BY id) AS n
          |  FROM tokf JOIN freq USING (token)),
-         |pfx AS (
+         |pfx AS MATERIALIZED (
          |  SELECT id, token, pos, n FROM ordered
          |  WHERE pos <= n - ((n * $tn + ${td - 1}) // $td) + 1),
-         |cand AS (
+         |cand AS MATERIALIZED (
          |  SELECT a.id AS idA, b.id AS idB,
          |    max(a.n) AS nA, max(b.n) AS nB,
          |    min(a.pos) AS posA, min(b.pos) AS posB
          |  FROM pfx a JOIN pfx b ON a.token = b.token AND a.id < b.id
          |  WHERE least(a.n, b.n) * $td >= greatest(a.n, b.n) * $tn
          |  GROUP BY a.id, b.id),
-         |posf AS (
+         |posf AS MATERIALIZED (
          |  SELECT * FROM cand
          |  WHERE 1 + least(nA - posA, nB - posB)
          |    >= ($tn * (nA + nB) + ${tn + td - 1}) // ${tn + td}),
@@ -1260,6 +1229,34 @@ object TextQueries {
     docs(s, dir).withColumn("ptext", concat_ws(" ", col("text"),
       element_at(array(AuthorPool.map(lit): _*),
         (pmod(col("doc_id"), lit(AuthorPool.length)) + 1).cast("int"))))
+
+  /** Shared construction for q_blocking_quality / q_blocking_scheme:
+    * the phonetic vocabulary, the three scheme channels in evaluation
+    * order, and the brute-force Levenshtein ≤ 2 truth set — each
+    * checkpointed because every channel is read more than once
+    * downstream (its own row/step plus the union/marginal algebra).
+    * ONE definition so a channel tweak cannot desynchronize the two
+    * queries (their SQL twins already share [[channelPairsCte]] for
+    * exactly this reason). The truth crossJoin is a documented
+    * diagnostic over the Heaps-sublinear vocabulary, not a pipeline
+    * stage. */
+  private def blockingChannels(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(String, DataFrame)], DataFrame) = {
+    val vocab = Phonetic.vocabulary(phoneticDocs(s, dir), "ptext")
+      .localCheckpoint(true)
+    val ph = Phonetic.candidatePairs(vocab).select(col("tokA"), col("tokB"))
+      .localCheckpoint(true)
+    val sf = SuffixBlocking.candidatePairs(vocab).select(col("tokA"), col("tokB"))
+      .localCheckpoint(true)
+    val cn = Canopy.candidatePairs(Canopy.canopies(Canopy.edges(vocab), vocab))
+      .localCheckpoint(true)
+    val truth = vocab.select(col("tok").as("tokA"))
+      .crossJoin(vocab.select(col("tok").as("tokB")))
+      .where(col("tokA") < col("tokB") &&
+        levenshtein(col("tokA"), col("tokB")) <= Phonetic.DefaultMaxLev)
+      .localCheckpoint(true)
+    (vocab, Seq("soundex" -> ph, "suffix" -> sf, "canopy" -> cn), truth)
+  }
 
   private def authorSql: String =
     s"['${AuthorPool.mkString("','")}'][doc_id % ${AuthorPool.length} + 1]"

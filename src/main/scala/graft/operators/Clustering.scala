@@ -99,14 +99,20 @@ object Clustering {
     connectedComponents(keepEdges, keepNodes)
   }
 
-  /** Order-independent edge-set signature: (count, bit_xor of xxhash64).
+  /** Order-independent pair-set signature: (count, bit_xor of xxhash64).
     * xor (not sum) — ANSI mode makes a Long sum of hashes overflow; the
-    * edge set is distinct so xor-cancellation of duplicates is moot.
+    * pair set is distinct so xor-cancellation of duplicates is moot.
     * One aggregate job total (count doubles as the emptiness probe; the
-    * xor is null on empty input, coalesced). */
-  private def signature(e: DataFrame): (Long, Long) = {
-    val r = e.agg(count(lit(1)),
-      expr("coalesce(bit_xor(xxhash64(src, dst)), 0L)")).head()
+    * xor is null on empty input, coalesced). Shared convergence probe
+    * for every fixpoint loop in this package ([[connectedComponents]],
+    * [[HashToMin.connectedComponents]]). */
+  private[operators] def pairSignature(df: DataFrame, a: String, b: String)
+      : (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      expr(s"coalesce(bit_xor(xxhash64($a, $b)), 0L)")).head()
     (r.getLong(0), r.getLong(1))
   }
+
+  private def signature(e: DataFrame): (Long, Long) =
+    pairSignature(e, "src", "dst")
 }

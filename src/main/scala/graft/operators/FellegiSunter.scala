@@ -397,8 +397,12 @@ object FellegiSunter {
         }
         gc += gi * c; tot += c
       }
-      m = Array.tabulate(k)(j => clamp(nm(j) / dm(j)))
-      u = Array.tabulate(k)(j => clamp(nu(j) / du(j)))
+      // a field missing in every pattern (or starved of a class by a
+      // degenerate posterior) has zero M-step mass — its ratio would be
+      // NaN, which clamp's min/max passes through. Such a field carries
+      // no evidence this iteration; keep its current estimate instead.
+      m = Array.tabulate(k)(j => if (dm(j) > 0) clamp(nm(j) / dm(j)) else m(j))
+      u = Array.tabulate(k)(j => if (du(j) > 0) clamp(nu(j) / du(j)) else u(j))
       p = clamp(gc / tot)
       it += 1
     }

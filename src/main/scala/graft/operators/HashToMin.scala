@@ -80,12 +80,8 @@ object HashToMin {
     (assign, iter)
   }
 
-  /** Order-independent state signature: (count, bit_xor of xxhash64) —
-    * xor, not sum (ANSI overflow), state is distinct so cancellation of
-    * duplicates cannot occur. One O(1)-row aggregate per round. */
-  private def signature(s: DataFrame): (Long, Long) = {
-    val r = s.agg(count(lit(1)),
-      expr("coalesce(bit_xor(xxhash64(node, member)), 0L)")).head()
-    (r.getLong(0), r.getLong(1))
-  }
+  /** Order-independent state signature — [[Clustering.pairSignature]],
+    * one O(1)-row aggregate per round. */
+  private def signature(s: DataFrame): (Long, Long) =
+    Clustering.pairSignature(s, "node", "member")
 }

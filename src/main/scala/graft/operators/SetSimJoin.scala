@@ -35,24 +35,29 @@ object SetSimJoin {
   private def ceilFrac(n: Column, tNum: Int, tDen: Int): Column =
     floor((n * tNum + lit(tDen - 1)) / tDen).cast("int")
 
+  /** Per-doc token arrays re-assembled in the global rare-first total
+    * order (freq asc, token asc) — the ONE ordering every prefix filter
+    * here keys its correctness on, so it has exactly one definition.
+    * NOT persisted here: the operators return lazy plans and own no
+    * lifetime, so pinning a cache inside would leak one copy per
+    * invocation (callers that read a result repeatedly should cache the
+    * RESULT). Each operator's prefix branch and verification join read
+    * this subtree once; Catalyst's exchange reuse covers the overlap. */
+  private def rareFirstOrdered(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("id"), explode(col("toks")).as("token"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    tok.join(freq, "token")
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("freq"), col("token")))),
+        s => s("token")).as("toks"))
+  }
+
   /** docs: (id, toks) with toks a DISTINCT token array. Returns
     * (idA, idB, isect, union_n, jaccard) for every pair with
     * Jaccard ≥ tNum/tDen — exact, no false negatives/positives. */
   def join(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
-    val tok = docs.select(col("id"), explode(col("toks")).as("token"))
-    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))
-    // global rare-first total order (freq asc, token asc): per-doc token
-    // arrays re-assembled in that shared order
-    // NOT persisted here: the operator returns a lazy plan and owns no
-    // lifetime, so pinning a cache inside it would leak one copy per
-    // invocation (callers that read the result repeatedly should cache
-    // the RESULT). The prefix branch and the verification join each read
-    // this subtree once; Catalyst's exchange reuse covers the overlap.
-    val ordered = tok.join(freq, "token")
-      .groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("freq"), col("token")))),
-        s => s("token")).as("toks"))
+    val ordered = rareFirstOrdered(docs)
     val n = size(col("toks"))
     val pfxLen = n - ceilFrac(n, tNum, tDen) + 1
     val prefix = ordered.select(col("id"), n.as("n"),
@@ -119,12 +124,7 @@ object SetSimJoin {
   private def ppjoinStages(docs: DataFrame, tNum: Int, tDen: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
-    val tok = docs.select(col("id"), explode(col("toks")).as("token"))
-    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))
-    val ordered = tok.join(freq, "token")
-      .groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("freq"), col("token")))),
-        s => s("token")).as("toks"))
+    val ordered = rareFirstOrdered(docs)
     val n = size(col("toks"))
     val pfxLen = n - ceilFrac(n, tNum, tDen) + 1
     // 1-indexed position within the FULL rare-first order — the i/j the
@@ -183,12 +183,7 @@ object SetSimJoin {
   def cosineJoin(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     val (t2Num, t2Den) = (tNum.toLong * tNum, tDen.toLong * tDen)
-    val tok = docs.select(col("id"), explode(col("toks")).as("token"))
-    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))
-    val ordered = tok.join(freq, "token")
-      .groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("freq"), col("token")))),
-        s => s("token")).as("toks"))
+    val ordered = rareFirstOrdered(docs)
     val n = size(col("toks"))
     // αx = ⌈n·t²⌉ in exact integer arithmetic
     val alpha = floor((n * t2Num + lit(t2Den - 1)) / t2Den).cast("int")
