@@ -40,6 +40,53 @@ object ErQueries {
   private[graft] val CollMinSupport = 1
   private[graft] val CollRounds = 3
 
+  /** Sequential CENTER scan replayed one edge per recursive-CTE
+    * iteration (DuckDB's working table carries the full state vector;
+    * the window max over the single self-reference reads the two
+    * endpoint states without a second reference, which recursive CTEs
+    * forbid). Shared by er_center_clusters and er_merge_center.
+    * `en` deliberately avoids `A UNION B` form: inside WITH RECURSIVE,
+    * DuckDB 1.0.0 mis-evaluates non-self-referencing UNION CTEs
+    * (288-row set came back 388), so the dedup is a DISTINCT over
+    * UNION ALL. `fs` maps end-of-scan states onto the full record
+    * universe: never-decided and isolated nodes become singletons. */
+  private val centerScanCtes: String =
+    """  sc AS (SELECT idA, idB, normDist
+      |        FROM read_parquet('{OUT}/er_scores/*.parquet') WHERE isMatch),
+      |  e AS (SELECT least(idA, idB) AS u, greatest(idA, idB) AS v,
+      |          row_number() OVER
+      |            (ORDER BY normDist, least(idA, idB), greatest(idA, idB)) AS pos
+      |        FROM sc),
+      |  n AS (SELECT id FROM read_parquet('{OUT}/er_trees/*.parquet')),
+      |  en AS (SELECT DISTINCT eid AS id FROM
+      |           (SELECT u AS eid FROM e UNION ALL SELECT v FROM e)),
+      |  st(it, sid, s, cid) AS (
+      |    SELECT 0, id, 'U', id FROM en
+      |    UNION ALL
+      |    SELECT x.it + 1, x.sid,
+      |      CASE WHEN x.sid = x.u AND x.s = 'U' AND x.sv = 'U' THEN 'C'
+      |           WHEN x.sid = x.v AND x.s = 'U' AND x.su = 'U' THEN 'A'
+      |           WHEN x.sid = x.v AND x.s = 'U' AND x.su = 'C' THEN 'A'
+      |           WHEN x.sid = x.u AND x.s = 'U' AND x.sv = 'C' THEN 'A'
+      |           ELSE x.s END,
+      |      CASE WHEN x.sid = x.u AND x.s = 'U' AND x.sv = 'U' THEN x.sid
+      |           WHEN x.sid = x.v AND x.s = 'U' AND x.su = 'U' THEN x.u
+      |           WHEN x.sid = x.v AND x.s = 'U' AND x.su = 'C' THEN x.u
+      |           WHEN x.sid = x.u AND x.s = 'U' AND x.sv = 'C' THEN x.v
+      |           ELSE x.cid END
+      |    FROM (
+      |      SELECT s.it, s.sid, s.s, s.cid, ed.u, ed.v,
+      |        max(CASE WHEN s.sid = ed.u THEN s.s END) OVER () AS su,
+      |        max(CASE WHEN s.sid = ed.v THEN s.s END) OVER () AS sv
+      |      FROM st s JOIN e ed ON ed.pos = s.it + 1
+      |    ) x
+      |  ),
+      |  fin AS (SELECT sid, s, cid FROM st WHERE it = (SELECT count(*) FROM e)),
+      |  fs AS (SELECT n.id,
+      |           CASE WHEN f.s IS NULL OR f.s = 'U' THEN n.id ELSE f.cid END AS cid,
+      |           CASE WHEN f.s IS NULL OR f.s = 'U' THEN 'S' ELSE f.s END AS s
+      |         FROM n LEFT JOIN fin f ON f.sid = n.id)""".stripMargin
+
   /** Independent connected-components recompute (recursive-CTE reach
     * over the dumped match edges) — the ONE oracle body both CC
     * families (er_clusters star-contraction, er_cc_hashmin) verify
@@ -255,6 +302,33 @@ object ErQueries {
       val r = pipeline(s, dir)
       HashToMin.connectedComponents(r.matches, r.trees.toDF().select(col("id")))
         .orderBy(col("id"))
+    }),
+    // CENTER clustering (weight-ordered star partitioning) — the oracle
+    // replays the SEQUENTIAL edge scan one edge per recursive-CTE
+    // iteration from the er_scores dump, so the parallel-rounds operator
+    // is checked against the literal sequential definition (round is
+    // parallel-schedule metadata and stays out of the compared columns)
+    "er_center_clusters" -> ((s, dir) => {
+      val r = pipeline(s, dir)
+      CenterClustering.cluster(
+          r.scores.toDF().where(col("isMatch"))
+            .select(col("idA").as("src"), col("idB").as("dst"),
+              col("normDist").as("w")),
+          r.trees.toDF().select(col("id")))
+        .select(col("id"), col("clusterId"), col("is_center"))
+        .orderBy(col("id"))
+    }),
+    // MERGE-CENTER: CENTER plus CC over center-sharing evidence — the
+    // oracle replays the same sequential scan, derives the merge edges
+    // from the final states, and recomputes the components with its own
+    // recursive CTE
+    "er_merge_center" -> ((s, dir) => {
+      val r = pipeline(s, dir)
+      val edges = r.scores.toDF().where(col("isMatch"))
+        .select(col("idA").as("src"), col("idB").as("dst"),
+          col("normDist").as("w"))
+      val assign = CenterClustering.cluster(edges, r.trees.toDF().select(col("id")))
+      CenterClustering.mergeCenter(edges, assign).orderBy(col("id"))
     }),
     // collective (relational) ER: borderline pairs (in the tau band but
     // not confident) accepted only when the repo pair / directory pair
@@ -3024,6 +3098,33 @@ object ErQueries {
       // future fix cannot reach only one of the two entries), NOT by
       // comparing the two Spark outputs to each other
       "er_cc_hashmin" -> ccReachSql,
+      "er_center_clusters" ->
+        s"""WITH RECURSIVE
+           |$centerScanCtes
+           |SELECT id,
+           |  cid AS clusterId,
+           |  CASE WHEN s = 'A' THEN 0 ELSE 1 END AS is_center
+           |FROM fs ORDER BY id""".stripMargin,
+      // merge edges from the FINAL scan states (a center endpoint,
+      // clusters differ — (C,U) pairs cannot survive the scan, so the
+      // final-state predicate equals the scan-time rule), then an
+      // independent recursive-CTE CC over the cluster graph
+      "er_merge_center" ->
+        s"""WITH RECURSIVE
+           |$centerScanCtes,
+           |  me AS (SELECT DISTINCT a.cid AS ca, b.cid AS cb
+           |         FROM e JOIN fs a ON a.id = e.u JOIN fs b ON b.id = e.v
+           |         WHERE (a.s = 'C' OR b.s = 'C') AND a.cid <> b.cid),
+           |  medges AS (SELECT ca AS ma, cb AS mb FROM me
+           |             UNION ALL SELECT cb, ca FROM me),
+           |  cnodes AS (SELECT DISTINCT cid AS id FROM fs),
+           |  reach(id, r) AS (
+           |    SELECT id, id FROM cnodes
+           |    UNION
+           |    SELECT reach.id, m.mb FROM reach JOIN medges m ON m.ma = reach.r),
+           |  mc AS (SELECT id AS cid, min(r) AS mcid FROM reach GROUP BY id)
+           |SELECT fs.id, fs.cid AS clusterId, mc.mcid AS mergedClusterId
+           |FROM fs JOIN mc ON mc.cid = fs.cid ORDER BY fs.id""".stripMargin,
       // collective ER: every round unrolled — per-round per-channel
       // context-pair affinity, per-pair evidence sum with the pair's
       // own match excluded in each channel, decisions re-derived round
