@@ -1002,20 +1002,36 @@ object ErQueries {
     // assignment dumps + its own truth labels + the er_scores dump.
     "er_clustering_compare" -> ((s, dir) => {
       val r = pipeline(s, dir)
+      val nodes = r.trees.toDF().select(col("id"))
       val truth = r.trees.toDF().select(col("id"),
         concat(lit("g"), col("groupId")).as("truthId"))
       val pivot = PivotClustering.cluster(
           r.matches.select(col("idA").as("src"), col("idB").as("dst")),
-          r.trees.toDF().select(col("id")))
+          nodes)
         .select(col("id"), col("clusterId"))
+      val hashmin = HashToMin.connectedComponents(r.matches, nodes)
+        .select(col("id"), col("clusterId"))
+      val wEdges = r.scores.toDF().where(col("isMatch"))
+        .select(col("idA").as("src"), col("idB").as("dst"),
+          col("normDist").as("w"))
+      val centerAssign = CenterClustering.cluster(wEdges, nodes)
+      val center = centerAssign.select(col("id"), col("clusterId"))
+      val mergeCtr = CenterClustering.mergeCenter(wEdges, centerAssign)
+        .select(col("id"), col("mergedClusterId").as("clusterId"))
       def discord(assign: DataFrame) = r.scores.toDF()
         .join(assign.select(col("id").as("idA"), col("clusterId").as("cA")), "idA")
         .join(assign.select(col("id").as("idB"), col("clusterId").as("cB")), "idB")
         .where(col("cA") === col("cB"))
         .agg(count(lit(1)).as("n_intra_scored"),
           sum(when(!col("isMatch"), 1L).otherwise(0L)).as("n_discord"))
+      // all five clustering families against the same truth, discord,
+      // and pair algebra — hashmin must land EXACTLY on the cc row
+      // (same components via an independent algorithm), center/pivot
+      // bracket the over-merge/over-split trade, merge_center re-admits
+      // the center-mediated chains
       Seq("cc" -> r.clusters.toDF().select(col("id"), col("clusterId")),
-          "pivot" -> pivot)
+          "pivot" -> pivot, "hashmin" -> hashmin,
+          "center" -> center, "merge_center" -> mergeCtr)
         .map { case (nm, a) =>
           ClusterEval.evaluate(a, truth)
             .select(lit(nm).as("method"), col("*"))
@@ -2445,12 +2461,12 @@ object ErQueries {
       // B³/ARI contingency algebra per method + the intra-cluster
       // discord count from the er_scores dump, UNION'd
       "er_clustering_compare" -> {
-        def one(src: String, m: String) =
+        def one(src: String, m: String, cidCol: String = "clusterId") =
           s"""SELECT '$m' AS method, n, a_pairs, b_pairs, index_pairs,
              |  b3_precision, b3_recall, b3_f1, ari, n_intra_scored, n_discord
              |FROM (
              |  WITH assign AS MATERIALIZED (
-             |    SELECT id, clusterId FROM read_parquet('{OUT}/$src/*.parquet')),
+             |    SELECT id, $cidCol AS clusterId FROM read_parquet('{OUT}/$src/*.parquet')),
              |  truthl AS (SELECT $idExpr AS id, 'g' || groupId AS truthId FROM $corpus),
              |  ct AS MATERIALIZED (
              |    SELECT a.clusterId, t.truthId, count(*) AS n_ct
@@ -2490,6 +2506,12 @@ object ErQueries {
         s"""${one("er_clusters", "cc")}
            |UNION ALL
            |${one("er_pivot_clusters", "pivot")}
+           |UNION ALL
+           |${one("er_cc_hashmin", "hashmin")}
+           |UNION ALL
+           |${one("er_center_clusters", "center")}
+           |UNION ALL
+           |${one("er_merge_center", "merge_center", "mergedClusterId")}
            |ORDER BY method""".stripMargin
       },
       // feedback chain: the md5 sample, edge edit, edited-graph CC,

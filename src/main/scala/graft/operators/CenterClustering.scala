@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Checkpoints.localTruncated
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -56,7 +57,10 @@ import org.apache.spark.sql.functions._
   * one join of pending edges to the state table, one min-aggregate over
   * the U side, no global edge rank (the scan order is compared as a
   * (w, src, dst) struct, never materialized as a row_number), lineage
-  * truncated per round via localCheckpoint.
+  * truncated per round via [[graft.util.Checkpoints.localTruncated]] —
+  * NOT plain localCheckpoint, whose inherited stats estimate squares
+  * per round and freezes the driver on long chains (see that helper's
+  * doc for the measurement).
   */
 object CenterClustering {
 
@@ -89,9 +93,9 @@ object CenterClustering {
 
     // state: (id, st ∈ U|C|A, cid, round); only edge-incident nodes
     // participate in the scan — isolated nodes join as singletons last
-    var st = e0.select(explode(array($"src", $"dst")).as("id")).distinct()
-      .select($"id", lit("U").as("st"), $"id".as("cid"), lit(0).as("round"))
-      .localCheckpoint(true)
+    var st = localTruncated(
+      e0.select(explode(array($"src", $"dst")).as("id")).distinct()
+        .select($"id", lit("U").as("st"), $"id".as("cid"), lit(0).as("round")))
     var pending = e0
     var nPending = pending.count()
     var round = 0
@@ -101,10 +105,13 @@ object CenterClustering {
         .join(st.select($"id".as("src"), $"st".as("stA")), "src")
         .join(st.select($"id".as("dst"), $"st".as("stB")), "dst")
       // permanent no-ops out (A endpoint, or both decided)
-      val live = withSt.where(
+      // localTruncated, not localCheckpoint: these three frames are
+      // rebuilt from each other every round — inherited stats estimates
+      // would square per round (see Checkpoints.localTruncated), and
+      // CENTER's adversarial shapes legitimately run hundreds of rounds
+      val live = localTruncated(withSt.where(
         ($"stA" === "U" && $"stB".isin("U", "C")) ||
-          ($"stB" === "U" && $"stA".isin("U", "C")))
-        .localCheckpoint(true)
+          ($"stB" === "U" && $"stA".isin("U", "C"))))
       // per-U-node minimum pending edge (pending = live after discards)
       val mins = live.select($"src".as("id"), $"ord", $"stA".as("s"))
         .union(live.select($"dst".as("id"), $"ord", $"stB".as("s")))
@@ -124,17 +131,15 @@ object CenterClustering {
         .union(uuFire.select($"dst".as("id"), lit("A").as("nst"), $"src".as("ncid")))
         .union(cuFire.select($"dst".as("id"), lit("A").as("nst"), $"src".as("ncid")))
         .union(ucFire.select($"src".as("id"), lit("A").as("nst"), $"dst".as("ncid")))
-      st = st.join(trans, Seq("id"), "left")
+      st = localTruncated(st.join(trans, Seq("id"), "left")
         .select($"id", coalesce($"nst", $"st").as("st"),
           coalesce($"ncid", $"cid").as("cid"),
-          when($"nst".isNotNull, lit(round)).otherwise($"round").as("round"))
-        .localCheckpoint(true)
+          when($"nst".isNotNull, lit(round)).otherwise($"round").as("round")))
       val fired = uuFire.select($"src", $"dst")
         .union(cuFire.select($"src", $"dst"))
         .union(ucFire.select($"src", $"dst"))
-      pending = live.select($"src", $"dst", $"w", $"ord")
-        .join(fired, Seq("src", "dst"), "left_anti")
-        .localCheckpoint(true)
+      pending = localTruncated(live.select($"src", $"dst", $"w", $"ord")
+        .join(fired, Seq("src", "dst"), "left_anti"))
       nPending = pending.count()
     }
     require(nPending == 0L,
