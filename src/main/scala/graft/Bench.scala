@@ -92,6 +92,13 @@ object Bench {
       try { ErQueries.warmPprl(spark, sfDir); true } catch { case _: Throwable => false }
     val pprlSec = (System.nanoTime() - tPprl) / 1e9
 
+    // and the truth-discovery layer (three er_truth_* queries share the
+    // claims table + both 5-round fixpoints)
+    val tTruth = System.nanoTime()
+    val truthOk =
+      try { ErQueries.warmTruth(spark, sfDir); true } catch { case _: Throwable => false }
+    val truthSec = (System.nanoTime() - tTruth) / 1e9
+
     // A failed query reports elapsed -1 so breakage is visible in the
     // JSON instead of silently polluting the totals.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -118,7 +125,8 @@ object Bench {
         s""","dsketch_build_ok":$dsOk,"fs_build_sec":$fsSec""" +
         s""","fs_build_ok":$fsOk,"link_build_sec":$linkSec""" +
         s""","link_build_ok":$linkOk,"pprl_build_sec":$pprlSec""" +
-        s""","pprl_build_ok":$pprlOk,"failed":${failed.mkString("[", ",", "]")}""" +
+        s""","pprl_build_ok":$pprlOk,"truth_build_sec":$truthSec""" +
+        s""","truth_build_ok":$truthOk,"failed":${failed.mkString("[", ",", "]")}""" +
         s""","pairs_scored":${scoring.pairs}""" +
         s""","score_wall_sec":${scoring.wallSec},"pairs_per_sec":${scoring.pairsPerSec}""" +
         s""","dp_cells_per_sec":${scoring.cellsPerSec}}""")

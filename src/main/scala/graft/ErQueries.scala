@@ -1224,8 +1224,134 @@ object ErQueries {
         .agg(
           count(lit(1)).as("n_rows"),
           sum(when(col("sha256") === col("sha_raw"), 1L).otherwise(0L)).as("n_equal"))
+    }),
+
+    // multi-source conflicting claims with PLANTED per-source noise —
+    // the truth-discovery input. Everything is a pure md5 function of
+    // doc_id (TruthModel.claimsSql — ONE SQL body shared verbatim with
+    // the oracle, only the table ref differs), so DuckDB re-derives the
+    // table from raw documents with zero Spark involvement
+    "er_truth_claims" -> ((s, dir) =>
+      TruthResults.cached(s, dir).claims
+        .orderBy(col("source"), col("entity"))),
+
+    // truth discovery vs majority vote, per entity: the Investment
+    // fixpoint's resolved value + belief share next to the unweighted
+    // vote and the planted truth. Half the sources are 80 % noisy and
+    // COLLUDE (the wrong value is a function of the entity alone), so
+    // the vote is wrong on a third of the entities while the
+    // trust-weighted resolution recovers every planted truth — the
+    // whole 5-round fixpoint, the vote, and the win/tie rule are
+    // unrolled in the oracle from raw documents
+    "er_truth_discovery" -> ((s, dir) => {
+      val t = TruthResults.cached(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("entity"))
+        .orderBy(round(col("belief"), 9).desc, col("value"))
+      val support = t.claims.groupBy(col("entity"), col("value"))
+        .agg(countDistinct(col("source")).as("n_sources"))
+      val nVals = t.claims.groupBy(col("entity"))
+        .agg(countDistinct(col("value")).as("n_values"))
+      val truth = t.claims.select(col("entity"), col("truth")).distinct()
+      t.inv.beliefs
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .join(support, Seq("entity", "value"))
+        .join(nVals, Seq("entity"))
+        .join(TruthDiscovery.majorityVote(t.claims), Seq("entity"))
+        .join(truth, Seq("entity"))
+        .select(col("entity"), col("value"), round(col("belief"), 6).as("belief"),
+          col("n_values"), col("n_sources"), col("vote_value"), col("truth"),
+          (col("value") === col("truth")).as("inv_correct"),
+          (col("vote_value") === col("truth")).as("vote_correct"))
+        .orderBy(col("entity"))
+    }),
+
+    // learned source reliability, both fixpoints side by side: the
+    // quadratic Investment scheme separates the careless half (trust
+    // ~0.05) from the careful half (~1.0) while the linear Sums scheme
+    // compresses the same signal — next to each source's OBSERVED wrong
+    // rate so the trust/noise anticorrelation is in the row. Both
+    // 5-round chains unrolled in the oracle from raw documents
+    "er_source_trust" -> ((s, dir) => {
+      val t = TruthResults.cached(s, dir)
+      val stats = t.claims.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_claims"),
+          sum(when(col("value") =!= col("truth"), 1L).otherwise(0L)).as("n_wrong"))
+      t.inv.trust.select(col("source"), round(col("trust"), 6).as("trust_inv"))
+        .join(t.sm.trust.select(col("source"), round(col("trust"), 6).as("trust_sums")),
+          Seq("source"))
+        .join(stats, Seq("source"))
+        .select(col("source"), col("trust_inv"), col("trust_sums"),
+          col("n_claims"), col("n_wrong"),
+          round(col("n_wrong").cast("double") / col("n_claims"), 6).as("wrong_rate"))
+        .orderBy(col("source"))
     })
   )
+
+  /** Deterministic multi-source claims model for the truth-discovery
+    * queries — ONE SQL body (only the documents table ref differs)
+    * shared verbatim between the Spark side and the DuckDB oracle so
+    * the two derivations can never drift. Model: S sources × the
+    * entity grid doc_id spans; per (source, entity) the claimed value
+    * is the entity's md5-derived truth unless the source's planted
+    * noise fires (md5-prefix threshold per source: the careful half at
+    * 0x0d/256 ≈ 5 %, the careless half at 0xcc/256 ≈ 80 %), and the
+    * wrong value is a function of the ENTITY ALONE — careless sources
+    * collude, which is exactly the regime where unweighted majority
+    * vote fails and source-reliability estimation is needed. */
+  private[graft] object TruthModel {
+    val S = 10
+    val E = 120
+    def noiseHex(sIdx: Int): String = if (sIdx < S / 2) "0d" else "cc"
+    private val noiseCase: String = (0 until S)
+      .map(i => f"WHEN 's$i%02d' THEN '${noiseHex(i)}'")
+      .mkString("CASE source ", " ", " END")
+    def claimsSql(docsRef: String): String =
+      s"""SELECT source, entity,
+         |  'v' || CAST(CASE WHEN wrong THEN (t_idx + off) % 4 ELSE t_idx END AS STRING) AS value,
+         |  'v' || CAST(t_idx AS STRING) AS truth,
+         |  wrong AS planted_wrong
+         |FROM (
+         |  SELECT source, entity,
+         |    CASE WHEN substr(md5('tv:' || entity), 1, 1) < '4' THEN 0
+         |         WHEN substr(md5('tv:' || entity), 1, 1) < '8' THEN 1
+         |         WHEN substr(md5('tv:' || entity), 1, 1) < 'c' THEN 2 ELSE 3 END AS t_idx,
+         |    CASE WHEN substr(md5('tw:' || entity), 1, 1) < '5' THEN 1
+         |         WHEN substr(md5('tw:' || entity), 1, 1) < 'a' THEN 2 ELSE 3 END AS off,
+         |    substr(md5('tn:' || source || ':' || entity), 1, 2) < ($noiseCase) AS wrong
+         |  FROM (
+         |    SELECT DISTINCT
+         |      's' || lpad(CAST(CAST(doc_id % $S AS INT) AS STRING), 2, '0') AS source,
+         |      'e' || lpad(CAST(CAST(CAST(floor(doc_id / ${S}.0) AS BIGINT) % $E AS INT) AS STRING), 3, '0') AS entity
+         |    FROM $docsRef) g) t""".stripMargin
+  }
+
+  /** Truth-discovery layer, computed once per (session, sfDir): the
+    * claims table plus both fixpoints' final trust/beliefs (each
+    * result's frames are already localCheckpointed by the operator).
+    * Three queries share it; Bench warms it as truth_build_sec. */
+  private[graft] object TruthResults {
+    final case class T(claims: DataFrame,
+                       inv: graft.operators.TruthDiscovery.Result,
+                       sm: graft.operators.TruthDiscovery.Result)
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), T]
+    def cached(spark: SparkSession, sfDir: String): T =
+      cache.getOrElseUpdate((spark, sfDir), {
+        val claims = spark.sql(
+            TruthModel.claimsSql(s"parquet.`$sfDir/documents.parquet`"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        T(claims,
+          graft.operators.TruthDiscovery.investment(claims),
+          graft.operators.TruthDiscovery.sums(claims))
+      })
+  }
+
+  def warmTruth(spark: SparkSession, sfDir: String): Unit = {
+    val t = TruthResults.cached(spark, sfDir)
+    t.claims.count(); t.inv.trust.count(); t.sm.trust.count()
+  }
 
   /** Edit scripts for the first 50 matched pairs (by id order), one row
     * per operation — shared by er_edit_scripts (the dump) and
@@ -3245,6 +3371,116 @@ object ErQueries {
         """SELECT lang, CAST(floor(n_tokens / 64) AS INT) AS size_bucket,
           |  count(*) AS n_files
           |FROM read_parquet('{OUT}/er_tree_stats/*.parquet')
-          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // the claims model itself, re-derived from raw documents with the
+      // SAME SQL body the Spark side ran (TruthModel.claimsSql)
+      "er_truth_claims" ->
+        s"""SELECT * FROM (${TruthModel.claimsSql("documents")})
+           |ORDER BY source, entity""".stripMargin,
+
+      // truth discovery: the FULL 5-round Investment fixpoint unrolled
+      // (invest → pool → grow quadratically → return shares → max-
+      // normalize trust), then the belief-share winner per entity, the
+      // majority vote, and the planted truth — all from raw documents
+      "er_truth_discovery" -> {
+        s"""WITH claims AS MATERIALIZED (${TruthModel.claimsSql("documents")}),
+           |nc AS MATERIALIZED (SELECT source, count(*) AS n FROM claims GROUP BY source),
+           |t0 AS MATERIALIZED (SELECT source, 1.0 AS trust FROM nc)
+           |${invUnrollSql(TruthDiscovery.Rounds)},
+           |share AS MATERIALIZED (
+           |  SELECT entity, value,
+           |    base * base / (sum(base * base) OVER (PARTITION BY entity)) AS belief
+           |  FROM base${TruthDiscovery.Rounds}),
+           |win AS (SELECT entity, value, belief,
+           |    row_number() OVER (PARTITION BY entity
+           |      ORDER BY round(belief, 9) DESC, value) AS rn
+           |  FROM share),
+           |support AS (SELECT entity, value, count(DISTINCT source) AS n_sources
+           |  FROM claims GROUP BY entity, value),
+           |nv AS (SELECT entity, count(DISTINCT value) AS n_values
+           |  FROM claims GROUP BY entity),
+           |vote AS (SELECT entity, value AS vote_value FROM (
+           |    SELECT entity, value, row_number() OVER (PARTITION BY entity
+           |      ORDER BY count(DISTINCT source) DESC, value) AS rn
+           |    FROM claims GROUP BY entity, value) v WHERE rn = 1),
+           |truthv AS (SELECT DISTINCT entity, truth FROM claims)
+           |SELECT w.entity, w.value, round(w.belief, 6) AS belief,
+           |  nv.n_values, s.n_sources, v.vote_value, t.truth,
+           |  w.value = t.truth AS inv_correct,
+           |  v.vote_value = t.truth AS vote_correct
+           |FROM win w
+           |JOIN support s ON s.entity = w.entity AND s.value = w.value
+           |JOIN nv ON nv.entity = w.entity
+           |JOIN vote v ON v.entity = w.entity
+           |JOIN truthv t ON t.entity = w.entity
+           |WHERE w.rn = 1 ORDER BY w.entity""".stripMargin
+      },
+
+      // source reliability: BOTH fixpoints unrolled side by side from
+      // raw documents, next to each source's observed wrong rate
+      "er_source_trust" -> {
+        s"""WITH claims AS MATERIALIZED (${TruthModel.claimsSql("documents")}),
+           |nc AS MATERIALIZED (SELECT source, count(*) AS n FROM claims GROUP BY source),
+           |t0 AS MATERIALIZED (SELECT source, 1.0 AS trust FROM nc),
+           |s0 AS MATERIALIZED (SELECT source, 1.0 AS trust FROM nc)
+           |${invUnrollSql(TruthDiscovery.Rounds)}
+           |${sumsUnrollSql(TruthDiscovery.Rounds)},
+           |stats AS (SELECT source, count(*) AS n_claims,
+           |    sum(CASE WHEN value <> truth THEN 1 ELSE 0 END) AS n_wrong
+           |  FROM claims GROUP BY source)
+           |SELECT st.source, round(ti.trust, 6) AS trust_inv,
+           |  round(ts.trust, 6) AS trust_sums,
+           |  st.n_claims, st.n_wrong,
+           |  round(CAST(st.n_wrong AS DOUBLE) / st.n_claims, 6) AS wrong_rate
+           |FROM stats st
+           |JOIN t${TruthDiscovery.Rounds} ti ON ti.source = st.source
+           |JOIN s${TruthDiscovery.Rounds} ts ON ts.source = st.source
+           |ORDER BY st.source""".stripMargin
+      })
   }
+
+  /** Unrolled Investment rounds for the truth-discovery oracles: round
+    * i reads trust table t{i-1} and emits base{i} (pooled investment
+    * per claim) and t{i} (max-normalized returned trust). Appends to a
+    * WITH chain that already defined `claims`, `nc`, `t0`. */
+  private def invUnrollSql(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s""",
+         |inv$i AS MATERIALIZED (
+         |  SELECT c.source, c.entity, c.value, t.trust / nc.n AS inv
+         |  FROM claims c JOIN t${i - 1} t ON t.source = c.source
+         |  JOIN nc ON nc.source = c.source),
+         |base$i AS MATERIALIZED (
+         |  SELECT entity, value, sum(inv) AS base
+         |  FROM inv$i GROUP BY entity, value),
+         |tr$i AS MATERIALIZED (
+         |  SELECT i.source, sum(b.base * i.inv) AS t
+         |  FROM inv$i i JOIN base$i b
+         |    ON b.entity = i.entity AND b.value = i.value
+         |  GROUP BY i.source),
+         |t$i AS MATERIALIZED (
+         |  SELECT source, t / (SELECT max(t) FROM tr$i) AS trust FROM tr$i)""".stripMargin
+    }.mkString
+
+  /** Unrolled Sums rounds (linear hubs-and-authorities twin), trust
+    * tables s{i}, beliefs sb{i}, both max-normalized — appended after
+    * an `s0` seed in the same WITH chain. */
+  private def sumsUnrollSql(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s""",
+         |sbr$i AS MATERIALIZED (
+         |  SELECT entity, value, sum(t.trust) AS b
+         |  FROM claims c JOIN s${i - 1} t ON t.source = c.source
+         |  GROUP BY entity, value),
+         |sb$i AS MATERIALIZED (
+         |  SELECT entity, value, b / (SELECT max(b) FROM sbr$i) AS belief FROM sbr$i),
+         |str$i AS MATERIALIZED (
+         |  SELECT c.source, sum(b.belief) AS t
+         |  FROM claims c JOIN sb$i b
+         |    ON b.entity = c.entity AND b.value = c.value
+         |  GROUP BY c.source),
+         |s$i AS MATERIALIZED (
+         |  SELECT source, t / (SELECT max(t) FROM str$i) AS trust FROM str$i)""".stripMargin
+    }.mkString
 }

@@ -208,4 +208,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
       s"partner resolution degraded to a product\n$s")
   }
+
+  test("truth-discovery round: trust broadcast to claims, pooled agg map-side partial") {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum}
+    val s0 = spark; import s0.implicits._
+    val claims = (0 until 200).map(i => (f"s${i % 5}%02d", f"e${i % 40}%03d", s"v${i % 3}"))
+      .toDF("source", "entity", "value")
+    // one fixpoint round, exactly as TruthDiscovery.investment builds it
+    val nClaims = claims.groupBy(col("source")).agg(count(lit(1)).as("nclaims"))
+    val trust = nClaims.select(col("source"), lit(1.0).as("trust"))
+    val inv = claims.join(broadcast(trust.join(nClaims, "source")), "source")
+      .select(col("entity"), col("value"), (col("trust") / col("nclaims")).as("inv"))
+    val base = inv.groupBy(col("entity"), col("value")).agg(sum(col("inv")).as("base"))
+    val plan = fmt(base)
+    // the |sources|-row trust table must ship via broadcast — a
+    // shuffled join here would re-exchange the full claims table per
+    // round at 100 TB
+    assert(plan.contains("BroadcastHashJoin"),
+      s"trust join no longer broadcasts\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"claims re-shuffled against the tiny trust table\n$plan")
+    // the pooled-investment aggregate must combine map-side
+    assert(plan.contains("HashAggregate"), s"pooling lost hash agg\n$plan")
+  }
 }
