@@ -544,7 +544,11 @@ object ErQueries {
           .where(col("kept")).select(col("idA"), col("idB")),
         // the privacy-preserving channel: candidates found entirely in
         // encoded space (composite-CLK Hamming-LSH, purged blocks)
-        "pprl_hlsh" -> PprlResults.cached(s, dir).pairs)
+        "pprl_hlsh" -> PprlResults.cached(s, dir).pairs,
+        // the STRUCTURE channel: banded MinHash over pq-gram sets —
+        // shape evidence, complementary to the token-shingle lsh
+        "pqgram_mh" -> CandidateGen.pairsFromKeys(PqGrams.blockKeys(r.trees),
+          cfg.maxBlockSize))
       val tagged = chans.map { case (nm, df) =>
         df.select(lit(nm).as("channel"), col("idA"), col("idB"))
       }.reduce(_ unionByName _)
@@ -1286,6 +1290,42 @@ object ErQueries {
           col("n_claims"), col("n_wrong"),
           round(col("n_wrong").cast("double") / col("n_claims"), 6).as("wrong_rate"))
         .orderBy(col("source"))
+    }),
+
+    // pq-gram profiles (Augsten et al. VLDB'05) of EVERY parsed tree —
+    // the scalable structure-aware approximation of the ZSS kernel
+    // (O(n) per tree instead of O(n²) per pair). The oracle re-derives
+    // parents, ordered child lists, the extended-tree padding, and
+    // every gram window from the dumped postorder structure alone
+    "er_pqgram_profile" -> ((s, dir) =>
+      PqGrams.profiles(pipeline(s, dir).trees)
+        .orderBy(col("id"), col("gram"))),
+
+    // STRUCTURE-blocking candidates: banded MinHash over each tree's
+    // pq-gram SET (subtree patterns, not token n-grams), through the
+    // same capped candidate generator as every channel; the oracle
+    // redoes the set-semantic cap + pair algebra from the dumped
+    // (key, id) index (MinHash keys engine-internal, like er_meta_blocking)
+    "er_pqgram_pairs" -> ((s, dir) => {
+      val r = pipeline(s, dir)
+      CandidateGen.pairsFromKeys(PqGrams.blockKeys(r.trees),
+          Pipeline.Config().blocking.maxBlockSize)
+        .orderBy(col("idA"), col("idB"))
+    }),
+
+    // pq-gram distance over the pipeline's candidate pairs, next to the
+    // exact banded-kernel normDist — the approximate-vs-exact
+    // comparison a pq-gram PREFILTER deployment reads before spending
+    // the DP; bag algebra redone by the oracle from the verified
+    // profile dump, normDist joined from the independent er_scores
+    "er_pqgram" -> ((s, dir) => {
+      val r = pipeline(s, dir)
+      val prof = PqGrams.profiles(r.trees)
+      PqGrams.pairDistances(
+          r.pairs.toDF().select(col("idA"), col("idB")), prof)
+        .join(r.scores.toDF().select(col("idA"), col("idB"), col("normDist"),
+          col("isMatch")), Seq("idA", "idB"))
+        .orderBy(col("idA"), col("idB"))
     })
   )
 
@@ -1668,6 +1708,15 @@ object ErQueries {
         .select(col("id"), posexplode(col("lmds")).as(Seq("i", "lmd")))
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/script_tree_nodes")
     }
+    // full postorder structure WITH labels for every tree: the
+    // er_pqgram_profile oracle re-derives parents, ordered children
+    // lists, the extended-tree padding, and every pq-gram window from
+    // these rows alone
+    Results.cached(spark, sfDir).trees.toDF()
+      .select(col("id"),
+        posexplode(arrays_zip(col("labels"), col("lmds"))).as(Seq("i", "z")))
+      .select(col("id"), col("i"), col("z.labels").as("label"), col("z.lmds").as("lmd"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/tree_nodes")
     // Fellegi–Sunter oracle inputs: the narrow per-pair feature table
     // (vectors/EM/weights/eval are all re-derived from it by the oracle)
     // and the FULL-precision fitted params (parquet doubles are
@@ -1741,6 +1790,11 @@ object ErQueries {
     // er_meta_blocking oracle redoes cap → pair → weight → prune from it
     Blocking.keyedIds(Results.cached(spark, sfDir).trees, Pipeline.Config().blocking)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/er_block_index")
+    // (key,id) STRUCTURE-channel index (banded MinHash over pq-gram
+    // sets, engine-internal keys): the er_pqgram_pairs oracle redoes
+    // the set-semantic cap + pair algebra from it
+    PqGrams.blockKeys(Results.cached(spark, sfDir).trees)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/pqgram_block_index")
     // uncapped lexer event stream per file: the er_tree_stats oracle
     // recomputes n / n_tokens / truncated from it (the cap bookkeeping
     // formula — see CodeParser.lexEvents)
@@ -3205,7 +3259,9 @@ object ErQueries {
            |  UNION ALL SELECT 'meta_kept', idA, idB
            |  FROM read_parquet('{OUT}/er_meta_blocking/*.parquet') WHERE kept
            |  UNION ALL SELECT 'pprl_hlsh', idA, idB
-           |  FROM read_parquet('{OUT}/er_pprl_blocks/*.parquet')),
+           |  FROM read_parquet('{OUT}/er_pprl_blocks/*.parquet')
+           |  UNION ALL SELECT 'pqgram_mh', idA, idB
+           |  FROM read_parquet('{OUT}/er_pqgram_pairs/*.parquet')),
            |agg AS (
            |  SELECT channel, CAST(count(*) AS BIGINT) AS n_pairs,
            |    CAST(sum(CASE WHEN t.idA IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -3437,7 +3493,90 @@ object ErQueries {
            |JOIN t${TruthDiscovery.Rounds} ti ON ti.source = st.source
            |JOIN s${TruthDiscovery.Rounds} ts ON ts.source = st.source
            |ORDER BY st.source""".stripMargin
-      })
+      },
+
+      // pq-gram profiles fully re-derived from the dumped postorder
+      // structure (p=2, q=3): parent(i) = min{j > i : lmd(j) ≤ i},
+      // ordered children from the inverted parent map, extended-tree
+      // padding chr(2), q-windows by generate_series, tuples joined
+      // with chr(1) — then the bag counted per (id, gram)
+      "er_pqgram_profile" ->
+        """WITH nodes AS MATERIALIZED (
+          |  SELECT id, i, lmd, label
+          |  FROM read_parquet('{OUT}/_aux/tree_nodes/*.parquet')),
+          |par AS MATERIALIZED (
+          |  SELECT c.id, c.i, min(a.i) AS pi
+          |  FROM nodes c LEFT JOIN nodes a
+          |    ON a.id = c.id AND a.i > c.i AND a.lmd <= c.i
+          |  GROUP BY c.id, c.i),
+          |kids AS MATERIALIZED (
+          |  SELECT p.id, p.pi AS anchor, list(n.label ORDER BY n.i) AS ks
+          |  FROM par p JOIN nodes n ON n.id = p.id AND n.i = p.i
+          |  WHERE p.pi IS NOT NULL
+          |  GROUP BY p.id, p.pi),
+          |anch AS MATERIALIZED (
+          |  SELECT n.id, n.i, n.label,
+          |    coalesce(pl.label, chr(2)) AS parent_label,
+          |    coalesce(k.ks, []) AS ks
+          |  FROM nodes n
+          |  LEFT JOIN par pp ON pp.id = n.id AND pp.i = n.i
+          |  LEFT JOIN nodes pl ON pl.id = n.id AND pl.i = pp.pi
+          |  LEFT JOIN kids k ON k.id = n.id AND k.anchor = n.i),
+          |ext AS (
+          |  SELECT id, i, parent_label, label,
+          |    CASE WHEN len(ks) = 0 THEN [chr(2), chr(2), chr(2)]
+          |         ELSE list_concat([chr(2), chr(2)],
+          |                list_concat(ks, [chr(2), chr(2)])) END AS e
+          |  FROM anch),
+          |grams AS (
+          |  SELECT id,
+          |    parent_label || chr(1) || label || chr(1) ||
+          |    e[w] || chr(1) || e[w + 1] || chr(1) || e[w + 2] AS gram
+          |  FROM ext, unnest(generate_series(1, len(e) - 2)) AS t(w))
+          |SELECT id, gram, count(*) AS cnt
+          |FROM grams GROUP BY id, gram ORDER BY id, gram""".stripMargin,
+
+      // structure-channel pairs: the set-semantic cap (dense_rank ≡
+      // capByKey) and the per-key pair emission redone from the dumped
+      // pq-gram block index — same algebra as the er_meta_blocking oracle
+      "er_pqgram_pairs" -> {
+        val cap = Pipeline.Config().blocking.maxBlockSize
+        s"""WITH k AS (SELECT DISTINCT key, id
+           |           FROM read_parquet('{OUT}/_aux/pqgram_block_index/*.parquet')),
+           |c AS (SELECT key, id FROM (
+           |        SELECT key, id, dense_rank() OVER (PARTITION BY key ORDER BY id) AS rn
+           |        FROM k) WHERE rn <= $cap)
+           |SELECT DISTINCT a.id AS idA, b.id AS idB
+           |FROM c a JOIN c b ON a.key = b.key AND a.id < b.id
+           |ORDER BY idA, idB""".stripMargin
+      },
+
+      // bag-intersection distance redone from the VERIFIED profile dump
+      // over the dumped candidate pairs, with the exact kernel's
+      // normDist/isMatch joined from the independent er_scores dump
+      "er_pqgram" ->
+        """WITH prof AS MATERIALIZED (
+          |  SELECT id, gram, cnt
+          |  FROM read_parquet('{OUT}/er_pqgram_profile/*.parquet')),
+          |sizes AS (SELECT id, sum(cnt) AS size FROM prof GROUP BY id),
+          |pairs AS (SELECT idA, idB FROM read_parquet('{OUT}/er_pairs/*.parquet')),
+          |inter AS (
+          |  SELECT p.idA, p.idB, sum(least(a.cnt, b.cnt)) AS inter
+          |  FROM pairs p
+          |  JOIN prof a ON a.id = p.idA
+          |  JOIN prof b ON b.id = p.idB AND b.gram = a.gram
+          |  GROUP BY p.idA, p.idB)
+          |SELECT p.idA, p.idB, coalesce(i.inter, 0) AS inter,
+          |  sa.size AS sizeA, sb.size AS sizeB,
+          |  round(1.0 - 2.0 * coalesce(i.inter, 0) / (sa.size + sb.size), 6) AS pq_dist,
+          |  s.normDist, s.isMatch
+          |FROM pairs p
+          |LEFT JOIN inter i ON i.idA = p.idA AND i.idB = p.idB
+          |JOIN sizes sa ON sa.id = p.idA
+          |JOIN sizes sb ON sb.id = p.idB
+          |JOIN read_parquet('{OUT}/er_scores/*.parquet') s
+          |  ON s.idA = p.idA AND s.idB = p.idB
+          |ORDER BY p.idA, p.idB""".stripMargin)
   }
 
   /** Unrolled Investment rounds for the truth-discovery oracles: round

@@ -231,4 +231,17 @@ class PlanSpec extends AnyFunSuite {
     // the pooled-investment aggregate must combine map-side
     assert(plan.contains("HashAggregate"), s"pooling lost hash agg\n$plan")
   }
+
+  test("pq-gram pairs: bag-intersection joins stay equi-joins, never a product") {
+    import org.apache.spark.sql.functions.col
+    val s0 = spark; import s0.implicits._
+    val prof = (0 until 300).map(i => (s"d${i % 30}", s"g${i % 17}", 1L + i % 3))
+      .toDF("id", "gram", "cnt")
+    val pairs = (0 until 20).map(i => (s"d$i", s"d${i + 5}")).toDF("idA", "idB")
+    val plan = fmt(graft.operators.PqGrams.pairDistances(pairs, prof))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pq-gram distance degraded to a product\n$plan")
+    // the intersection aggregate must be a hash aggregate (map-side combinable)
+    assert(plan.contains("HashAggregate"), s"bag intersection lost hash agg\n$plan")
+  }
 }
