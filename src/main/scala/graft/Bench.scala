@@ -99,6 +99,13 @@ object Bench {
       try { ErQueries.warmTruth(spark, sfDir); true } catch { case _: Throwable => false }
     val truthSec = (System.nanoTime() - tTruth) / 1e9
 
+    // and the pq-gram layer (profile table + structure block index,
+    // shared by three er_pqgram_* queries and the recall channel)
+    val tPq = System.nanoTime()
+    val pqOk =
+      try { ErQueries.warmPq(spark, sfDir); true } catch { case _: Throwable => false }
+    val pqSec = (System.nanoTime() - tPq) / 1e9
+
     // A failed query reports elapsed -1 so breakage is visible in the
     // JSON instead of silently polluting the totals.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -126,7 +133,8 @@ object Bench {
         s""","fs_build_ok":$fsOk,"link_build_sec":$linkSec""" +
         s""","link_build_ok":$linkOk,"pprl_build_sec":$pprlSec""" +
         s""","pprl_build_ok":$pprlOk,"truth_build_sec":$truthSec""" +
-        s""","truth_build_ok":$truthOk,"failed":${failed.mkString("[", ",", "]")}""" +
+        s""","truth_build_ok":$truthOk,"pq_build_sec":$pqSec""" +
+        s""","pq_build_ok":$pqOk,"failed":${failed.mkString("[", ",", "]")}""" +
         s""","pairs_scored":${scoring.pairs}""" +
         s""","score_wall_sec":${scoring.wallSec},"pairs_per_sec":${scoring.pairsPerSec}""" +
         s""","dp_cells_per_sec":${scoring.cellsPerSec}}""")

@@ -55,10 +55,8 @@ object Blocking {
     while (bi < buckets.length) {
       var band = 0
       while (band < cfg.mh.bands) {
-        var h = Hashing.mix64(langH ^ Hashing.hashLong(buckets(bi).toLong, 17L) ^ Hashing.hashLong(band.toLong, 23L))
-        var r = 0
-        while (r < rows) { h = Hashing.mix64(h ^ minhash(band * rows + r)); r += 1 }
-        out(o) = h
+        val init = Hashing.mix64(langH ^ Hashing.hashLong(buckets(bi).toLong, 17L) ^ Hashing.hashLong(band.toLong, 23L))
+        out(o) = Hashing.foldBand(init, minhash, band, rows)
         o += 1
         band += 1
       }

@@ -48,20 +48,8 @@ object ParseStage {
       shingles(i) = h
       i += 1
     }
-    val sig = new Array[Long](cfg.numHashes)
-    var s = 0
-    while (s < cfg.numHashes) {
-      var mn = Long.MaxValue
-      i = 0
-      while (i < nSh) {
-        val v = Hashing.hashLong(shingles(i), 0x5eed0000L + s)
-        if (v < mn) mn = v
-        i += 1
-      }
-      sig(s) = mn
-      s += 1
-    }
-    sig
+    Hashing.minSig(shingles, cfg.numHashes,
+      (e, s) => Hashing.hashLong(e, 0x5eed0000L + s))
   }
 
   def parse(files: Dataset[FileRow],

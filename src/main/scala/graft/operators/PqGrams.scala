@@ -110,27 +110,6 @@ object PqGrams {
       .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cnt"))
   }
 
-  /** MinHash signature over a pre-hashed element SET — the
-    * [[ParseStage.minHash]] analogue with pq-grams as the elements
-    * (grams ARE the structural shingles, so no k-shingling step). */
-  private def sigOf(elements: Array[Long], numHashes: Int): Array[Long] = {
-    val sig = new Array[Long](numHashes)
-    var s = 0
-    while (s < numHashes) {
-      var mn = Long.MaxValue
-      val seed = graft.util.Hashing.hashLong(s.toLong, 0x5047L)
-      var i = 0
-      while (i < elements.length) {
-        val h = graft.util.Hashing.mix64(elements(i) ^ seed)
-        if (h < mn) mn = h
-        i += 1
-      }
-      sig(s) = mn
-      s += 1
-    }
-    sig
-  }
-
   /** STRUCTURE-aware blocking channel: (key, id) block-index rows from
     * banded MinHash over each tree's pq-gram set, scoped by lang (the
     * structural twin of [[Blocking.keyedIds]]'s token-shingle channel —
@@ -142,18 +121,18 @@ object PqGrams {
                 mh: ParseStage.MinHashConfig = ParseStage.MinHashConfig(),
                 p: Int = P, q: Int = Q): DataFrame = {
     import trees.sparkSession.implicits._
+    import graft.util.Hashing
     trees.flatMap { t =>
       val grams = gramsOf(t.labels, t.lmds, p, q)
-      val el = grams.map(g => graft.util.Hashing.hashString(g, 0x7071L)).distinct
-      val sig = sigOf(el, mh.numHashes)
-      val langH = graft.util.Hashing.hashString(t.lang)
-      val rows = mh.rows
+      val el = grams.map(g => Hashing.hashString(g, 0x7071L)).distinct
+      // the shared seeded-minimum loop ([[Hashing.minSig]]) with the
+      // pq-gram channel's own seed family
+      val sig = Hashing.minSig(el, mh.numHashes,
+        (e, s) => Hashing.mix64(e ^ Hashing.hashLong(s.toLong, 0x5047L)))
+      val langH = Hashing.hashString(t.lang)
       (0 until mh.bands).map { band =>
-        var h = graft.util.Hashing.mix64(
-          langH ^ graft.util.Hashing.hashLong(band.toLong, 41L))
-        var r = 0
-        while (r < rows) { h = graft.util.Hashing.mix64(h ^ sig(band * rows + r)); r += 1 }
-        (h, t.id)
+        val init = Hashing.mix64(langH ^ Hashing.hashLong(band.toLong, 41L))
+        (Hashing.foldBand(init, sig, band, mh.rows), t.id)
       }
     }.toDF("key", "id")
   }

@@ -77,7 +77,9 @@ object TruthDiscovery {
     * Final `beliefs` = round-R claim share `base² / Σ_{v'} base²` per
     * entity — a (0,1] posterior-like mass whose per-entity argmax is
     * the resolved value. */
-  def investment(claims: DataFrame, rounds: Int = Rounds): Result = {
+  def investment(claims: DataFrame, rounds: Int = Rounds,
+                 onRound: (Int, Double) => Unit = (_, _) => ()): Result = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val c = claims.select(col("source"), col("entity"), col("value"))
     val nClaims = c.groupBy(col("source")).agg(count(lit(1)).as("nclaims"))
     var trust = nClaims.select(col("source"), lit(1.0).as("trust"))
@@ -85,19 +87,24 @@ object TruthDiscovery {
     var baseR: DataFrame = null
     var i = 0
     while (i < rounds) {
+      val t0 = System.nanoTime()
       val inv = c.join(broadcast(trust.join(nClaims, "source")), "source")
         .select(col("source"), col("entity"), col("value"),
           (col("trust") / col("nclaims")).as("inv"))
       val base = inv.groupBy(col("entity"), col("value"))
         .agg(sum(col("inv")).as("base"))
       baseR = base.localCheckpoint(true)
-      val tRaw = inv.join(baseR, Seq("entity", "value"))
+      // checkpoint the tiny per-source aggregate FIRST — reading the max
+      // and deriving the normalized trust from the checkpointed frame
+      // runs the claims-wide join+aggregate chain exactly once per round
+      val tCp = inv.join(baseR, Seq("entity", "value"))
         .groupBy(col("source"))
         .agg(sum(col("base") * col("inv")).as("t"))
-      val tMax = tRaw.agg(max(col("t"))).head().getDouble(0)
-      trust = tRaw.select(col("source"), (col("t") / lit(tMax)).as("trust"))
         .localCheckpoint(true)
+      val tMax = tCp.agg(max(col("t"))).head().getDouble(0)
+      trust = tCp.select(col("source"), (col("t") / lit(tMax)).as("trust"))
       i += 1
+      onRound(i, (System.nanoTime() - t0) / 1e9)
     }
     val wE = org.apache.spark.sql.expressions.Window.partitionBy(col("entity"))
     val beliefs = baseR
@@ -113,7 +120,7 @@ object TruthDiscovery {
     * per-claim beliefs (entity, value, belief), both normalized to
     * max = 1.0, un-rounded. */
   def sums(claims: DataFrame, rounds: Int = Rounds): Result = {
-    val spark = claims.sparkSession
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val c = claims.select(col("source"), col("entity"), col("value"))
     var trust = c.select(col("source")).distinct()
       .select(col("source"), lit(1.0).as("trust"))
@@ -121,18 +128,20 @@ object TruthDiscovery {
     var beliefs: DataFrame = null
     var i = 0
     while (i < rounds) {
-      val bRaw = c.join(broadcast(trust), "source")
+      // checkpoint each raw aggregate BEFORE reading its max, so the
+      // claims-wide chain behind it runs once per round, not twice
+      val bCp = c.join(broadcast(trust), "source")
         .groupBy(col("entity"), col("value"))
         .agg(sum(col("trust")).as("b"))
-      val bMax = bRaw.agg(max(col("b"))).head().getDouble(0)
-      beliefs = bRaw.select(col("entity"), col("value"),
-          (col("b") / lit(bMax)).as("belief"))
         .localCheckpoint(true)
-      val tRaw = c.join(beliefs, Seq("entity", "value"))
+      val bMax = bCp.agg(max(col("b"))).head().getDouble(0)
+      beliefs = bCp.select(col("entity"), col("value"),
+        (col("b") / lit(bMax)).as("belief"))
+      val tCp = c.join(beliefs, Seq("entity", "value"))
         .groupBy(col("source")).agg(sum(col("belief")).as("t"))
-      val tMax = tRaw.agg(max(col("t"))).head().getDouble(0)
-      trust = tRaw.select(col("source"), (col("t") / lit(tMax)).as("trust"))
         .localCheckpoint(true)
+      val tMax = tCp.agg(max(col("t"))).head().getDouble(0)
+      trust = tCp.select(col("source"), (col("t") / lit(tMax)).as("trust"))
       i += 1
     }
     Result(trust, beliefs)
@@ -144,8 +153,13 @@ object TruthDiscovery {
     * value, belief, n_values, n_sources): the winning value, its final
     * per-entity belief share, how many distinct values competed, and
     * how many sources backed the winner. */
-  def resolve(claims: DataFrame, rounds: Int = Rounds): DataFrame = {
-    val r = investment(claims, rounds)
+  def resolve(claims: DataFrame, rounds: Int = Rounds): DataFrame =
+    resolveFrom(claims, investment(claims, rounds))
+
+  /** [[resolve]] over an already-computed fixpoint [[Result]] — the ONE
+    * definition of the winner/tie/support algebra, reusable by callers
+    * that cache the fixpoint (er_truth_discovery) without re-running it. */
+  def resolveFrom(claims: DataFrame, r: Result): DataFrame = {
     val support = claims.groupBy(col("entity"), col("value"))
       .agg(countDistinct(col("source")).as("n_sources"))
     val nVals = claims.groupBy(col("entity"))

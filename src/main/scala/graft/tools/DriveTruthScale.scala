@@ -54,37 +54,16 @@ object DriveTruthScale {
     val n = claims.count()
     println(s"""{"claims":$n,"entities":$nEntities,"sources":$nSources,"cpus":$cpus}""")
 
-    // per-round timing: run R=1..5 cumulatively is wasteful; instead
-    // time each round inline by replicating the operator loop
+    // per-round timing via the operator's OWN round callback — no
+    // replicated loop body that could drift from the real algebra
     val c = claims.select(col("source"), col("entity"), col("value"))
-    val nc = c.groupBy(col("source")).agg(count(lit(1)).as("nclaims"))
-      .localCheckpoint(true)
-    var trust = nc.select(col("source"), lit(1.0).as("trust"))
-      .localCheckpoint(true)
-    var baseR: org.apache.spark.sql.DataFrame = null
-    for (r <- 1 to TruthDiscovery.Rounds) {
-      val t0 = System.nanoTime()
-      val inv = c.join(broadcast(trust.join(nc, "source")), "source")
-        .select(col("source"), col("entity"), col("value"),
-          (col("trust") / col("nclaims")).as("inv"))
-      val base = inv.groupBy(col("entity"), col("value"))
-        .agg(sum(col("inv")).as("base"))
-      baseR = base.localCheckpoint(true)
-      val tRaw = inv.join(baseR, Seq("entity", "value"))
-        .groupBy(col("source")).agg(sum(col("base") * col("inv")).as("t"))
-      val tMax = tRaw.agg(max(col("t"))).head().getDouble(0)
-      trust = tRaw.select(col("source"), (col("t") / lit(tMax)).as("trust"))
-        .localCheckpoint(true)
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(s"""{"round":$r,"sec":$sec}""")
-    }
+    val r = TruthDiscovery.investment(c,
+      onRound = (round, sec) => println(s"""{"round":$round,"sec":$sec}"""))
 
-    // accuracy vs vote over the full entity set
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("entity"))
-      .orderBy(round(col("base"), 9).desc, col("value"))
-    val resolved = baseR.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).select(col("entity"), col("value"))
+    // accuracy vs vote over the full entity set (resolveFrom = the
+    // operator's own winner/tie algebra over the computed fixpoint)
+    val resolved = TruthDiscovery.resolveFrom(c, r)
+      .select(col("entity"), col("value"))
     val truthv = claims.select(col("entity"), col("truth")).distinct()
     val accInv = resolved.join(truthv, "entity")
       .agg(avg(when(col("value") === col("truth"), 1.0).otherwise(0.0))).head().getDouble(0)
