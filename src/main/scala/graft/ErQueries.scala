@@ -1315,8 +1315,58 @@ object ErQueries {
         .join(r.scores.toDF().select(col("idA"), col("idB"), col("normDist"),
           col("isMatch")), Seq("idA", "idB"))
         .orderBy(col("idA"), col("idB"))
+    }),
+
+    // the prefilter TRADEOFF curve a pq-gram deployment reads, over the
+    // STRUCTURE channel's candidates (which, unlike the pipeline's LSH
+    // candidates at this sf, contain genuine negatives): for each
+    // cutoff τ_pq, how many candidates survive (and would still pay the
+    // O(n²) DP), what fraction of the would-be DP cells (tree-node
+    // nA·nB) that is, and how much TRUTH recall the cutoff keeps. The
+    // oracle redoes the whole grid — bag-intersection distances over
+    // the verified profile dump, truth labels from the raw corpus, the
+    // cell algebra from the verified tree-stats dump
+    "er_pqgram_tradeoff" -> ((s, dir) => {
+      val r = pipeline(s, dir)
+      val pq = PqResults.cached(s, dir)
+      val cand = CandidateGen.pairsFromKeys(pq.blockKeys,
+        Pipeline.Config().blocking.maxBlockSize)
+      val t = r.trees.toDF().select(col("id"), col("groupId"), col("n"))
+      val d = PqGrams.pairDistances(cand, pq.profiles)
+        .join(t.select(col("id").as("idA"), col("groupId").as("gA"),
+          col("n").as("nA")), "idA")
+        .join(t.select(col("id").as("idB"), col("groupId").as("gB"),
+          col("n").as("nB")), "idB")
+        .withColumn("isDup", col("gA") === col("gB"))
+      // tiny τ grid exploded against every pair (10 rows, literal
+      // array — same shape as er_threshold_curve)
+      val grid = d.select(col("*"),
+        explode(array(PqTauGrid.map(lit): _*)).as("tau"))
+      grid.groupBy(col("tau"))
+        .agg(
+          sum(when(col("pq_dist") <= col("tau"), 1L).otherwise(0L)).as("n_kept"),
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("pq_dist") <= col("tau") && col("isDup"), 1L)
+            .otherwise(0L)).as("n_dups_kept"),
+          sum(when(col("isDup"), 1L).otherwise(0L)).as("n_dups"),
+          sum(when(col("pq_dist") <= col("tau"),
+            col("nA").cast("long") * col("nB")).otherwise(0L)).as("cells_kept"),
+          sum(col("nA").cast("long") * col("nB")).as("cells_total"))
+        .select(col("tau"), col("n_kept"),
+          round(col("n_kept").cast("double") / col("n_pairs"), 6).as("frac_kept"),
+          round(col("n_dups_kept").cast("double") / col("n_dups"), 6)
+            .as("truth_recall"),
+          round(col("cells_kept").cast("double") / col("cells_total"), 6)
+            .as("frac_dp_cells"))
+        .orderBy(col("tau"))
     })
   )
+
+  /** τ_pq cutoff grid for er_pqgram_tradeoff — ONE definition,
+    * interpolated into the oracle SQL. Exact two-decimal literals (not
+    * i*0.05 float accumulation) so the grid is bit-identical in both
+    * engines. */
+  private[graft] val PqTauGrid: Seq[Double] = (1 to 10).map(i => i * 5 / 100.0)
 
   /** Deterministic multi-source claims model for the truth-discovery
     * queries — ONE SQL body (only the documents table ref differs)
@@ -3587,7 +3637,53 @@ object ErQueries {
           |JOIN sizes sb ON sb.id = p.idB
           |JOIN read_parquet('{OUT}/er_scores/*.parquet') s
           |  ON s.idA = p.idA AND s.idB = p.idB
-          |ORDER BY p.idA, p.idB""".stripMargin)
+          |ORDER BY p.idA, p.idB""".stripMargin,
+
+      // the prefilter curve fully redone: pq-gram distances recomputed
+      // from the VERIFIED profile dump over the VERIFIED structure-
+      // channel pairs, truth labels from the raw corpus, cell algebra
+      // from the verified tree-stats dump, same two-decimal τ grid
+      // interpolated from the one Scala definition
+      "er_pqgram_tradeoff" -> {
+        val taus = PqTauGrid.mkString(", ")
+        s"""WITH prof AS MATERIALIZED (
+           |  SELECT id, gram, cnt
+           |  FROM read_parquet('{OUT}/er_pqgram_profile/*.parquet')),
+           |sizes AS (SELECT id, sum(cnt) AS size FROM prof GROUP BY id),
+           |pairs AS (SELECT idA, idB
+           |  FROM read_parquet('{OUT}/er_pqgram_pairs/*.parquet')),
+           |inter AS (
+           |  SELECT p.idA, p.idB, sum(least(a.cnt, b.cnt)) AS inter
+           |  FROM pairs p
+           |  JOIN prof a ON a.id = p.idA
+           |  JOIN prof b ON b.id = p.idB AND b.gram = a.gram
+           |  GROUP BY p.idA, p.idB),
+           |labels AS (SELECT $idExpr AS id, groupId FROM $corpus),
+           |ts AS (SELECT id, n FROM read_parquet('{OUT}/er_tree_stats/*.parquet')),
+           |d AS MATERIALIZED (
+           |  SELECT p.idA, p.idB,
+           |    round(1.0 - 2.0 * coalesce(i.inter, 0) / (sa.size + sb.size), 6)
+           |      AS pq_dist,
+           |    la.groupId = lb.groupId AS isDup,
+           |    ta.n AS nA, tb.n AS nB
+           |  FROM pairs p
+           |  LEFT JOIN inter i ON i.idA = p.idA AND i.idB = p.idB
+           |  JOIN sizes sa ON sa.id = p.idA JOIN sizes sb ON sb.id = p.idB
+           |  JOIN labels la ON la.id = p.idA JOIN labels lb ON lb.id = p.idB
+           |  JOIN ts ta ON ta.id = p.idA JOIN ts tb ON tb.id = p.idB),
+           |g AS (SELECT d.*, t.tau FROM d, unnest([$taus]) AS t(tau))
+           |SELECT tau,
+           |  CAST(sum(CASE WHEN pq_dist <= tau THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  round(sum(CASE WHEN pq_dist <= tau THEN 1 ELSE 0 END)
+           |    / CAST(count(*) AS DOUBLE), 6) AS frac_kept,
+           |  round(sum(CASE WHEN pq_dist <= tau AND isDup THEN 1 ELSE 0 END)
+           |    / CAST(sum(CASE WHEN isDup THEN 1 ELSE 0 END) AS DOUBLE), 6)
+           |    AS truth_recall,
+           |  round(sum(CASE WHEN pq_dist <= tau
+           |              THEN CAST(nA AS BIGINT) * nB ELSE 0 END)
+           |    / CAST(sum(CAST(nA AS BIGINT) * nB) AS DOUBLE), 6) AS frac_dp_cells
+           |FROM g GROUP BY tau ORDER BY tau""".stripMargin
+      })
   }
 
   /** Unrolled Investment rounds for the truth-discovery oracles: round

@@ -156,6 +156,20 @@ class PqGramsSpec extends AnyFunSuite {
         PqGrams.blockKeys(r.trees), Pipeline.Config().blocking.maxBlockSize).count())
   }
 
+  test("prefilter tradeoff: full truth recall while most DP cells are pruned") {
+    val s = spark
+    val row = ErQueries.queries("er_pqgram_tradeoff")(s, "/root/testdata/sf0.001")
+      .where(col("tau") === 0.2).head()
+    // at τ_pq = 0.20 on the structure channel's candidates: every true
+    // duplicate survives, while ~3/4 of the candidate pairs (and ~4/5
+    // of the would-be O(n²) DP cells) are pruned before the kernel runs
+    assert(row.getAs[Double]("truth_recall") === 1.0)
+    assert(row.getAs[Double]("frac_kept") < 0.3,
+      s"expected most candidates pruned, got ${row.getAs[Double]("frac_kept")}")
+    assert(row.getAs[Double]("frac_dp_cells") < 0.25,
+      s"expected most DP cells pruned, got ${row.getAs[Double]("frac_dp_cells")}")
+  }
+
   test("corpus: matched pairs sit far below cross-group pairs") {
     val s = spark
     val r = Pipeline.run(s, graft.sources.CorpusGen.corpus(s, "/root/testdata/sf0.001"))
