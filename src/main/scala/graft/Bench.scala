@@ -106,6 +106,12 @@ object Bench {
       try { ErQueries.warmPq(spark, sfDir); true } catch { case _: Throwable => false }
     val pqSec = (System.nanoTime() - tPq) / 1e9
 
+    // and the streaming-truth twin (3-batch fold, one fixpoint per batch)
+    val tSTruth = System.nanoTime()
+    val struthOk =
+      try { ErQueries.warmStreamTruth(spark, sfDir); true } catch { case _: Throwable => false }
+    val struthSec = (System.nanoTime() - tSTruth) / 1e9
+
     // A failed query reports elapsed -1 so breakage is visible in the
     // JSON instead of silently polluting the totals.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -134,7 +140,8 @@ object Bench {
         s""","link_build_ok":$linkOk,"pprl_build_sec":$pprlSec""" +
         s""","pprl_build_ok":$pprlOk,"truth_build_sec":$truthSec""" +
         s""","truth_build_ok":$truthOk,"pq_build_sec":$pqSec""" +
-        s""","pq_build_ok":$pqOk,"failed":${failed.mkString("[", ",", "]")}""" +
+        s""","pq_build_ok":$pqOk,"struth_build_sec":$struthSec""" +
+        s""","struth_build_ok":$struthOk,"failed":${failed.mkString("[", ",", "]")}""" +
         s""","pairs_scored":${scoring.pairs}""" +
         s""","score_wall_sec":${scoring.wallSec},"pairs_per_sec":${scoring.pairsPerSec}""" +
         s""","dp_cells_per_sec":${scoring.cellsPerSec}}""")

@@ -1292,6 +1292,25 @@ object ErQueries {
       PqResults.cached(s, dir).profiles
         .orderBy(col("id"), col("gram"))),
 
+    // streaming-truth twin: the resolution after folding the claims in
+    // 3 micro-batches (batch 2 redelivered — set-semantic state absorbs
+    // at-least-once) must carry the SAME per-entity values as the batch
+    // fixpoint; the oracle re-runs all 5 Investment rounds from the
+    // stream state's OWN dumped cumulative claims, with the planted
+    // truth recomputed independently from the entity ids
+    "er_truth_stream" -> ((s, dir) => {
+      val st = StreamTruthResults.cached(s, dir)
+      val truth = TruthResults.cached(s, dir).claims
+        .select(col("entity"), col("truth")).distinct()
+      val nClaims = st.claims.count()
+      st.resolved
+        .join(truth, Seq("entity"))
+        .select(col("entity"), col("value"), round(col("belief"), 6).as("belief"),
+          col("truth"), (col("value") === col("truth")).as("correct"),
+          lit(nClaims).as("n_claims"), lit(st.batches).as("n_batches"))
+        .orderBy(col("entity"))
+    }),
+
     // STRUCTURE-blocking candidates: banded MinHash over each tree's
     // pq-gram SET (subtree patterns, not token n-grams), through the
     // same capped candidate generator as every channel; the oracle
@@ -1386,6 +1405,13 @@ object ErQueries {
     private val noiseCase: String = (0 until S)
       .map(i => f"WHEN 's$i%02d' THEN '${noiseHex(i)}'")
       .mkString("CASE source ", " ", " END")
+    /** The planted-truth index of an `entity` column — ONE fragment,
+      * used inside [[claimsSql]] and by the er_truth_stream oracle's
+      * independent truth recomputation. */
+    val tIdxCase: String =
+      """CASE WHEN substr(md5('tv:' || entity), 1, 1) < '4' THEN 0
+        |         WHEN substr(md5('tv:' || entity), 1, 1) < '8' THEN 1
+        |         WHEN substr(md5('tv:' || entity), 1, 1) < 'c' THEN 2 ELSE 3 END""".stripMargin
     def claimsSql(docsRef: String): String =
       s"""SELECT source, entity,
          |  'v' || CAST(CASE WHEN wrong THEN (t_idx + off) % 4 ELSE t_idx END AS STRING) AS value,
@@ -1393,9 +1419,7 @@ object ErQueries {
          |  wrong AS planted_wrong
          |FROM (
          |  SELECT source, entity,
-         |    CASE WHEN substr(md5('tv:' || entity), 1, 1) < '4' THEN 0
-         |         WHEN substr(md5('tv:' || entity), 1, 1) < '8' THEN 1
-         |         WHEN substr(md5('tv:' || entity), 1, 1) < 'c' THEN 2 ELSE 3 END AS t_idx,
+         |    $tIdxCase AS t_idx,
          |    CASE WHEN substr(md5('tw:' || entity), 1, 1) < '5' THEN 1
          |         WHEN substr(md5('tw:' || entity), 1, 1) < 'a' THEN 2 ELSE 3 END AS off,
          |    substr(md5('tn:' || source || ':' || entity), 1, 2) < ($noiseCase) AS wrong
@@ -1430,6 +1454,42 @@ object ErQueries {
   def warmTruth(spark: SparkSession, sfDir: String): Unit = {
     val t = TruthResults.cached(spark, sfDir)
     t.claims.count(); t.inv.trust.count(); t.sm.trust.count()
+  }
+
+  /** Streaming-truth twin, folded once per (session, sfDir): the claims
+    * split into 3 deterministic md5 batches and folded through
+    * [[graft.streaming.StreamingTruth.update]], with batch 2 REDELIVERED
+    * inside batch 3's feed (the at-least-once case the set-semantic
+    * state must absorb). The final state's cumulative claims are dumped
+    * to `_aux/struth_claims`; the er_truth_stream oracle re-runs the
+    * whole fixpoint from that dump alone. */
+  /** Number of micro-batches the streaming-truth twin folds — ONE
+    * definition, interpolated into the oracle's n_batches column. */
+  private[graft] val StreamTruthBatches = 3
+
+  private[graft] object StreamTruthResults {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), graft.streaming.StreamingTruth.TruthState]
+    def cached(spark: SparkSession, sfDir: String)
+        : graft.streaming.StreamingTruth.TruthState =
+      cache.getOrElseUpdate((spark, sfDir), {
+        val claims = TruthResults.cached(spark, sfDir).claims
+        val bCol = substring(
+          md5(concat(lit("tb:"), col("source"), lit(":"), col("entity"))), 1, 1)
+        val b0 = claims.where(bCol < "5")
+        val b1 = claims.where(bCol >= "5" && bCol < "a")
+        val b2 = claims.where(bCol >= "a")
+        var st = graft.streaming.StreamingTruth.update(spark, b0, None)
+        st = graft.streaming.StreamingTruth.update(spark, b1, Some(st))
+        st = graft.streaming.StreamingTruth.update(spark,
+          b1.unionByName(b2), Some(st)) // b1 redelivered — must be a no-op
+        st
+      })
+  }
+
+  def warmStreamTruth(spark: SparkSession, sfDir: String): Unit = {
+    val st = StreamTruthResults.cached(spark, sfDir)
+    st.claims.count(); st.resolved.count()
   }
 
   /** pq-gram layer, computed once per (session, sfDir): the exploded
@@ -1856,6 +1916,12 @@ object ErQueries {
     // the set-semantic cap + pair algebra from it
     PqResults.cached(spark, sfDir).blockKeys
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/pqgram_block_index")
+    // the streaming-truth twin's cumulative claims state: the
+    // er_truth_stream oracle re-runs the full Investment fixpoint over
+    // THIS dump (not the batch model), so the stream state itself is
+    // what gets verified
+    StreamTruthResults.cached(spark, sfDir).claims
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/struth_claims")
     // uncapped lexer event stream per file: the er_tree_stats oracle
     // recomputes n / n_tokens / truncated from it (the cap bookkeeping
     // formula — see CodeParser.lexEvents)
@@ -3596,6 +3662,37 @@ object ErQueries {
           |  FROM ext, unnest(generate_series(1, len(e) - 2)) AS t(w))
           |SELECT id, gram, count(*) AS cnt
           |FROM grams GROUP BY id, gram ORDER BY id, gram""".stripMargin,
+
+      // streaming-truth twin: the ENTIRE 5-round Investment fixpoint,
+      // the belief shares, and the win/tie rule re-run by DuckDB over
+      // the stream state's own dumped cumulative claims; the planted
+      // truth is recomputed from the entity ids (TruthModel.tIdxCase),
+      // never read from the twin
+      "er_truth_stream" -> {
+        s"""WITH claims AS MATERIALIZED (
+           |  SELECT source, entity, value
+           |  FROM read_parquet('{OUT}/_aux/struth_claims/*.parquet')),
+           |nc AS MATERIALIZED (SELECT source, count(*) AS n FROM claims GROUP BY source),
+           |t0 AS MATERIALIZED (SELECT source, 1.0 AS trust FROM nc)
+           |${invUnrollSql(TruthDiscovery.Rounds)},
+           |share AS MATERIALIZED (
+           |  SELECT entity, value,
+           |    base * base / (sum(base * base) OVER (PARTITION BY entity)) AS belief
+           |  FROM base${TruthDiscovery.Rounds}),
+           |win AS (SELECT entity, value, belief,
+           |    row_number() OVER (PARTITION BY entity
+           |      ORDER BY round(belief, 9) DESC, value) AS rn
+           |  FROM share),
+           |tr AS (SELECT DISTINCT entity,
+           |    'v' || CAST(${TruthModel.tIdxCase} AS STRING) AS truth
+           |  FROM claims),
+           |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_claims FROM claims)
+           |SELECT w.entity, w.value, round(w.belief, 6) AS belief, tr.truth,
+           |  w.value = tr.truth AS correct, cnt.n_claims,
+           |  CAST($StreamTruthBatches AS INT) AS n_batches
+           |FROM win w JOIN tr ON tr.entity = w.entity CROSS JOIN cnt
+           |WHERE w.rn = 1 ORDER BY w.entity""".stripMargin
+      },
 
       // structure-channel pairs: the set-semantic cap (dense_rank ≡
       // capByKey) and the per-key pair emission redone from the dumped
