@@ -547,8 +547,7 @@ object ErQueries {
         "pprl_hlsh" -> PprlResults.cached(s, dir).pairs,
         // the STRUCTURE channel: banded MinHash over pq-gram sets —
         // shape evidence, complementary to the token-shingle lsh
-        "pqgram_mh" -> CandidateGen.pairsFromKeys(
-          PqResults.cached(s, dir).blockKeys, cfg.maxBlockSize))
+        "pqgram_mh" -> PqResults.cached(s, dir).pairs)
       val tagged = chans.map { case (nm, df) =>
         df.select(lit(nm).as("channel"), col("idA"), col("idB"))
       }.reduce(_ unionByName _)
@@ -1317,9 +1316,7 @@ object ErQueries {
     // redoes the set-semantic cap + pair algebra from the dumped
     // (key, id) index (MinHash keys engine-internal, like er_meta_blocking)
     "er_pqgram_pairs" -> ((s, dir) =>
-      CandidateGen.pairsFromKeys(PqResults.cached(s, dir).blockKeys,
-          Pipeline.Config().blocking.maxBlockSize)
-        .orderBy(col("idA"), col("idB"))),
+      PqResults.cached(s, dir).pairs.orderBy(col("idA"), col("idB"))),
 
     // pq-gram distance over the pipeline's candidate pairs, next to the
     // exact banded-kernel normDist — the approximate-vs-exact
@@ -1348,10 +1345,8 @@ object ErQueries {
     "er_pqgram_tradeoff" -> ((s, dir) => {
       val r = pipeline(s, dir)
       val pq = PqResults.cached(s, dir)
-      val cand = CandidateGen.pairsFromKeys(pq.blockKeys,
-        Pipeline.Config().blocking.maxBlockSize)
       val t = r.trees.toDF().select(col("id"), col("groupId"), col("n"))
-      val d = PqGrams.pairDistances(cand, pq.profiles)
+      val d = PqGrams.pairDistances(pq.pairs, pq.profiles)
         .join(t.select(col("id").as("idA"), col("groupId").as("gA"),
           col("n").as("nA")), "idA")
         .join(t.select(col("id").as("idB"), col("groupId").as("gB"),
@@ -1373,8 +1368,11 @@ object ErQueries {
           sum(col("nA").cast("long") * col("nB")).as("cells_total"))
         .select(col("tau"), col("n_kept"),
           round(col("n_kept").cast("double") / col("n_pairs"), 6).as("frac_kept"),
-          round(col("n_dups_kept").cast("double") / col("n_dups"), 6)
-            .as("truth_recall"),
+          // nullif: a candidate set with ZERO true duplicates must read
+          // NULL recall in BOTH engines (Spark's x/0 is NULL but
+          // DuckDB's 0/0.0 is NaN — nullif makes them agree)
+          round(col("n_dups_kept").cast("double") /
+            nullif(col("n_dups"), lit(0L)), 6).as("truth_recall"),
           round(col("cells_kept").cast("double") / col("cells_total"), 6)
             .as("frac_dp_cells"))
         .orderBy(col("tau"))
@@ -1456,6 +1454,10 @@ object ErQueries {
     t.claims.count(); t.inv.trust.count(); t.sm.trust.count()
   }
 
+  /** Number of micro-batches the streaming-truth twin folds — ONE
+    * definition, interpolated into the oracle's n_batches column. */
+  private[graft] val StreamTruthBatches = 3
+
   /** Streaming-truth twin, folded once per (session, sfDir): the claims
     * split into 3 deterministic md5 batches and folded through
     * [[graft.streaming.StreamingTruth.update]], with batch 2 REDELIVERED
@@ -1463,10 +1465,6 @@ object ErQueries {
     * state must absorb). The final state's cumulative claims are dumped
     * to `_aux/struth_claims`; the er_truth_stream oracle re-runs the
     * whole fixpoint from that dump alone. */
-  /** Number of micro-batches the streaming-truth twin folds — ONE
-    * definition, interpolated into the oracle's n_batches column. */
-  private[graft] val StreamTruthBatches = 3
-
   private[graft] object StreamTruthResults {
     private val cache = scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), graft.streaming.StreamingTruth.TruthState]
@@ -1497,21 +1495,27 @@ object ErQueries {
     * queries, the pqgram_mh recall channel, and the aux dump share
     * them; Bench warms it as pq_build_sec. */
   private[graft] object PqResults {
-    final case class P(profiles: DataFrame, blockKeys: DataFrame)
+    final case class P(profiles: DataFrame, blockKeys: DataFrame,
+                       pairs: DataFrame)
     private val cache =
       scala.collection.concurrent.TrieMap.empty[(SparkSession, String), P]
     def cached(spark: SparkSession, sfDir: String): P =
       cache.getOrElseUpdate((spark, sfDir), {
         val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val trees = Results.cached(spark, sfDir).trees
-        P(PqGrams.profiles(trees).persist(lvl),
-          PqGrams.blockKeys(trees).persist(lvl))
+        val keys = PqGrams.blockKeys(trees).persist(lvl)
+        // ONE capped candidate generation shared by er_pqgram_pairs,
+        // the pqgram_mh recall channel, and er_pqgram_tradeoff — the
+        // three can never drift if cap semantics change
+        P(PqGrams.profiles(trees).persist(lvl), keys,
+          CandidateGen.pairsFromKeys(keys,
+            Pipeline.Config().blocking.maxBlockSize).persist(lvl))
       })
   }
 
   def warmPq(spark: SparkSession, sfDir: String): Unit = {
     val p = PqResults.cached(spark, sfDir)
-    p.profiles.count(); p.blockKeys.count()
+    p.profiles.count(); p.blockKeys.count(); p.pairs.count()
   }
 
   /** Edit scripts for the first 50 matched pairs (by id order), one row
@@ -3774,7 +3778,7 @@ object ErQueries {
            |  round(sum(CASE WHEN pq_dist <= tau THEN 1 ELSE 0 END)
            |    / CAST(count(*) AS DOUBLE), 6) AS frac_kept,
            |  round(sum(CASE WHEN pq_dist <= tau AND isDup THEN 1 ELSE 0 END)
-           |    / CAST(sum(CASE WHEN isDup THEN 1 ELSE 0 END) AS DOUBLE), 6)
+           |    / nullif(CAST(sum(CASE WHEN isDup THEN 1 ELSE 0 END) AS DOUBLE), 0), 6)
            |    AS truth_recall,
            |  round(sum(CASE WHEN pq_dist <= tau
            |              THEN CAST(nA AS BIGINT) * nB ELSE 0 END)

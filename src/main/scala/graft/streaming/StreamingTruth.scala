@@ -53,41 +53,60 @@ object StreamingTruth {
   }
 
   /** Durable twin of [[update]]: state round-trips through `io`
-    * (`_SUCCESS`-gated tables, one generation per batch), so a crashed
-    * stream RESUMES at the last complete batch. The cumulative claims
-    * table is the authoritative state; trust and resolution are written
-    * alongside so readers never re-run the fixpoint. A crash between
-    * the writes leaves a half generation, which the resume scan skips
-    * (all three tables must exist) and the retried batch overwrites. */
+    * (`_SUCCESS`-gated tables, one generation per batch under
+    * `rootDir`), so a crashed stream RESUMES at the last complete
+    * batch. The cumulative claims table is the authoritative state;
+    * trust and resolution are written alongside so readers never
+    * re-run the fixpoint. Generation bookkeeping is
+    * [[StateGenerations]] (same as StreamingEr's bucketed path): a
+    * crash between the three writes leaves a half generation, which
+    * `latestComplete` skips and the retried batch overwrites, and
+    * generations older than `retain` are garbage-collected — storage
+    * stays O(retain), not O(batches), and a directory listing (not a
+    * scan-from-zero) finds the resume point, so pruned early
+    * generations can never make a restart silently begin from empty. */
   def updateDurable(
       spark: SparkSession,
       newClaims: DataFrame,
       io: graft.sources.TableIO,
-      prefix: String = "struth"): TruthState = {
-    val (prev, k) = resumeState(spark, io, prefix)
+      rootDir: String,
+      prefix: String = "struth",
+      retain: Int = 2): TruthState = {
+    val (prev, k) = resumeState(spark, io, rootDir, prefix)
     val next = update(spark, newClaims, prev)
     io.write(next.claims, s"${prefix}_claims_b$k")
     io.write(next.trust, s"${prefix}_trust_b$k")
     io.write(next.resolved, s"${prefix}_resolved_b$k")
+    StateGenerations.prune(
+      StateGenerations.list(spark, rootDir, s"${prefix}_claims_b"),
+      k - retain) { g =>
+      io.delete(spark, s"${prefix}_claims_b$g")
+      io.delete(spark, s"${prefix}_trust_b$g")
+      io.delete(spark, s"${prefix}_resolved_b$g")
+    }
     next
   }
 
-  /** Latest complete generation under `prefix` (all three tables
-    * present) rebuilt as a TruthState, plus the generation index the
-    * NEXT batch writes. */
+  /** Latest COMPLETE generation under `rootDir`/`prefix` (all three
+    * tables present) rebuilt as a TruthState, plus the generation index
+    * the NEXT batch writes. */
   def resumeState(
       spark: SparkSession,
       io: graft.sources.TableIO,
+      rootDir: String,
       prefix: String): (Option[TruthState], Int) = {
-    var k = 0
-    while (io.exists(spark, s"${prefix}_claims_b$k") &&
-        io.exists(spark, s"${prefix}_trust_b$k") &&
-        io.exists(spark, s"${prefix}_resolved_b$k")) k += 1
-    if (k == 0) (None, 0)
-    else (Some(TruthState(
-      claims = io.read(spark, s"${prefix}_claims_b${k - 1}"),
-      trust = io.read(spark, s"${prefix}_trust_b${k - 1}"),
-      resolved = io.read(spark, s"${prefix}_resolved_b${k - 1}"),
-      batches = k)), k)
+    val gens = StateGenerations.list(spark, rootDir, s"${prefix}_claims_b")
+    val complete = (g: Int) =>
+      io.exists(spark, s"${prefix}_claims_b$g") &&
+        io.exists(spark, s"${prefix}_trust_b$g") &&
+        io.exists(spark, s"${prefix}_resolved_b$g")
+    StateGenerations.latestComplete(gens, complete) match {
+      case None => (None, 0)
+      case Some(g) => (Some(TruthState(
+        claims = io.read(spark, s"${prefix}_claims_b$g"),
+        trust = io.read(spark, s"${prefix}_trust_b$g"),
+        resolved = io.read(spark, s"${prefix}_resolved_b$g"),
+        batches = g + 1)), g + 1)
+    }
   }
 }
