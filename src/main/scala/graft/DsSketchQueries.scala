@@ -744,7 +744,7 @@ object DsSketchQueries {
     * a sketch, only judge one). Same frozen instances the queries use. */
   def dumpAux(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     def dump(df: DataFrame, name: String): Unit =
-      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/$name")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
     import spark.implicits._
     dump(setopsEst(spark, sfDir), "ds_theta_setops")
     dump(mergeEst(spark, sfDir), "ds_theta_merge")

@@ -1254,7 +1254,7 @@ object ErQueries {
       TruthDiscovery.resolveFrom(t.claims, t.inv)
         .join(TruthDiscovery.majorityVote(t.claims), Seq("entity"))
         .join(truth, Seq("entity"))
-        .select(col("entity"), col("value"), round(col("belief"), 6).as("belief"),
+        .select(col("entity"), col("value"), col("belief_fp"),
           col("n_values"), col("n_sources"), col("vote_value"), col("truth"),
           (col("value") === col("truth")).as("inv_correct"),
           (col("vote_value") === col("truth")).as("vote_correct"))
@@ -1266,19 +1266,23 @@ object ErQueries {
     // ~0.05) from the careful half (~1.0) while the linear Sums scheme
     // compresses the same signal — next to each source's OBSERVED wrong
     // rate so the trust/noise anticorrelation is in the row. Both
-    // 5-round chains unrolled in the oracle from raw documents
+    // 5-round chains unrolled in the oracle from raw documents. Every
+    // column is an INTEGER (trust in 1e-9 fixed-point units, wrong rate
+    // in ppm) — the hashed row is bit-stable by construction on any
+    // engine at any parallelism (round-4 fix: the rounded-double dump
+    // was hash-flaky at decimal boundaries)
     "er_source_trust" -> ((s, dir) => {
       val t = TruthResults.cached(s, dir)
       val stats = t.claims.groupBy(col("source"))
         .agg(count(lit(1)).as("n_claims"),
           sum(when(col("value") =!= col("truth"), 1L).otherwise(0L)).as("n_wrong"))
-      t.inv.trust.select(col("source"), round(col("trust"), 6).as("trust_inv"))
-        .join(t.sm.trust.select(col("source"), round(col("trust"), 6).as("trust_sums")),
+      t.inv.trust.select(col("source"), col("trust_fp").as("trust_inv_fp"))
+        .join(t.sm.trust.select(col("source"), col("trust_fp").as("trust_sums_fp")),
           Seq("source"))
         .join(stats, Seq("source"))
-        .select(col("source"), col("trust_inv"), col("trust_sums"),
+        .select(col("source"), col("trust_inv_fp"), col("trust_sums_fp"),
           col("n_claims"), col("n_wrong"),
-          round(col("n_wrong").cast("double") / col("n_claims"), 6).as("wrong_rate"))
+          expr("(n_wrong * 1000000L) div n_claims").as("wrong_rate_ppm"))
         .orderBy(col("source"))
     }),
 
@@ -1304,7 +1308,7 @@ object ErQueries {
       val nClaims = st.claims.count()
       st.resolved
         .join(truth, Seq("entity"))
-        .select(col("entity"), col("value"), round(col("belief"), 6).as("belief"),
+        .select(col("entity"), col("value"), col("belief_fp"),
           col("truth"), (col("value") === col("truth")).as("correct"),
           lit(nClaims).as("n_claims"), lit(st.batches).as("n_batches"))
         .orderBy(col("entity"))
@@ -1319,17 +1323,29 @@ object ErQueries {
       PqResults.cached(s, dir).pairs.orderBy(col("idA"), col("idB"))),
 
     // pq-gram distance over the pipeline's candidate pairs, next to the
-    // exact banded-kernel normDist — the approximate-vs-exact
+    // exact banded-kernel distance — the approximate-vs-exact
     // comparison a pq-gram PREFILTER deployment reads before spending
     // the DP; bag algebra redone by the oracle from the verified
-    // profile dump, normDist joined from the independent er_scores
+    // profile dump, the kernel columns joined from the independent
+    // er_scores. Every hashed column is an INTEGER: the two distances
+    // are exact floor-ppm rationals of the integer columns already in
+    // the row (pq_dist = 1 − 2·inter/(sizeA+sizeB), normDist =
+    // dist/(nA+nB)) — no raw doubles, so the row is bit-stable on any
+    // engine at any parallelism (round-4 fix: hash-flaky rounded
+    // doubles)
     "er_pqgram" -> ((s, dir) => {
       val r = pipeline(s, dir)
       val prof = PqResults.cached(s, dir).profiles
       PqGrams.pairDistances(
           r.pairs.toDF().select(col("idA"), col("idB")), prof)
-        .join(r.scores.toDF().select(col("idA"), col("idB"), col("normDist"),
-          col("isMatch")), Seq("idA", "idB"))
+        .join(r.scores.toDF().select(col("idA"), col("idB"), col("dist"),
+          col("nA"), col("nB"), col("isMatch")), Seq("idA", "idB"))
+        .select(col("idA"), col("idB"), col("inter"), col("sizeA"), col("sizeB"),
+          expr("((sizeA + sizeB - 2 * inter) * 1000000L) div (sizeA + sizeB)")
+            .as("pq_dist_ppm"),
+          col("dist"), col("nA"), col("nB"),
+          expr("(dist * 1000000L) div (nA + nB)").as("norm_ppm"),
+          col("isMatch"))
         .orderBy(col("idA"), col("idB"))
     }),
 
@@ -1812,15 +1828,15 @@ object ErQueries {
     * dumps; the driver ignores non-query directories. */
   def dumpAux(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     CorpusGen.corpus(spark, sfDir).toDF()
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/corpus")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/corpus")
     Results.cached(spark, sfDir).metrics
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/metrics_raw")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/metrics_raw")
     // the streaming twin's cumulative match edges: the er_stream_clusters
     // oracle recomputes connected components over these independently
     StreamResults.cached(spark, sfDir).matches
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/stream_matches")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/stream_matches")
     BStreamResults.cached(spark, sfDir).matches
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/bstream_matches")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/bstream_matches")
     // postorder structure (node index → leftmost-leaf-descendant) of
     // every tree touched by the 50-pair edit-script sample: the
     // er_mapping_valid oracle measures the Tai ancestry condition from
@@ -1831,7 +1847,7 @@ object ErQueries {
         .union(eds.select(col("idB").as("id"))).distinct()
       Results.cached(spark, sfDir).trees.toDF().join(ids, "id")
         .select(col("id"), posexplode(col("lmds")).as(Seq("i", "lmd")))
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/script_tree_nodes")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/script_tree_nodes")
     }
     // full postorder structure WITH labels for every tree: the
     // er_pqgram_profile oracle re-derives parents, ordered children
@@ -1841,7 +1857,7 @@ object ErQueries {
       .select(col("id"),
         posexplode(arrays_zip(col("labels"), col("lmds"))).as(Seq("i", "z")))
       .select(col("id"), col("i"), col("z.labels").as("label"), col("z.lmds").as("lmd"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/tree_nodes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/tree_nodes")
     // Fellegi–Sunter oracle inputs: the narrow per-pair feature table
     // (vectors/EM/weights/eval are all re-derived from it by the oracle)
     // and the FULL-precision fitted params (parquet doubles are
@@ -1849,19 +1865,19 @@ object ErQueries {
     // identical numbers the engine used — the rounded er_fs_params query
     // checks the EM itself via the replayed-SQL-EM oracle)
     FsResults.cached(spark, sfDir).features
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/fs_pairs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/fs_pairs")
     // packed PPRL bitset words (id, widx, word): the er_pprl oracle
     // recomputes popcounts, pair intersections, dice, and decisions
     // from these with DuckDB's own bit arithmetic
     PprlResults.cached(spark, sfDir).pathEnc
       .select(col("id"), posexplode(col("bf")).as(Seq("widx", "word")))
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/pprl_words")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/pprl_words")
     // packed COMPOSITE CLK words (1024-bit: path grams + lang +
     // content tokens): the er_pprl_blocks / er_pprl_recall oracles
     // re-derive band keys, purge, pairs, and Dice from these
     PprlResults.cached(spark, sfDir).compEnc
       .select(col("id"), posexplode(col("bf")).as(Seq("widx", "word")))
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/pprl2_words")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/pprl2_words")
     // full Gotoh D/P/Q matrices per candidate pair (INF encoded -1):
     // the er_affine_gap oracle re-checks borders + all three
     // recurrences cell-by-cell and reads the corner as the distance
@@ -1877,7 +1893,7 @@ object ErQueries {
             .map { case (i, j, dc, pc, qc) => (ia, ib, i, j, dc, pc, qc) }
         }
         .toDF("idA", "idB", "i", "j", "dc", "pc", "qc")
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/ag_cells")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ag_cells")
     }
     // full Smith–Waterman H matrix per candidate pair: the
     // er_smith_waterman oracle re-checks borders + the zero-floored
@@ -1894,7 +1910,7 @@ object ErQueries {
             .map { case (i, j, hc) => (ia, ib, i, j, hc) }
         }
         .toDF("idA", "idB", "i", "j", "hc")
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/sw_cells")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/sw_cells")
     }
     locally {
       import spark.implicits._
@@ -1902,30 +1918,30 @@ object ErQueries {
       FellegiSunter.fieldNames.indices
         .map(j => (j, ps.m(j), ps.u(j), ps.p))
         .toDF("j", "m", "u", "p")
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/fs_params_full")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/fs_params_full")
       // full-precision ternary params for the missing-data twin's
       // weight/posterior oracle arithmetic (parquet doubles, bit-exact)
       val pm = FsMissingResults.cached(spark, sfDir).params
       FellegiSunter.fieldNames.indices
         .map(j => (j, pm.m(j), pm.u(j), pm.p))
         .toDF("j", "m", "u", "p")
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/fs_missing_params_full")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/fs_missing_params_full")
     }
     // (key,id) block-index rows — engine-internal MinHash band keys; the
     // er_meta_blocking oracle redoes cap → pair → weight → prune from it
     Blocking.keyedIds(Results.cached(spark, sfDir).trees, Pipeline.Config().blocking)
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/er_block_index")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/er_block_index")
     // (key,id) STRUCTURE-channel index (banded MinHash over pq-gram
     // sets, engine-internal keys): the er_pqgram_pairs oracle redoes
     // the set-semantic cap + pair algebra from it
     PqResults.cached(spark, sfDir).blockKeys
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/pqgram_block_index")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/pqgram_block_index")
     // the streaming-truth twin's cumulative claims state: the
     // er_truth_stream oracle re-runs the full Investment fixpoint over
     // THIS dump (not the batch model), so the stream state itself is
     // what gets verified
     StreamTruthResults.cached(spark, sfDir).claims
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/struth_claims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/struth_claims")
     // uncapped lexer event stream per file: the er_tree_stats oracle
     // recomputes n / n_tokens / truncated from it (the cap bookkeeping
     // formula — see CodeParser.lexEvents)
@@ -1938,7 +1954,7 @@ object ErQueries {
             .map { case (k, pos) => (id, pos, k.toString) }
         }
         .toDF("id", "pos", "kind")
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/lex_events")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/lex_events")
     }
   }
 
@@ -3573,15 +3589,17 @@ object ErQueries {
       "er_truth_discovery" -> {
         s"""WITH claims AS MATERIALIZED (${TruthModel.claimsSql("documents")}),
            |nc AS MATERIALIZED (SELECT source, count(*) AS n FROM claims GROUP BY source),
-           |t0 AS MATERIALIZED (SELECT source, 1.0 AS trust FROM nc)
+           |t0 AS MATERIALIZED (SELECT source, CAST(${TruthDiscovery.Scale} AS BIGINT) AS tq FROM nc)
            |${invUnrollSql(TruthDiscovery.Rounds)},
            |share AS MATERIALIZED (
            |  SELECT entity, value,
-           |    base * base / (sum(base * base) OVER (PARTITION BY entity)) AS belief
+           |    CAST(CASE WHEN (sum(base * base) OVER (PARTITION BY entity)) = 0 THEN 0
+           |      ELSE (base * base * ${TruthDiscovery.Scale})
+           |        // (sum(base * base) OVER (PARTITION BY entity)) END AS BIGINT) AS belief_fp
            |  FROM base${TruthDiscovery.Rounds}),
-           |win AS (SELECT entity, value, belief,
+           |win AS (SELECT entity, value, belief_fp,
            |    row_number() OVER (PARTITION BY entity
-           |      ORDER BY round(belief, 9) DESC, value) AS rn
+           |      ORDER BY belief_fp DESC, value) AS rn
            |  FROM share),
            |support AS (SELECT entity, value, count(DISTINCT source) AS n_sources
            |  FROM claims GROUP BY entity, value),
@@ -3592,7 +3610,7 @@ object ErQueries {
            |      ORDER BY count(DISTINCT source) DESC, value) AS rn
            |    FROM claims GROUP BY entity, value) v WHERE rn = 1),
            |truthv AS (SELECT DISTINCT entity, truth FROM claims)
-           |SELECT w.entity, w.value, round(w.belief, 6) AS belief,
+           |SELECT w.entity, w.value, w.belief_fp,
            |  nv.n_values, s.n_sources, v.vote_value, t.truth,
            |  w.value = t.truth AS inv_correct,
            |  v.vote_value = t.truth AS vote_correct
@@ -3609,17 +3627,17 @@ object ErQueries {
       "er_source_trust" -> {
         s"""WITH claims AS MATERIALIZED (${TruthModel.claimsSql("documents")}),
            |nc AS MATERIALIZED (SELECT source, count(*) AS n FROM claims GROUP BY source),
-           |t0 AS MATERIALIZED (SELECT source, 1.0 AS trust FROM nc),
-           |s0 AS MATERIALIZED (SELECT source, 1.0 AS trust FROM nc)
+           |t0 AS MATERIALIZED (SELECT source, CAST(${TruthDiscovery.Scale} AS BIGINT) AS tq FROM nc),
+           |s0 AS MATERIALIZED (SELECT source, CAST(${TruthDiscovery.Scale} AS BIGINT) AS tq FROM nc)
            |${invUnrollSql(TruthDiscovery.Rounds)}
            |${sumsUnrollSql(TruthDiscovery.Rounds)},
-           |stats AS (SELECT source, count(*) AS n_claims,
-           |    sum(CASE WHEN value <> truth THEN 1 ELSE 0 END) AS n_wrong
+           |stats AS (SELECT source, CAST(count(*) AS BIGINT) AS n_claims,
+           |    CAST(sum(CASE WHEN value <> truth THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong
            |  FROM claims GROUP BY source)
-           |SELECT st.source, round(ti.trust, 6) AS trust_inv,
-           |  round(ts.trust, 6) AS trust_sums,
+           |SELECT st.source, ti.tq AS trust_inv_fp,
+           |  ts.tq AS trust_sums_fp,
            |  st.n_claims, st.n_wrong,
-           |  round(CAST(st.n_wrong AS DOUBLE) / st.n_claims, 6) AS wrong_rate
+           |  CAST((st.n_wrong * 1000000) // st.n_claims AS BIGINT) AS wrong_rate_ppm
            |FROM stats st
            |JOIN t${TruthDiscovery.Rounds} ti ON ti.source = st.source
            |JOIN s${TruthDiscovery.Rounds} ts ON ts.source = st.source
@@ -3677,21 +3695,23 @@ object ErQueries {
            |  SELECT source, entity, value
            |  FROM read_parquet('{OUT}/_aux/struth_claims/*.parquet')),
            |nc AS MATERIALIZED (SELECT source, count(*) AS n FROM claims GROUP BY source),
-           |t0 AS MATERIALIZED (SELECT source, 1.0 AS trust FROM nc)
+           |t0 AS MATERIALIZED (SELECT source, CAST(${TruthDiscovery.Scale} AS BIGINT) AS tq FROM nc)
            |${invUnrollSql(TruthDiscovery.Rounds)},
            |share AS MATERIALIZED (
            |  SELECT entity, value,
-           |    base * base / (sum(base * base) OVER (PARTITION BY entity)) AS belief
+           |    CAST(CASE WHEN (sum(base * base) OVER (PARTITION BY entity)) = 0 THEN 0
+           |      ELSE (base * base * ${TruthDiscovery.Scale})
+           |        // (sum(base * base) OVER (PARTITION BY entity)) END AS BIGINT) AS belief_fp
            |  FROM base${TruthDiscovery.Rounds}),
-           |win AS (SELECT entity, value, belief,
+           |win AS (SELECT entity, value, belief_fp,
            |    row_number() OVER (PARTITION BY entity
-           |      ORDER BY round(belief, 9) DESC, value) AS rn
+           |      ORDER BY belief_fp DESC, value) AS rn
            |  FROM share),
            |tr AS (SELECT DISTINCT entity,
            |    'v' || CAST(${TruthModel.tIdxCase} AS STRING) AS truth
            |  FROM claims),
            |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_claims FROM claims)
-           |SELECT w.entity, w.value, round(w.belief, 6) AS belief, tr.truth,
+           |SELECT w.entity, w.value, w.belief_fp, tr.truth,
            |  w.value = tr.truth AS correct, cnt.n_claims,
            |  CAST($StreamTruthBatches AS INT) AS n_batches
            |FROM win w JOIN tr ON tr.entity = w.entity CROSS JOIN cnt
@@ -3715,23 +3735,28 @@ object ErQueries {
 
       // bag-intersection distance redone from the VERIFIED profile dump
       // over the dumped candidate pairs, with the exact kernel's
-      // normDist/isMatch joined from the independent er_scores dump
+      // dist/nA/nB/isMatch joined from the independent er_scores dump;
+      // both distances emitted as exact floor-ppm integers (bit-stable
+      // on any engine — no doubles in the hashed row)
       "er_pqgram" ->
         """WITH prof AS MATERIALIZED (
           |  SELECT id, gram, cnt
           |  FROM read_parquet('{OUT}/er_pqgram_profile/*.parquet')),
-          |sizes AS (SELECT id, sum(cnt) AS size FROM prof GROUP BY id),
+          |sizes AS (SELECT id, CAST(sum(cnt) AS BIGINT) AS size FROM prof GROUP BY id),
           |pairs AS (SELECT idA, idB FROM read_parquet('{OUT}/er_pairs/*.parquet')),
           |inter AS (
-          |  SELECT p.idA, p.idB, sum(least(a.cnt, b.cnt)) AS inter
+          |  SELECT p.idA, p.idB, CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS inter
           |  FROM pairs p
           |  JOIN prof a ON a.id = p.idA
           |  JOIN prof b ON b.id = p.idB AND b.gram = a.gram
           |  GROUP BY p.idA, p.idB)
           |SELECT p.idA, p.idB, coalesce(i.inter, 0) AS inter,
           |  sa.size AS sizeA, sb.size AS sizeB,
-          |  round(1.0 - 2.0 * coalesce(i.inter, 0) / (sa.size + sb.size), 6) AS pq_dist,
-          |  s.normDist, s.isMatch
+          |  CAST(((sa.size + sb.size - 2 * coalesce(i.inter, 0)) * 1000000)
+          |    // (sa.size + sb.size) AS BIGINT) AS pq_dist_ppm,
+          |  s.dist, s.nA, s.nB,
+          |  CAST((s.dist * 1000000) // (s.nA + s.nB) AS BIGINT) AS norm_ppm,
+          |  s.isMatch
           |FROM pairs p
           |LEFT JOIN inter i ON i.idA = p.idA AND i.idB = p.idB
           |JOIN sizes sa ON sa.id = p.idA
@@ -3791,43 +3816,60 @@ object ErQueries {
     * i reads trust table t{i-1} and emits base{i} (pooled investment
     * per claim) and t{i} (max-normalized returned trust). Appends to a
     * WITH chain that already defined `claims`, `nc`, `t0`. */
-  private def invUnrollSql(rounds: Int): String =
+  /** Unrolled Investment rounds in HUGEINT fixed-point — the exact
+    * integer chain [[graft.operators.TruthDiscovery.investment]] runs
+    * (trust tq in 1e-9 units, floor-division invest, exact integer
+    * sums, `(x * Scale) // max(x)` normalization). Bit-equal to the
+    * Spark side by construction: integer sums are associative, so
+    * neither engine's parallelism can move a single unit. */
+  private def invUnrollSql(rounds: Int): String = {
+    val S = TruthDiscovery.Scale
     (1 to rounds).map { i =>
       s""",
          |inv$i AS MATERIALIZED (
-         |  SELECT c.source, c.entity, c.value, t.trust / nc.n AS inv
+         |  SELECT c.source, c.entity, c.value, t.tq // nc.n AS invq
          |  FROM claims c JOIN t${i - 1} t ON t.source = c.source
          |  JOIN nc ON nc.source = c.source),
          |base$i AS MATERIALIZED (
-         |  SELECT entity, value, sum(inv) AS base
+         |  SELECT entity, value, sum(CAST(invq AS HUGEINT)) AS base
          |  FROM inv$i GROUP BY entity, value),
          |tr$i AS MATERIALIZED (
-         |  SELECT i.source, sum(b.base * i.inv) AS t
+         |  SELECT i.source, sum(b.base * CAST(i.invq AS HUGEINT)) AS traw
          |  FROM inv$i i JOIN base$i b
          |    ON b.entity = i.entity AND b.value = i.value
          |  GROUP BY i.source),
          |t$i AS MATERIALIZED (
-         |  SELECT source, t / (SELECT max(t) FROM tr$i) AS trust FROM tr$i)""".stripMargin
+         |  SELECT source,
+         |    CAST((traw * $S) // (SELECT max(traw) FROM tr$i) AS BIGINT) AS tq
+         |  FROM tr$i)""".stripMargin
     }.mkString
+  }
 
-  /** Unrolled Sums rounds (linear hubs-and-authorities twin), trust
-    * tables s{i}, beliefs sb{i}, both max-normalized — appended after
-    * an `s0` seed in the same WITH chain. */
-  private def sumsUnrollSql(rounds: Int): String =
+  /** Unrolled Sums rounds (linear hubs-and-authorities twin) in the
+    * same HUGEINT fixed-point, trust tables s{i}, beliefs sb{i}, both
+    * max-normalized to Scale — appended after an `s0` seed in the same
+    * WITH chain. */
+  private def sumsUnrollSql(rounds: Int): String = {
+    val S = TruthDiscovery.Scale
     (1 to rounds).map { i =>
       s""",
          |sbr$i AS MATERIALIZED (
-         |  SELECT entity, value, sum(t.trust) AS b
+         |  SELECT entity, value, sum(CAST(t.tq AS HUGEINT)) AS braw
          |  FROM claims c JOIN s${i - 1} t ON t.source = c.source
          |  GROUP BY entity, value),
          |sb$i AS MATERIALIZED (
-         |  SELECT entity, value, b / (SELECT max(b) FROM sbr$i) AS belief FROM sbr$i),
+         |  SELECT entity, value,
+         |    CAST((braw * $S) // (SELECT max(braw) FROM sbr$i) AS BIGINT) AS bq
+         |  FROM sbr$i),
          |str$i AS MATERIALIZED (
-         |  SELECT c.source, sum(b.belief) AS t
+         |  SELECT c.source, sum(CAST(b.bq AS HUGEINT)) AS traw
          |  FROM claims c JOIN sb$i b
          |    ON b.entity = c.entity AND b.value = c.value
          |  GROUP BY c.source),
          |s$i AS MATERIALIZED (
-         |  SELECT source, t / (SELECT max(t) FROM str$i) AS trust FROM str$i)""".stripMargin
+         |  SELECT source,
+         |    CAST((traw * $S) // (SELECT max(traw) FROM str$i) AS BIGINT) AS tq
+         |  FROM str$i)""".stripMargin
     }.mkString
+  }
 }

@@ -184,7 +184,7 @@ object SimQueries {
   def dumpAux(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val e = emb(spark, sfDir)
     def dump(df: DataFrame, name: String): Unit =
-      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/$name")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
     dump(Similarity.lshBuckets(e, planeBits = 4, tables = 8), "lsh_corpus_buckets")
     dump(Similarity.lshBuckets(queriesOf(e, 20), planeBits = 4, tables = 8),
       "lsh_query_buckets")

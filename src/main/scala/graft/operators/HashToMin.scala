@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Checkpoints.localTruncated
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -29,9 +30,11 @@ import org.apache.spark.sql.functions._
   * the pipeline default for adversarial component sizes, and
   * hash-to-min is the faster-converging choice when components are
   * bounded (dedup/ER graphs, where clusters are entity-sized).
-  * Lineage is truncated per round (localCheckpoint; swap for durable
+  * Lineage AND inherited stats are truncated per round
+  * ([[graft.util.Checkpoints.localTruncated]]; swap for durable
   * checkpoint via TableIO on a cluster), convergence detected by the
-  * same O(1)-row order-independent signature as the star path.
+  * same O(1)-row order-independent signature as the star path; a
+  * maxIter exit without convergence fails loudly.
   */
 object HashToMin {
 
@@ -52,12 +55,18 @@ object HashToMin {
     val e = edges
       .select($"idA".as("node"), $"idB".as("member"))
       .where($"node" =!= $"member")
-    // C(v) = {v} ∪ N(v), as rows; seed every universe node with itself
-    var state = nodes.select($"id".as("node"), $"id".as("member"))
-      .union(e)
-      .union(e.select($"member".as("node"), $"node".as("member")))
-      .distinct()
-      .localCheckpoint(true)
+    // C(v) = {v} ∪ N(v), as rows; seed every universe node with itself.
+    // localTruncated, not localCheckpoint: the per-round state is built
+    // by joining state with an aggregate of ITSELF, so an inherited
+    // sizeInBytes estimate would square per round (the stats-compounding
+    // pathology Checkpoints.localTruncated exists for) — at the proven
+    // O(log n) round counts the tax is mild, but a near-maxIter graph
+    // would stall the driver in stats visits.
+    var state = localTruncated(
+      nodes.select($"id".as("node"), $"id".as("member"))
+        .union(e)
+        .union(e.select($"member".as("node"), $"node".as("member")))
+        .distinct())
 
     var sigPrev = signature(state)
     var iter = 0
@@ -65,16 +74,23 @@ object HashToMin {
     while (!converged && iter < maxIter) {
       val mins = state.groupBy($"node").agg(min($"member").as("mn"))
       val withMn = state.join(mins, "node")
-      val next = withMn.select($"member".as("node"), $"mn".as("member"))
-        .union(withMn.select($"mn".as("node"), $"member"))
-        .distinct()
-        .localCheckpoint(true)
+      val next = localTruncated(
+        withMn.select($"member".as("node"), $"mn".as("member"))
+          .union(withMn.select($"mn".as("node"), $"member"))
+          .distinct())
       val sig = signature(next)
       converged = sig == sigPrev
       sigPrev = sig
       state = next
       iter += 1
     }
+    // a maxIter exit without signature convergence means min(member) is
+    // NOT the component minimum for under-propagated nodes — fail loudly
+    // (same contract as CenterClustering's pending-empty require) rather
+    // than return silently-wrong assignments
+    require(converged,
+      s"HashToMin did not converge within $maxIter rounds — " +
+        "component diameter too large for the round budget; raise maxIter")
 
     val assign = state.groupBy($"node".as("id")).agg(min($"member").as("clusterId"))
     (assign, iter)

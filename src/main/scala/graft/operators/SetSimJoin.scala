@@ -38,12 +38,16 @@ object SetSimJoin {
   /** Per-doc token arrays re-assembled in the global rare-first total
     * order (freq asc, token asc) — the ONE ordering every prefix filter
     * here keys its correctness on, so it has exactly one definition.
+    * PUBLIC so a caller running several joins over the same corpus can
+    * build it once, persist it, and feed the `*Ordered` variants (the
+    * tokenize → global-frequency → reorder chain is the shuffle-heavy
+    * shared stage; TextQueries.SetSimResults memoizes it per corpus).
     * NOT persisted here: the operators return lazy plans and own no
     * lifetime, so pinning a cache inside would leak one copy per
     * invocation (callers that read a result repeatedly should cache the
     * RESULT). Each operator's prefix branch and verification join read
     * this subtree once; Catalyst's exchange reuse covers the overlap. */
-  private def rareFirstOrdered(docs: DataFrame): DataFrame = {
+  def rareFirst(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("id"), explode(col("toks")).as("token"))
     val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))
     tok.join(freq, "token")
@@ -55,9 +59,13 @@ object SetSimJoin {
   /** docs: (id, toks) with toks a DISTINCT token array. Returns
     * (idA, idB, isect, union_n, jaccard) for every pair with
     * Jaccard ≥ tNum/tDen — exact, no false negatives/positives. */
-  def join(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+  def join(docs: DataFrame, tNum: Int, tDen: Int): DataFrame =
+    joinOrdered(rareFirst(docs), tNum, tDen)
+
+  /** [[join]] over an already [[rareFirst]]-ordered (and typically
+    * persisted) frame. */
+  def joinOrdered(ordered: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
-    val ordered = rareFirstOrdered(docs)
     val n = size(col("toks"))
     val pfxLen = n - ceilFrac(n, tNum, tDen) + 1
     val prefix = ordered.select(col("id"), n.as("n"),
@@ -108,23 +116,30 @@ object SetSimJoin {
     * shuffle count.
     */
   def ppjoin(docs: DataFrame, tNum: Int, tDen: Int): DataFrame =
-    ppjoinStages(docs, tNum, tDen)._3
+    ppjoinStages(rareFirst(docs), tNum, tDen)._3
 
   /** 1-row candidate funnel: distinct pairs surviving prefix + length
     * filters, survivors of the positional filter, final verified pairs
     * — the measured evidence that the positional filter pays for itself
     * before the verification join. Lazy (no actions). */
   def ppjoinStats(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
-    val (pre, pos, fin) = ppjoinStages(docs, tNum, tDen)
+    val (pre, pos, fin) = ppjoinStages(rareFirst(docs), tNum, tDen)
+    funnelStats(pre, pos, fin)
+  }
+
+  /** The funnel row over the three stage frames — ONE definition shared
+    * by [[ppjoinStats]] and callers that cache [[ppjoinStages]]. */
+  def funnelStats(pre: DataFrame, pos: DataFrame, fin: DataFrame): DataFrame =
     pre.agg(count(lit(1)).as("n_prefix_cands"))
       .crossJoin(pos.agg(count(lit(1)).as("n_pos_cands")))
       .crossJoin(fin.agg(count(lit(1)).as("n_pairs")))
-  }
 
-  private def ppjoinStages(docs: DataFrame, tNum: Int, tDen: Int)
+  /** PPJoin's three stage frames (prefix+length candidates, positional
+    * survivors, verified pairs) over an already [[rareFirst]]-ordered
+    * frame — public so a memoizing caller persists each stage once. */
+  def ppjoinStages(ordered: DataFrame, tNum: Int, tDen: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
-    val ordered = rareFirstOrdered(docs)
     val n = size(col("toks"))
     val pfxLen = n - ceilFrac(n, tNum, tDen) + 1
     // 1-indexed position within the FULL rare-first order — the i/j the
@@ -180,10 +195,13 @@ object SetSimJoin {
     * squared cosine as a 6-dp rational, sqrt never computed.
     * Same two-shuffle scale shape as [[join]].
     */
-  def cosineJoin(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+  def cosineJoin(docs: DataFrame, tNum: Int, tDen: Int): DataFrame =
+    cosineJoinOrdered(rareFirst(docs), tNum, tDen)
+
+  /** [[cosineJoin]] over an already [[rareFirst]]-ordered frame. */
+  def cosineJoinOrdered(ordered: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     val (t2Num, t2Den) = (tNum.toLong * tNum, tDen.toLong * tDen)
-    val ordered = rareFirstOrdered(docs)
     val n = size(col("toks"))
     // αx = ⌈n·t²⌉ in exact integer arithmetic
     val alpha = floor((n * t2Num + lit(t2Den - 1)) / t2Den).cast("int")

@@ -47,40 +47,58 @@ object StreamingLink {
   }
 
   /** Durable twin of [[update]]: state round-trips through `io`
-    * (`_SUCCESS`-gated tables, one generation per batch), so a crashed
-    * stream RESUMES at the last complete batch — the same
-    * kill-and-resume contract as StreamingEr's checkpointed path. The
-    * cumulative edge table is the authoritative state; the matched
-    * table is written alongside so readers never pay a re-match. A
-    * crash between the two writes leaves a half generation, which the
-    * resume scan skips (both tables must exist) and the retried batch
-    * overwrites. */
+    * (`_SUCCESS`-gated tables, one generation per batch under
+    * `rootDir`), so a crashed stream RESUMES at the last complete
+    * batch — the same kill-and-resume contract as StreamingEr's
+    * checkpointed path. The cumulative edge table is the authoritative
+    * state; the matched table is written alongside so readers never pay
+    * a re-match. Generation bookkeeping is [[StateGenerations]] (same
+    * as StreamingTruth/StreamingEr): a crash between the two writes
+    * leaves a half generation, which `latestComplete` skips and the
+    * retried batch overwrites, and generations older than `retain` are
+    * garbage-collected — storage stays O(retain), not O(batches), and a
+    * directory listing (not a scan-from-zero) finds the resume point,
+    * so pruned early generations can never make a restart silently
+    * begin from empty (the failure mode of the pre-round-5
+    * exists-counting loop this replaced). */
   def updateDurable(
       spark: SparkSession,
       newEdges: DataFrame,
       io: graft.sources.TableIO,
-      prefix: String = "slink"): LinkState = {
-    val (prev, k) = resumeState(spark, io, prefix)
+      rootDir: String,
+      prefix: String = "slink",
+      retain: Int = 2): LinkState = {
+    val (prev, k) = resumeState(spark, io, rootDir, prefix)
     val next = update(spark, newEdges, prev)
     io.write(next.edges, s"${prefix}_edges_b$k")
     io.write(next.matched, s"${prefix}_matched_b$k")
+    StateGenerations.prune(
+      StateGenerations.list(spark, rootDir, s"${prefix}_edges_b"),
+      k - retain) { g =>
+      io.delete(spark, s"${prefix}_edges_b$g")
+      io.delete(spark, s"${prefix}_matched_b$g")
+    }
     next
   }
 
-  /** Latest complete generation under `prefix` (both tables present)
-    * rebuilt as a LinkState, plus the generation index the NEXT batch
-    * writes. */
+  /** Latest COMPLETE generation under `rootDir`/`prefix` (both tables
+    * present) rebuilt as a LinkState, plus the generation index the
+    * NEXT batch writes. */
   def resumeState(
       spark: SparkSession,
       io: graft.sources.TableIO,
+      rootDir: String,
       prefix: String): (Option[LinkState], Int) = {
-    var k = 0
-    while (io.exists(spark, s"${prefix}_edges_b$k") &&
-        io.exists(spark, s"${prefix}_matched_b$k")) k += 1
-    if (k == 0) (None, 0)
-    else (Some(LinkState(
-      edges = io.read(spark, s"${prefix}_edges_b${k - 1}"),
-      matched = io.read(spark, s"${prefix}_matched_b${k - 1}"),
-      batches = k)), k)
+    val gens = StateGenerations.list(spark, rootDir, s"${prefix}_edges_b")
+    val complete = (g: Int) =>
+      io.exists(spark, s"${prefix}_edges_b$g") &&
+        io.exists(spark, s"${prefix}_matched_b$g")
+    StateGenerations.latestComplete(gens, complete) match {
+      case None => (None, 0)
+      case Some(g) => (Some(LinkState(
+        edges = io.read(spark, s"${prefix}_edges_b$g"),
+        matched = io.read(spark, s"${prefix}_matched_b$g"),
+        batches = g + 1)), g + 1)
+    }
   }
 }

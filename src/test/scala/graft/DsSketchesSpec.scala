@@ -235,15 +235,30 @@ class DsSketchesSpec extends AnyFunSuite {
       s"total weight ${total.getTotalSketchWeight} != $exactTotal")
     // unbiased subset estimate: weight of even ids. The library's
     // lb/ub is a ~95 % CONFIDENCE interval over the sketch's own
-    // (unseeded) randomness, not a sure bound — one observed run missed
-    // the truth by 0.44 % — so pad the bracket by 2 % to keep the check
-    // meaningful without the once-in-twenty flake
+    // (unseeded, unseedable) randomness, not a sure bound — a 2.5σ draw
+    // at k=256 was OBSERVED missing a ±2 %-padded bracket entirely
+    // (est 121,873 vs exact 99,997; round-4 verdict), so no single-
+    // sketch interval assertion can be deterministic. Instead: average
+    // the estimate over 9 INDEPENDENT sketches (σ/3 ≈ 3 % of truth) and
+    // assert a ±15 % band (≈ 5σ of the mean — flake odds ~3e-7), plus
+    // the SURE per-sketch bound est ≤ total sketch weight.
     val exactEven = (0 until 50000 by 2).map(i => 1.0 + (i % 7)).sum
-    val even = sk.estimateSubsetSum(l => l % 2 == 0)
-    assert(even.getLowerBound * 0.98 <= exactEven &&
-        exactEven <= even.getUpperBound * 1.02,
-      s"[${even.getLowerBound}, ${even.getUpperBound}] (±2%) misses $exactEven " +
-        s"(est ${even.getEstimate})")
+    val serde = new org.apache.datasketches.common.ArrayOfLongsSerDe()
+    val ests = (1 to 9).map { _ =>
+      val b = DsSketches.varoptSketch(big, Seq("g"), "u", "w", k = 256)
+        .select(col("sketch")).head().getAs[Array[Byte]](0)
+      val s = org.apache.datasketches.sampling.VarOptItemsSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(b), serde)
+      val r = s.estimateSubsetSum(l => l % 2 == 0)
+      assert(r.getEstimate >= 0.0 &&
+          r.getEstimate <= r.getTotalSketchWeight + 1e-6,
+        s"subset estimate ${r.getEstimate} outside [0, total] — not a CI, a sure bound")
+      r.getEstimate
+    }
+    val mean = ests.sum / ests.size
+    assert(math.abs(mean - exactEven) <= 0.15 * exactEven,
+      s"mean of ${ests.size} independent subset estimates $mean " +
+        s"misses $exactEven by >15% (ests: $ests)")
   }
 
   // ---- NULL / empty-group edges (review findings, regression-pinned) ---------

@@ -48,32 +48,37 @@ class StreamingLinkSpec extends AnyFunSuite {
     assert(s3.edges.count() == s2.edges.count())
   }
 
-  test("durable fold: kill-and-resume, half-written generations skipped, fold == batch") {
+  test("durable fold: kill-and-resume, half-written generations skipped, GC keeps retain, fold == batch") {
     val root = java.nio.file.Files.createTempDirectory("graft_slink").toString
     val io = new graft.sources.ParquetTableIO(root)
     val b1 = Seq(("l1", "r1", 3.0), ("l2", "r2", 2.0))
     val b2 = Seq(("l3", "r1", 5.0), ("l2", "r3", 4.0))
     val b3 = Seq(("l1", "r4", 9.0), ("l4", "r2", 1.0))
     // two batches, then "crash" — each call resumes purely from storage
-    StreamingLink.updateDurable(spark, toDf(b1), io)
-    StreamingLink.updateDurable(spark, toDf(b2), io)
-    val (resumed, k) = StreamingLink.resumeState(spark, io, "slink")
+    StreamingLink.updateDurable(spark, toDf(b1), io, root)
+    StreamingLink.updateDurable(spark, toDf(b2), io, root)
+    val (resumed, k) = StreamingLink.resumeState(spark, io, root, "slink")
     assert(k == 2 && resumed.get.batches == 2)
     assert(collectMatched(resumed.get.matched) ==
       OneToOneMatching.sequentialGreedy(b1 ++ b2).toSet)
     // a crash between the two writes leaves a HALF generation: the
     // resume scan must refuse it and the retried batch overwrite it
     io.write(toDf(b3), "slink_edges_b2")
-    val (afterCrash, k2) = StreamingLink.resumeState(spark, io, "slink")
+    val (afterCrash, k2) = StreamingLink.resumeState(spark, io, root, "slink")
     assert(k2 == 2 && afterCrash.get.batches == 2, "half generation must not resume")
-    val st3 = StreamingLink.updateDurable(spark, toDf(b3), io)
+    val st3 = StreamingLink.updateDurable(spark, toDf(b3), io, root, retain = 1)
     assert(st3.batches == 3)
     assert(collectMatched(st3.matched) ==
       OneToOneMatching.sequentialGreedy(b1 ++ b2 ++ b3).toSet)
-    // and the on-disk generation now reads back complete
-    val (fin, k3) = StreamingLink.resumeState(spark, io, "slink")
-    assert(k3 == 3 && collectMatched(fin.get.matched) ==
-      collectMatched(st3.matched))
+    // retain = 1 at generation 2 pruned generations <= 1 — and the
+    // directory-listing resume still lands on the latest complete
+    // generation instead of restarting from empty past the hole
+    assert(!io.exists(spark, "slink_edges_b0") &&
+      !io.exists(spark, "slink_edges_b1"), "old generations must be GC'd")
+    val (fin, k3) = StreamingLink.resumeState(spark, io, root, "slink")
+    assert(k3 == 3 && fin.get.batches == 3,
+      "resume must survive pruned early generations")
+    assert(collectMatched(fin.get.matched) == collectMatched(st3.matched))
   }
 
   test("re-scored pair deterministically upgrades to the max weight") {

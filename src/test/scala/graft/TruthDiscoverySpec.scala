@@ -7,8 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Truth discovery (Pasternack–Roth Sums + Investment g=2):
   *  - an in-memory replay differential for BOTH fixpoints on random
-  *    claims (the Spark dataflow must equal the plain-Scala recurrence
-  *    to 1e-9 — same bar as the other DP replays);
+  *    claims: the operator runs in 1e-9 fixed-point integers, so the
+  *    Spark dataflow must equal a plain-Scala BigInt recurrence
+  *    EXACTLY — bit-equality, not a tolerance (this is the property
+  *    that makes the er_truth and er_source_trust oracle rows
+  *    hash-stable across engines and parallelism);
   *  - the motivating scenario: a colluding careless majority outvotes a
   *    reliable minority — majority vote resolves wrong, Investment
   *    resolves right because the minority's cross-entity consistency
@@ -28,45 +31,50 @@ class TruthDiscoverySpec extends AnyFunSuite {
     rows.toDF("source", "entity", "value")
   }
 
-  /** Plain-Scala replay of both fixpoints (maps + loops, no Spark). */
+  /** Plain-Scala BigInt replay of both fixpoints — the EXACT integer
+    * recurrence the operator's fixed-point dataflow must reproduce
+    * bit-for-bit (trust/belief in 1e-9 units, floor divisions, exact
+    * integer sums). */
+  private val S = BigInt(TruthDiscovery.Scale)
   private def replay(rows: Seq[(String, String, String)], rounds: Int,
-                     algo: String): (Map[String, Double], Map[(String, String), Double]) = {
+                     algo: String): (Map[String, BigInt], Map[(String, String), BigInt]) = {
     val claims = rows.distinct
     val sources = claims.map(_._1).distinct
-    val nClaims = claims.groupBy(_._1).map { case (s, c) => s -> c.size.toDouble }
-    var trust = sources.map(_ -> 1.0).toMap
-    var beliefs = Map.empty[(String, String), Double]
-    var baseR = Map.empty[(String, String), Double]
+    val nClaims = claims.groupBy(_._1).map { case (s, c) => s -> BigInt(c.size) }
+    var trust = sources.map(_ -> S).toMap
+    var beliefs = Map.empty[(String, String), BigInt]
+    var baseR = Map.empty[(String, String), BigInt]
     for (_ <- 1 to rounds) {
       if (algo == "inv") {
+        val inv = sources.map(s => s -> trust(s) / nClaims(s)).toMap
         val base = claims.groupBy(c => (c._2, c._3)).map { case (k, cs) =>
-          k -> cs.map(c => trust(c._1) / nClaims(c._1)).sum
+          k -> cs.map(c => inv(c._1)).sum
         }
         baseR = base
         val tRaw = sources.map { s =>
-          s -> claims.filter(_._1 == s)
-            .map(c => base((c._2, c._3)) * trust(s) / nClaims(s)).sum
+          s -> claims.filter(_._1 == s).map(c => base((c._2, c._3)) * inv(s)).sum
         }.toMap
         val tMax = tRaw.values.max
-        trust = tRaw.map { case (s, t) => s -> t / tMax }
+        trust = tRaw.map { case (s, t) => s -> t * S / tMax }
       } else {
         val bRaw = claims.groupBy(c => (c._2, c._3)).map { case (k, cs) =>
           k -> cs.map(c => trust(c._1)).sum
         }
         val bMax = bRaw.values.max
-        val b = bRaw.map { case (k, v) => k -> v / bMax }
+        val b = bRaw.map { case (k, v) => k -> v * S / bMax }
         beliefs = b
         val tRaw = sources.map { s =>
           s -> claims.filter(_._1 == s).map(c => b((c._2, c._3))).sum
         }.toMap
         val tMax = tRaw.values.max
-        trust = tRaw.map { case (s, t) => s -> t / tMax }
+        trust = tRaw.map { case (s, t) => s -> t * S / tMax }
       }
     }
     if (algo == "inv") {
       val byE = baseR.groupBy(_._1._1)
       beliefs = baseR.map { case (k, v) =>
-        k -> v * v / byE(k._1).values.map(x => x * x).sum
+        val den = byE(k._1).values.map(x => x * x).sum
+        k -> (if (den == 0) BigInt(0) else v * v * S / den)
       }
     }
     (trust, beliefs)
@@ -80,30 +88,42 @@ class TruthDiscoverySpec extends AnyFunSuite {
     } yield (f"s$s%02d", f"e$e%03d", s"v${rng.nextInt(3)}")).distinct
   }
 
-  test("differential: Spark Investment == plain-Scala recurrence on random claims") {
+  test("differential: Spark Investment == BigInt fixed-point recurrence EXACTLY") {
     for (seed <- Seq(7L, 19L)) {
       val rows = randClaims(seed, 6, 12)
       val r = TruthDiscovery.investment(df(rows))
       val (trust, beliefs) = replay(rows, TruthDiscovery.Rounds, "inv")
-      val got = r.trust.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+      val got = r.trust.collect().map(x => x.getString(0) -> BigInt(x.getLong(2))).toMap
       assert(got.keySet === trust.keySet)
-      got.foreach { case (s, t) => assert(math.abs(t - trust(s)) < 1e-9, s"trust($s)") }
+      got.foreach { case (s, t) => assert(t === trust(s), s"trust_fp($s)") }
       val gotB = r.beliefs.collect()
-        .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+        .map(x => (x.getString(0), x.getString(1)) -> BigInt(x.getLong(3))).toMap
       assert(gotB.keySet === beliefs.keySet)
-      gotB.foreach { case (k, b) => assert(math.abs(b - beliefs(k)) < 1e-9, s"belief($k)") }
+      gotB.foreach { case (k, b) => assert(b === beliefs(k), s"belief_fp($k)") }
+      // and the double rendering is the exact /Scale image of the integers
+      r.trust.collect().foreach { x =>
+        assert(x.getDouble(1) === x.getLong(2).toDouble / TruthDiscovery.Scale) }
     }
   }
 
-  test("differential: Spark Sums == plain-Scala recurrence on random claims") {
+  test("differential: Spark Sums == BigInt fixed-point recurrence EXACTLY") {
     val rows = randClaims(23L, 5, 10)
     val r = TruthDiscovery.sums(df(rows))
     val (trust, beliefs) = replay(rows, TruthDiscovery.Rounds, "sums")
-    val got = r.trust.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
-    got.foreach { case (s, t) => assert(math.abs(t - trust(s)) < 1e-9, s"trust($s)") }
+    val got = r.trust.collect().map(x => x.getString(0) -> BigInt(x.getLong(2))).toMap
+    got.foreach { case (s, t) => assert(t === trust(s), s"trust_fp($s)") }
     val gotB = r.beliefs.collect()
-      .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
-    gotB.foreach { case (k, b) => assert(math.abs(b - beliefs(k)) < 1e-9, s"belief($k)") }
+      .map(x => (x.getString(0), x.getString(1)) -> BigInt(x.getLong(3))).toMap
+    gotB.foreach { case (k, b) => assert(b === beliefs(k), s"belief_fp($k)") }
+  }
+
+  test("empty claims fail loudly, not with an opaque NPE") {
+    val e1 = intercept[IllegalArgumentException] {
+      TruthDiscovery.investment(df(Seq.empty)) }
+    assert(e1.getMessage.contains("empty claims"))
+    val e2 = intercept[IllegalArgumentException] {
+      TruthDiscovery.sums(df(Seq.empty)) }
+    assert(e2.getMessage.contains("empty claims"))
   }
 
   test("colluding careless majority: vote wrong, Investment right") {

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Two-run bit-determinism harness — the pre-driver CI gate for the
+round-4 class of flake (a query whose dumped bytes differ between runs
+at different parallelism can hash-mismatch on the driver's scoreboard
+even when both runs are 'correct').
+
+Runs graft.Verify TWICE at different SPARK_GRAFT_CPUS over the same
+sfDir, then diffs every query's parquet output VALUE-exactly (float64
+bit equality included — no tolerance). Any diff is exactly the
+run-to-run nondeterminism the driver's hash compare would flag.
+
+Usage: python3 tools/determinism_check.py <sfDir> [cpusA=5] [cpusB=23] [only]
+Exit 0 = every query outside the documented exclusion list is
+bit-identical across the two runs.
+
+Exclusions (EXPECTED_NONDET below): queries that are parallelism- or
+randomness-dependent BY DESIGN and whose oracle reads the dumped values
+themselves (self-consistent per run), so the driver's single-run hash
+compare is immune to their cross-run drift. Everything else must be
+bit-stable — a diff here is tomorrow's scoreboard hash-red.
+"""
+import subprocess, sys, tempfile, os, glob
+import pandas as pd
+
+EXPECTED_NONDET = {
+    "er_metrics": "per-partition lineage — one row per task partition, "
+                  "so the row set tracks the cpu count by definition",
+    "q_reservoir_sample": "unseeded Datasketches reservoir randomness; "
+                          "oracle re-judges guarantees over the dump",
+    "q_varopt_sample": "unseeded Datasketches VarOpt randomness; "
+                       "oracle re-judges guarantees over the dump",
+    "q_kll_quantiles": "KLL compaction uses unseeded random bits; "
+                       "oracle checks rank-error bounds over the dump",
+    "q_kll_range_count": "same KLL randomness (sidecar sketch bounds)",
+    "q_range_layout": "bucket boundaries come from merged KLL splits — "
+                      "same randomness; oracle reads dumped boundaries",
+}
+
+def run_verify(sf_dir, out, cpus, only):
+    cmd = ["tools/run_verify.sh", sf_dir, out, str(cpus)]
+    if only:
+        cmd.append(only)
+    r = subprocess.run(cmd, capture_output=True, text=True,
+                       cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-3000:])
+        raise SystemExit(f"Verify failed (cpus={cpus})")
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+def main():
+    sf_dir = sys.argv[1]
+    cpus_a = sys.argv[2] if len(sys.argv) > 2 else "5"
+    cpus_b = sys.argv[3] if len(sys.argv) > 3 else "23"
+    only = sys.argv[4] if len(sys.argv) > 4 else None
+    tmp = tempfile.mkdtemp(prefix="graft_det_")
+    a, b = f"{tmp}/a", f"{tmp}/b"
+    run_verify(sf_dir, a, cpus_a, only)
+    run_verify(sf_dir, b, cpus_b, only)
+    n_ok = n_bad = n_expected = 0
+    queries = sorted(os.path.basename(p) for p in glob.glob(f"{a}/*")
+                     if os.path.isdir(p))
+    for q in queries:
+        if not os.path.isdir(f"{b}/{q}"):
+            print(f"[{q}] MISSING in run B"); n_bad += 1; continue
+        da, db = canon(pd.read_parquet(f"{a}/{q}")), canon(pd.read_parquet(f"{b}/{q}"))
+        try:
+            pd.testing.assert_frame_equal(da, db, check_exact=True)
+            n_ok += 1
+            if q in EXPECTED_NONDET:
+                print(f"[{q}] note: identical this time (listed as "
+                      f"expected-nondeterministic)")
+        except AssertionError as e:
+            if q in EXPECTED_NONDET:
+                n_expected += 1
+                print(f"[{q}] expected-nondet (excluded): {EXPECTED_NONDET[q]}")
+            else:
+                n_bad += 1
+                print(f"[{q}] NONDETERMINISTIC across cpus={cpus_a}/{cpus_b}: "
+                      f"{str(e).splitlines()[0][:300]}")
+    print(f"== determinism: {n_ok} identical, {n_expected} expected-nondet, "
+          f"{n_bad} UNEXPECTED differing (cpus {cpus_a} vs {cpus_b}) ==")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main())
