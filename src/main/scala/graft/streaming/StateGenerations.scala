@@ -23,6 +23,18 @@ private[streaming] object StateGenerations {
       .sorted
   }
 
+  /** Generation numbers parsed from TABLE names (TableIO.listTables
+    * output) with the given prefix, ascending — the catalog-portable
+    * twin of [[list]]: a raw-FS listing over some rootDir cannot see a
+    * catalog-backed TableIO's tables, and a caller-supplied rootDir
+    * that drifts from the TableIO's own root would silently resume from
+    * empty. Listing through the SAME io the state is written with
+    * removes both failure modes. */
+  def fromNames(names: Seq[String], prefix: String): Seq[Int] =
+    names.filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toInt).toOption)
+      .sorted
+
   /** Latest generation for which `complete` holds (a crash can leave a
     * half-written newer generation — it is simply overwritten). */
   def latestComplete(gens: Seq[Int], complete: Int => Boolean): Option[Int] =

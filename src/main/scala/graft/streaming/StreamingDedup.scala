@@ -88,8 +88,11 @@ object StreamingDedup {
     // GC: generation k is complete, so anything ≤ k − retain can go
     // (k − 1 stays as the crash-safety fallback at the default retain)
     StateGenerations.prune(gens, k - retain) { g =>
-      BucketedState.drop(spark, tbl("index", g), path("index", g))
+      // keyed artifact (the index dir the generation listing is built
+      // from) goes LAST — deleting it first and crashing would orphan
+      // the pairs table beyond any later prune's reach
       io.delete(spark, tbl("pairs", g))
+      BucketedState.drop(spark, tbl("index", g), path("index", g))
     }
 
     DedupState(

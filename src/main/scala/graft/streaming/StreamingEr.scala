@@ -430,10 +430,13 @@ object StreamingEr {
     // GC: generation k is complete — storage stays O(retain) generations
     // instead of growing per batch for the stream's lifetime
     StateGenerations.prune(gens, k - retain) { g =>
-      for (kind <- Seq("trees", "index"))
-        BucketedState.drop(spark, tbl(kind, g), path(kind, g))
+      // keyed artifact (the index dir the generation listing is built
+      // from) goes LAST — deleting it first and crashing would orphan
+      // the sibling tables beyond any later prune's reach
       io.delete(spark, tbl("clusters", g))
       io.delete(spark, tbl("matches", g))
+      BucketedState.drop(spark, tbl("trees", g), path("trees", g))
+      BucketedState.drop(spark, tbl("index", g), path("index", g))
     }
 
     // hand back storage read-backs (checkpoint truth, truncated lineage);

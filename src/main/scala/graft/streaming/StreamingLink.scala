@@ -47,49 +47,54 @@ object StreamingLink {
   }
 
   /** Durable twin of [[update]]: state round-trips through `io`
-    * (`_SUCCESS`-gated tables, one generation per batch under
-    * `rootDir`), so a crashed stream RESUMES at the last complete
-    * batch — the same kill-and-resume contract as StreamingEr's
-    * checkpointed path. The cumulative edge table is the authoritative
-    * state; the matched table is written alongside so readers never pay
-    * a re-match. Generation bookkeeping is [[StateGenerations]] (same
-    * as StreamingTruth/StreamingEr): a crash between the two writes
-    * leaves a half generation, which `latestComplete` skips and the
-    * retried batch overwrites, and generations older than `retain` are
+    * (`_SUCCESS`-gated tables, one generation per batch), so a crashed
+    * stream RESUMES at the last complete batch — the same
+    * kill-and-resume contract as StreamingEr's checkpointed path. The
+    * cumulative edge table is the authoritative state; the matched
+    * table is written alongside so readers never pay a re-match.
+    * Generation bookkeeping is [[StateGenerations]] over
+    * `io.listTables` (the io the state is written with is the ONE
+    * source of truth for what exists — no separate rootDir that could
+    * drift and silently resume from empty, and catalog-backed TableIOs
+    * work unchanged): a crash between the two writes leaves a half
+    * generation, which `latestComplete` skips and the retried batch
+    * overwrites, and generations older than `retain` are
     * garbage-collected — storage stays O(retain), not O(batches), and a
-    * directory listing (not a scan-from-zero) finds the resume point,
-    * so pruned early generations can never make a restart silently
-    * begin from empty (the failure mode of the pre-round-5
-    * exists-counting loop this replaced). */
+    * listing (not a scan-from-zero) finds the resume point, so pruned
+    * early generations can never make a restart silently begin from
+    * empty (the failure mode of the pre-round-5 exists-counting loop
+    * this replaced). GC deletes the edges table LAST: generations are
+    * keyed by the edges prefix, so deleting the keyed table first and
+    * crashing would orphan a matched table no later prune can find. */
   def updateDurable(
       spark: SparkSession,
       newEdges: DataFrame,
       io: graft.sources.TableIO,
-      rootDir: String,
       prefix: String = "slink",
       retain: Int = 2): LinkState = {
-    val (prev, k) = resumeState(spark, io, rootDir, prefix)
+    val (prev, k) = resumeState(spark, io, prefix)
     val next = update(spark, newEdges, prev)
     io.write(next.edges, s"${prefix}_edges_b$k")
     io.write(next.matched, s"${prefix}_matched_b$k")
     StateGenerations.prune(
-      StateGenerations.list(spark, rootDir, s"${prefix}_edges_b"),
+      StateGenerations.fromNames(
+        io.listTables(spark, s"${prefix}_edges_b"), s"${prefix}_edges_b"),
       k - retain) { g =>
-      io.delete(spark, s"${prefix}_edges_b$g")
       io.delete(spark, s"${prefix}_matched_b$g")
+      io.delete(spark, s"${prefix}_edges_b$g") // keyed table last
     }
     next
   }
 
-  /** Latest COMPLETE generation under `rootDir`/`prefix` (both tables
-    * present) rebuilt as a LinkState, plus the generation index the
-    * NEXT batch writes. */
+  /** Latest COMPLETE generation under `prefix` (both tables present)
+    * rebuilt as a LinkState, plus the generation index the NEXT batch
+    * writes. */
   def resumeState(
       spark: SparkSession,
       io: graft.sources.TableIO,
-      rootDir: String,
       prefix: String): (Option[LinkState], Int) = {
-    val gens = StateGenerations.list(spark, rootDir, s"${prefix}_edges_b")
+    val gens = StateGenerations.fromNames(
+      io.listTables(spark, s"${prefix}_edges_b"), s"${prefix}_edges_b")
     val complete = (g: Int) =>
       io.exists(spark, s"${prefix}_edges_b$g") &&
         io.exists(spark, s"${prefix}_matched_b$g")

@@ -53,49 +53,54 @@ object StreamingTruth {
   }
 
   /** Durable twin of [[update]]: state round-trips through `io`
-    * (`_SUCCESS`-gated tables, one generation per batch under
-    * `rootDir`), so a crashed stream RESUMES at the last complete
-    * batch. The cumulative claims table is the authoritative state;
-    * trust and resolution are written alongside so readers never
-    * re-run the fixpoint. Generation bookkeeping is
-    * [[StateGenerations]] (same as StreamingEr's bucketed path): a
-    * crash between the three writes leaves a half generation, which
+    * (`_SUCCESS`-gated tables, one generation per batch), so a crashed
+    * stream RESUMES at the last complete batch. The cumulative claims
+    * table is the authoritative state; trust and resolution are written
+    * alongside so readers never re-run the fixpoint. Generation
+    * bookkeeping is [[StateGenerations]] over `io.listTables` (the io
+    * the state is written with is the ONE source of truth for what
+    * exists — no separate rootDir that could drift and silently resume
+    * from empty, and catalog-backed TableIOs work unchanged): a crash
+    * between the three writes leaves a half generation, which
     * `latestComplete` skips and the retried batch overwrites, and
     * generations older than `retain` are garbage-collected — storage
-    * stays O(retain), not O(batches), and a directory listing (not a
+    * stays O(retain), not O(batches), and a listing (not a
     * scan-from-zero) finds the resume point, so pruned early
-    * generations can never make a restart silently begin from empty. */
+    * generations can never make a restart silently begin from empty.
+    * GC deletes the claims table LAST: generations are keyed by the
+    * claims prefix, so deleting the keyed table first and crashing
+    * would orphan trust/resolved tables no later prune can find. */
   def updateDurable(
       spark: SparkSession,
       newClaims: DataFrame,
       io: graft.sources.TableIO,
-      rootDir: String,
       prefix: String = "struth",
       retain: Int = 2): TruthState = {
-    val (prev, k) = resumeState(spark, io, rootDir, prefix)
+    val (prev, k) = resumeState(spark, io, prefix)
     val next = update(spark, newClaims, prev)
     io.write(next.claims, s"${prefix}_claims_b$k")
     io.write(next.trust, s"${prefix}_trust_b$k")
     io.write(next.resolved, s"${prefix}_resolved_b$k")
     StateGenerations.prune(
-      StateGenerations.list(spark, rootDir, s"${prefix}_claims_b"),
+      StateGenerations.fromNames(
+        io.listTables(spark, s"${prefix}_claims_b"), s"${prefix}_claims_b"),
       k - retain) { g =>
-      io.delete(spark, s"${prefix}_claims_b$g")
       io.delete(spark, s"${prefix}_trust_b$g")
       io.delete(spark, s"${prefix}_resolved_b$g")
+      io.delete(spark, s"${prefix}_claims_b$g") // keyed table last
     }
     next
   }
 
-  /** Latest COMPLETE generation under `rootDir`/`prefix` (all three
-    * tables present) rebuilt as a TruthState, plus the generation index
-    * the NEXT batch writes. */
+  /** Latest COMPLETE generation under `prefix` (all three tables
+    * present) rebuilt as a TruthState, plus the generation index the
+    * NEXT batch writes. */
   def resumeState(
       spark: SparkSession,
       io: graft.sources.TableIO,
-      rootDir: String,
       prefix: String): (Option[TruthState], Int) = {
-    val gens = StateGenerations.list(spark, rootDir, s"${prefix}_claims_b")
+    val gens = StateGenerations.fromNames(
+      io.listTables(spark, s"${prefix}_claims_b"), s"${prefix}_claims_b")
     val complete = (g: Int) =>
       io.exists(spark, s"${prefix}_claims_b$g") &&
         io.exists(spark, s"${prefix}_trust_b$g") &&

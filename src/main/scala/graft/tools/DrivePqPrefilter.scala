@@ -53,10 +53,11 @@ object DrivePqPrefilter {
 
     def cells(pairs: org.apache.spark.sql.DataFrame): Long = {
       val t = trees.toDF().select(col("id"), col("n"))
-      pairs
+      val row = pairs
         .join(t.select(col("id").as("idA"), col("n").as("nA")), "idA")
         .join(t.select(col("id").as("idB"), col("n").as("nB")), "idB")
-        .agg(sum(col("nA").cast("long") * col("nB"))).head().getLong(0)
+        .agg(sum(col("nA").cast("long") * col("nB"))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0) // sum over 0 rows is null
     }
 
     def scoreAll(pairs: org.apache.spark.sql.DataFrame): (Long, Double, Set[(String, String)]) = {
@@ -92,7 +93,8 @@ object DrivePqPrefilter {
       s"""{"sf":"$sfDir","cpus":$cpus,"tau_pq":$tauPq,"n_cands":$nCands""" +
         s""","n_scored_unfiltered":$nAll,"n_scored_prefiltered":$nPre""" +
         s""","dp_cells_unfiltered":$cellsAll,"dp_cells_prefiltered":$cellsPre""" +
-        s""","cell_reduction":${1.0 - cellsPre.toDouble / cellsAll}""" +
+        s""","cell_reduction":${
+          if (cellsAll == 0) 0.0 else 1.0 - cellsPre.toDouble / cellsAll}""" +
         s""","score_sec_unfiltered":$secAll,"score_sec_prefiltered":$secPre""" +
         s""","prefilter_overhead_sec":$prefilterSec""" +
         s""","matches_unfiltered":${matchedAll.size},"matches_prefiltered":${matchedPre.size}""" +

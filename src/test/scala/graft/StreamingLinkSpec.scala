@@ -55,18 +55,18 @@ class StreamingLinkSpec extends AnyFunSuite {
     val b2 = Seq(("l3", "r1", 5.0), ("l2", "r3", 4.0))
     val b3 = Seq(("l1", "r4", 9.0), ("l4", "r2", 1.0))
     // two batches, then "crash" — each call resumes purely from storage
-    StreamingLink.updateDurable(spark, toDf(b1), io, root)
-    StreamingLink.updateDurable(spark, toDf(b2), io, root)
-    val (resumed, k) = StreamingLink.resumeState(spark, io, root, "slink")
+    StreamingLink.updateDurable(spark, toDf(b1), io)
+    StreamingLink.updateDurable(spark, toDf(b2), io)
+    val (resumed, k) = StreamingLink.resumeState(spark, io, "slink")
     assert(k == 2 && resumed.get.batches == 2)
     assert(collectMatched(resumed.get.matched) ==
       OneToOneMatching.sequentialGreedy(b1 ++ b2).toSet)
     // a crash between the two writes leaves a HALF generation: the
     // resume scan must refuse it and the retried batch overwrite it
     io.write(toDf(b3), "slink_edges_b2")
-    val (afterCrash, k2) = StreamingLink.resumeState(spark, io, root, "slink")
+    val (afterCrash, k2) = StreamingLink.resumeState(spark, io, "slink")
     assert(k2 == 2 && afterCrash.get.batches == 2, "half generation must not resume")
-    val st3 = StreamingLink.updateDurable(spark, toDf(b3), io, root, retain = 1)
+    val st3 = StreamingLink.updateDurable(spark, toDf(b3), io, retain = 1)
     assert(st3.batches == 3)
     assert(collectMatched(st3.matched) ==
       OneToOneMatching.sequentialGreedy(b1 ++ b2 ++ b3).toSet)
@@ -75,7 +75,7 @@ class StreamingLinkSpec extends AnyFunSuite {
     // generation instead of restarting from empty past the hole
     assert(!io.exists(spark, "slink_edges_b0") &&
       !io.exists(spark, "slink_edges_b1"), "old generations must be GC'd")
-    val (fin, k3) = StreamingLink.resumeState(spark, io, root, "slink")
+    val (fin, k3) = StreamingLink.resumeState(spark, io, "slink")
     assert(k3 == 3 && fin.get.batches == 3,
       "resume must survive pruned early generations")
     assert(collectMatched(fin.get.matched) == collectMatched(st3.matched))

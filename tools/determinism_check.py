@@ -13,6 +13,11 @@ Usage: python3 tools/determinism_check.py <sfDir> [cpusA=5] [cpusB=23] [only]
 Exit 0 = every query outside the documented exclusion list is
 bit-identical across the two runs.
 
+A query that fails in exactly ONE run (no output dir) is flagged as a
+parallelism-dependent failure. A query failing in BOTH runs writes no
+dir either side and is invisible here — oracle_check.py catches that
+class (its read of the missing dump throws).
+
 Exclusions (EXPECTED_NONDET below): queries that are parallelism- or
 randomness-dependent BY DESIGN and whose oracle reads the dumped values
 themselves (self-consistent per run), so the driver's single-run hash
@@ -21,6 +26,7 @@ bit-stable — a diff here is tomorrow's scoreboard hash-red.
 """
 import subprocess, sys, tempfile, os, glob
 import pandas as pd
+from canon_util import canon
 
 EXPECTED_NONDET = {
     "er_metrics": "per-partition lineage — one row per task partition, "
@@ -46,13 +52,6 @@ def run_verify(sf_dir, out, cpus, only):
         sys.stderr.write(r.stderr[-3000:])
         raise SystemExit(f"Verify failed (cpus={cpus})")
 
-def canon(df):
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
-
 def main():
     sf_dir = sys.argv[1]
     cpus_a = sys.argv[2] if len(sys.argv) > 2 else "5"
@@ -63,11 +62,20 @@ def main():
     run_verify(sf_dir, a, cpus_a, only)
     run_verify(sf_dir, b, cpus_b, only)
     n_ok = n_bad = n_expected = 0
-    queries = sorted(os.path.basename(p) for p in glob.glob(f"{a}/*")
-                     if os.path.isdir(p))
-    for q in queries:
-        if not os.path.isdir(f"{b}/{q}"):
-            print(f"[{q}] MISSING in run B"); n_bad += 1; continue
+    # union of BOTH runs' query dirs: a query that crashed (wrote no
+    # dir) in exactly one run is itself a parallelism-dependent failure
+    # — iterating only run A's dirs would silently skip an A-only crash
+    def dirs(root):
+        return {os.path.basename(p) for p in glob.glob(f"{root}/*")
+                if os.path.isdir(p)}
+    da_set, db_set = dirs(a), dirs(b)
+    for q in sorted(da_set | db_set):
+        if q not in da_set or q not in db_set:
+            missing_in = "A" if q not in da_set else "B"
+            print(f"[{q}] MISSING in run {missing_in} — query failed at "
+                  f"one parallelism level")
+            n_bad += 1
+            continue
         da, db = canon(pd.read_parquet(f"{a}/{q}")), canon(pd.read_parquet(f"{b}/{q}"))
         try:
             pd.testing.assert_frame_equal(da, db, check_exact=True)

@@ -10,14 +10,7 @@ repr equality after float64 cast).
 """
 import sys, json, glob, os
 import duckdb, pandas as pd, numpy as np
-
-def canon(df):
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+from canon_util import canon
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
