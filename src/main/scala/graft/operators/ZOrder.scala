@@ -155,22 +155,31 @@ object ZOrder {
 
   /** File ids whose bloom might contain `value` — no false negatives,
     * so a read over these files then filtered on `keyCol = value` is
-    * EXACTLY the full-scan filter. The membership test runs
-    * driver-side over the collected index (metadata-sized by
-    * construction; Spark's `might_contain` expression only accepts a
-    * CONSTANT bloom, which fits the planner-injected runtime-filter
-    * use, not a per-file sidecar). Hash = the same seeded XxHash64 the
-    * aggregate inserted. */
+    * EXACTLY the full-scan filter. The membership test runs ON THE
+    * EXECUTORS (a typed filter over the index — each row deserializes
+    * only its own bloom; Spark's `might_contain` expression accepts
+    * only a CONSTANT bloom, which fits the planner-injected
+    * runtime-filter use, not a per-file sidecar), and the driver
+    * collects only the SURVIVING file ids — 8 bytes each, not the
+    * bloom payloads. At 10^6+ files a collect-the-blooms design would
+    * hold GBs on the driver (the round-4 verdict's scale watch item);
+    * this shape holds #survivors longs, and the surviving-id list for
+    * a point probe is small by construction (it is the pruned file
+    * set). Hash = the same seeded XxHash64 the aggregate inserted. */
   def bloomPrunedFiles(index: DataFrame, fileCol: String, value: Long): Seq[Long] = {
     val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       java.lang.Long.valueOf(value), org.apache.spark.sql.types.LongType, 42L)
-    index.select(col(fileCol), col("bloom")).collect().toIndexedSeq
-      .filter { r =>
+    val spark = index.sparkSession
+    import spark.implicits._
+    index.select(col(fileCol).cast("long"), col("bloom"))
+      .as[(Long, Array[Byte])]
+      .filter { fb: (Long, Array[Byte]) =>
         org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+          .readFrom(new java.io.ByteArrayInputStream(fb._2))
           .mightContainLong(h)
       }
-      .map(_.getAs[Number](0).longValue)
+      .map(_._1)
+      .collect().toIndexedSeq
   }
 
   /** Point-lookup read path: bloom-prune the file list (metadata), read
