@@ -210,16 +210,20 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("truth-discovery round: trust broadcast to claims, pooled agg map-side partial") {
-    import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum}
+    import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit, sum}
     val s0 = spark; import s0.implicits._
     val claims = (0 until 200).map(i => (f"s${i % 5}%02d", f"e${i % 40}%03d", s"v${i % 3}"))
       .toDF("source", "entity", "value")
-    // one fixpoint round, exactly as TruthDiscovery.investment builds it
+    // one FIXED-POINT fixpoint round, exactly as
+    // TruthDiscovery.investment builds it since round 5 (integer
+    // floor-division invest, exact decimal sum)
     val nClaims = claims.groupBy(col("source")).agg(count(lit(1)).as("nclaims"))
-    val trust = nClaims.select(col("source"), lit(1.0).as("trust"))
+    val trust = nClaims.select(col("source"),
+      lit(graft.operators.TruthDiscovery.Scale).as("tq"))
     val inv = claims.join(broadcast(trust.join(nClaims, "source")), "source")
-      .select(col("entity"), col("value"), (col("trust") / col("nclaims")).as("inv"))
-    val base = inv.groupBy(col("entity"), col("value")).agg(sum(col("inv")).as("base"))
+      .select(col("entity"), col("value"), expr("tq div nclaims").as("invq"))
+    val base = inv.groupBy(col("entity"), col("value"))
+      .agg(sum(col("invq").cast("decimal(38,0)")).as("base"))
     val plan = fmt(base)
     // the |sources|-row trust table must ship via broadcast — a
     // shuffled join here would re-exchange the full claims table per
@@ -243,5 +247,30 @@ class PlanSpec extends AnyFunSuite {
       s"pq-gram distance degraded to a product\n$plan")
     // the intersection aggregate must be a hash aggregate (map-side combinable)
     assert(plan.contains("HashAggregate"), s"bag intersection lost hash agg\n$plan")
+  }
+
+  test("pq-prefiltered scoring input: candidate gate stays equi-joined, no product") {
+    // the prefilter path (Pipeline.Config.pqPrefilter) inserts
+    // pairDistances + a filter BEFORE the tree-fetch joins — lock that
+    // the combined plan keeps every join an equi-join (a product here
+    // would be quadratic in candidates at 100 TB) and that the
+    // pq_dist gate survives as a Filter above the distance aggregate
+    import org.apache.spark.sql.functions.col
+    val s0 = spark; import s0.implicits._
+    val files = CorpusGen.corpus(spark, dir)
+    val r = graft.Pipeline.run(spark, files,
+      graft.Pipeline.Config(pqPrefilter = Some(graft.Pipeline.PqPrefilterTau)))
+    val prof = graft.operators.PqGrams.profiles(r.trees)
+    val gated = graft.operators.PqGrams
+      .pairDistances(r.pairs.select(col("idA"), col("idB")), prof)
+      .where(col("pq_dist") <= graft.Pipeline.PqPrefilterTau)
+      .select(col("idA"), col("idB"))
+    val plan = fmt(gated)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefilter gate degraded to a product\n$plan")
+    // the τ gate itself: a Filter node must survive above the distance
+    // aggregate (the alias pq_dist is pruned away by the projection,
+    // so match the surviving filter structure, not the name)
+    assert(plan.contains("Filter"), s"pq distance gate filter missing\n$plan")
   }
 }
