@@ -40,6 +40,17 @@ trait TableIO extends Serializable {
     * With Iceberg this is a catalog listTables; locally it lists
     * `_SUCCESS`-gated directories. */
   def listTables(spark: SparkSession, prefix: String): Seq[String]
+
+  /** Like [[listTables]] but INCLUDING incomplete/partial remnants
+    * (no `_SUCCESS` gate) where the backend can see them — the GC
+    * listing: a crash between a generation's delete steps can strip
+    * the completeness marker before the data files, and a
+    * complete-only listing would then never show the remnant to any
+    * later prune (a permanent storage leak). Catalog backends with
+    * atomic commits have no partial remnants, so the default falls
+    * back to [[listTables]]. */
+  def listTablesAll(spark: SparkSession, prefix: String): Seq[String] =
+    listTables(spark, prefix)
 }
 
 final class ParquetTableIO(root: String) extends TableIO {
@@ -67,14 +78,16 @@ final class ParquetTableIO(root: String) extends TableIO {
     ()
   }
 
-  def listTables(spark: SparkSession, prefix: String): Seq[String] = {
+  def listTables(spark: SparkSession, prefix: String): Seq[String] =
+    listTablesAll(spark, prefix).filter(exists(spark, _))
+
+  override def listTablesAll(spark: SparkSession, prefix: String): Seq[String] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) Seq.empty
     else fs.listStatus(rootPath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
       .map(_.getPath.getName)
-      .filter(exists(spark, _))
   }
 
   /** Compact a stage table's small files into `targetFiles` larger

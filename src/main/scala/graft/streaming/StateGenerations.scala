@@ -17,10 +17,7 @@ private[streaming] object StateGenerations {
     val root = new org.apache.hadoop.fs.Path(rootDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(dirPrefix))
-      .flatMap(n => scala.util.Try(n.stripPrefix(dirPrefix).toInt).toOption)
-      .sorted
+    else fromNames(fs.listStatus(root).toSeq.map(_.getPath.getName), dirPrefix)
   }
 
   /** Generation numbers parsed from TABLE names (TableIO.listTables

@@ -72,13 +72,17 @@ object StreamingLink {
       io: graft.sources.TableIO,
       prefix: String = "slink",
       retain: Int = 2): LinkState = {
+    require(retain >= 1, s"retain must be >= 1 (got $retain): retain 0 " +
+      "would GC the generation just written and destroy all durable state")
     val (prev, k) = resumeState(spark, io, prefix)
     val next = update(spark, newEdges, prev)
     io.write(next.edges, s"${prefix}_edges_b$k")
     io.write(next.matched, s"${prefix}_matched_b$k")
+    // GC listing is listTablesAll: a remnant that lost its _SUCCESS in
+    // a crashed delete must still be visible to later prunes
     StateGenerations.prune(
       StateGenerations.fromNames(
-        io.listTables(spark, s"${prefix}_edges_b"), s"${prefix}_edges_b"),
+        io.listTablesAll(spark, s"${prefix}_edges_b"), s"${prefix}_edges_b"),
       k - retain) { g =>
       io.delete(spark, s"${prefix}_matched_b$g")
       io.delete(spark, s"${prefix}_edges_b$g") // keyed table last

@@ -76,14 +76,18 @@ object StreamingTruth {
       io: graft.sources.TableIO,
       prefix: String = "struth",
       retain: Int = 2): TruthState = {
+    require(retain >= 1, s"retain must be >= 1 (got $retain): retain 0 " +
+      "would GC the generation just written and destroy all durable state")
     val (prev, k) = resumeState(spark, io, prefix)
     val next = update(spark, newClaims, prev)
     io.write(next.claims, s"${prefix}_claims_b$k")
     io.write(next.trust, s"${prefix}_trust_b$k")
     io.write(next.resolved, s"${prefix}_resolved_b$k")
+    // GC listing is listTablesAll: a remnant that lost its _SUCCESS in
+    // a crashed delete must still be visible to later prunes
     StateGenerations.prune(
       StateGenerations.fromNames(
-        io.listTables(spark, s"${prefix}_claims_b"), s"${prefix}_claims_b"),
+        io.listTablesAll(spark, s"${prefix}_claims_b"), s"${prefix}_claims_b"),
       k - retain) { g =>
       io.delete(spark, s"${prefix}_trust_b$g")
       io.delete(spark, s"${prefix}_resolved_b$g")

@@ -268,9 +268,11 @@ class PlanSpec extends AnyFunSuite {
     val plan = fmt(gated)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"prefilter gate degraded to a product\n$plan")
-    // the τ gate itself: a Filter node must survive above the distance
-    // aggregate (the alias pq_dist is pruned away by the projection,
-    // so match the surviving filter structure, not the name)
-    assert(plan.contains("Filter"), s"pq distance gate filter missing\n$plan")
+    // the τ gate itself: the comparison against the cutoff literal must
+    // survive in a Filter condition (the alias pq_dist is pruned away
+    // by the projection; a bare contains("Filter") would be vacuous —
+    // isnotnull pushdowns put Filter nodes in any equi-join plan)
+    assert(plan.contains(s"<= ${graft.Pipeline.PqPrefilterTau}"),
+      s"pq distance <= tau gate missing from the plan\n$plan")
   }
 }

@@ -81,6 +81,29 @@ class StreamingLinkSpec extends AnyFunSuite {
     assert(collectMatched(fin.get.matched) == collectMatched(st3.matched))
   }
 
+  test("GC reclaims a generation remnant that lost its _SUCCESS marker") {
+    val root = java.nio.file.Files.createTempDirectory("graft_slinkgc").toString
+    val io = new graft.sources.ParquetTableIO(root)
+    val b = (i: Int) => Seq((s"l$i", s"r$i", i.toDouble))
+    StreamingLink.updateDurable(spark, toDf(b(1)), io)
+    StreamingLink.updateDurable(spark, toDf(b(2)), io)
+    // simulate a crashed delete: generation 0's edges table lost its
+    // _SUCCESS but kept data files — a complete-only listing would
+    // never show it to any later prune (permanent storage leak)
+    val g0 = new java.io.File(root, "slink_edges_b0")
+    assert(new java.io.File(g0, "_SUCCESS").delete())
+    assert(g0.exists())
+    StreamingLink.updateDurable(spark, toDf(b(3)), io, retain = 1)
+    assert(!g0.exists(), "un-gated generation remnant must still be GC'd")
+    // and the ungated remnant never participated in the resume
+    val (fin, k) = StreamingLink.resumeState(spark, io, "slink")
+    assert(k == 3 && fin.get.batches == 3)
+    // retain = 0 is refused loudly, not honored destructively
+    val e = intercept[IllegalArgumentException] {
+      StreamingLink.updateDurable(spark, toDf(b(4)), io, retain = 0) }
+    assert(e.getMessage.contains("retain"))
+  }
+
   test("re-scored pair deterministically upgrades to the max weight") {
     val s1 = StreamingLink.update(spark, toDf(Seq(("l1", "r1", 1.0), ("l2", "r1", 2.0))), None)
     assert(collectMatched(s1.matched) == Set(("l2", "r1", 2.0)))
