@@ -299,9 +299,7 @@ object ErQueries {
     // (Rastogi et al. ICDE'13) — second CC family, cross-checked by the
     // same recursive-CTE oracle recompute as er_clusters
     "er_cc_hashmin" -> ((s, dir) => {
-      val r = pipeline(s, dir)
-      HashToMin.connectedComponents(r.matches, r.trees.toDF().select(col("id")))
-        .orderBy(col("id"))
+      ClusterResults.cached(s, dir).hashmin.orderBy(col("id"))
     }),
     // CENTER clustering (weight-ordered star partitioning) — the oracle
     // replays the SEQUENTIAL edge scan one edge per recursive-CTE
@@ -309,12 +307,7 @@ object ErQueries {
     // is checked against the literal sequential definition (round is
     // parallel-schedule metadata and stays out of the compared columns)
     "er_center_clusters" -> ((s, dir) => {
-      val r = pipeline(s, dir)
-      CenterClustering.cluster(
-          r.scores.toDF().where(col("isMatch"))
-            .select(col("idA").as("src"), col("idB").as("dst"),
-              col("normDist").as("w")),
-          r.trees.toDF().select(col("id")))
+      ClusterResults.cached(s, dir).center
         .select(col("id"), col("clusterId"), col("is_center"))
         .orderBy(col("id"))
     }),
@@ -323,12 +316,7 @@ object ErQueries {
     // from the final states, and recomputes the components with its own
     // recursive CTE
     "er_merge_center" -> ((s, dir) => {
-      val r = pipeline(s, dir)
-      val edges = r.scores.toDF().where(col("isMatch"))
-        .select(col("idA").as("src"), col("idB").as("dst"),
-          col("normDist").as("w"))
-      val assign = CenterClustering.cluster(edges, r.trees.toDF().select(col("id")))
-      CenterClustering.mergeCenter(edges, assign).orderBy(col("id"))
+      ClusterResults.cached(s, dir).mergeCenter.orderBy(col("id"))
     }),
     // collective (relational) ER: borderline pairs (in the tau band but
     // not confident) accepted only when the repo pair / directory pair
@@ -532,15 +520,10 @@ object ErQueries {
     "er_blocking_recall" -> ((s, dir) => {
       val r = pipeline(s, dir)
       val truth = truthPairs(r.trees.toDF().select(col("id"), col("groupId")))
-      val cfg = Pipeline.Config().blocking
-      val keyed = Blocking.keyedIds(r.trees, cfg)
       val chans = Seq(
         "lsh" -> r.pairs.select(col("idA"), col("idB")),
-        "snm" -> SortedNeighborhood.pairs(
-          r.trees.toDF().select(col("id"), col("nTokens")),
-          "id", Seq("nTokens", "id"), SnmWindow),
-        "meta_kept" -> MetaBlocking.prune(
-          MetaBlocking.pairWeights(keyed, cfg.maxBlockSize))
+        "snm" -> SnmResults.cached(s, dir),
+        "meta_kept" -> MetaResults.cached(s, dir).pruned
           .where(col("kept")).select(col("idA"), col("idB")),
         // the privacy-preserving channel: candidates found entirely in
         // encoded space (composite-CLK Hamming-LSH, purged blocks)
@@ -619,19 +602,14 @@ object ErQueries {
     // derivation AND the windowed pairing are fully redone by the oracle
     // from the (already-verified) er_tree_stats dump.
     "er_snm_pairs" -> ((s, dir) => {
-      val rows = pipeline(s, dir).trees.toDF().select(col("id"), col("nTokens"))
-      SortedNeighborhood.pairs(rows, "id", Seq("nTokens", "id"), SnmWindow)
-        .orderBy(col("idA"), col("idB"))
+      SnmResults.cached(s, dir).orderBy(col("idA"), col("idB"))
     }),
     // meta-blocking over the ER block index: CBS pair weights + weighted
     // node pruning. The (key,id) index is engine-internal (MinHash band
     // hashes), so it is dumped and DuckDB redoes cap → pair → weight →
     // prune from it — the established stage-table oracle pattern.
     "er_meta_blocking" -> ((s, dir) => {
-      val cfg = Pipeline.Config().blocking
-      val keyed = Blocking.keyedIds(pipeline(s, dir).trees, cfg)
-      MetaBlocking.prune(MetaBlocking.pairWeights(keyed, cfg.maxBlockSize))
-        .orderBy(col("idA"), col("idB"))
+      MetaResults.cached(s, dir).pruned.orderBy(col("idA"), col("idB"))
     }),
     // progressive (pay-as-you-go) ER: the CBS-ranked verification
     // schedule's quality curve — cumulative truth recall at each spend
@@ -645,13 +623,9 @@ object ErQueries {
     // its OWN row_number, re-assigns deciles with the same integer
     // arithmetic, and recomputes both recall columns
     "er_progressive" -> ((s, dir) => {
-      val cfg = Pipeline.Config().blocking
       val r = pipeline(s, dir)
-      val keyed = Blocking.keyedIds(r.trees, cfg)
-      val weights = MetaBlocking.pairWeights(keyed, cfg.maxBlockSize)
-      val snm = SortedNeighborhood.pairs(
-          r.trees.toDF().select(col("id"), col("nTokens")),
-          "id", Seq("nTokens", "id"), SnmWindow)
+      val weights = MetaResults.cached(s, dir).weights
+      val snm = SnmResults.cached(s, dir)
         .select(col("idA"), col("idB"), lit(0L).as("weight"))
       val combined = weights.unionByName(snm)
         .groupBy(col("idA"), col("idB")).agg(max(col("weight")).as("weight"))
@@ -953,14 +927,8 @@ object ErQueries {
     // over alive blocks). Same oracle SQL as er_pprl_blocks: the fold
     // has to land on the identical candidate set + Dice rows.
     "er_pprl_stream" -> ((s, dir) => {
-      val enc = PprlResults.cached(s, dir).compEnc
-      var st: Option[graft.streaming.StreamingPprl.State] = None
-      (0 until 3).foreach { b =>
-        val batch = enc.where(pmod(xxhash64(col("id")), lit(3)) === b)
-        st = Some(graft.streaming.StreamingPprl.foldBatch(st,
-          Pprl.hlshKeys(batch, Pprl.HlshConfig(), Pprl.CompositeClk)))
-      }
-      Pprl.dice(graft.streaming.StreamingPprl.pairs(st.get), enc)
+      val p = PprlResults.cached(s, dir)
+      Pprl.dice(p.streamPairs, p.compEnc)
         .orderBy(col("idA"), col("idB"))
     }),
     // encoded-space blocking quality: candidate volume + ground-truth
@@ -989,11 +957,7 @@ object ErQueries {
     // the dumped match edges, and sequential equivalence is
     // differential-tested in PivotClusteringSpec.
     "er_pivot_clusters" -> ((s, dir) => {
-      val r = pipeline(s, dir)
-      PivotClustering.cluster(
-        r.matches.select(col("idA").as("src"), col("idB").as("dst")),
-        r.trees.toDF().select(col("id")))
-        .orderBy(col("id"))
+      ClusterResults.cached(s, dir).pivot.orderBy(col("id"))
     }),
     // the two clustering strategies judged side by side on the SAME
     // match graph: B³ P/R/F1 + ARI against ground truth (ClusterEval's
@@ -1005,21 +969,13 @@ object ErQueries {
     // assignment dumps + its own truth labels + the er_scores dump.
     "er_clustering_compare" -> ((s, dir) => {
       val r = pipeline(s, dir)
-      val nodes = r.trees.toDF().select(col("id"))
+      val cr = ClusterResults.cached(s, dir)
       val truth = r.trees.toDF().select(col("id"),
         concat(lit("g"), col("groupId")).as("truthId"))
-      val pivot = PivotClustering.cluster(
-          r.matches.select(col("idA").as("src"), col("idB").as("dst")),
-          nodes)
-        .select(col("id"), col("clusterId"))
-      val hashmin = HashToMin.connectedComponents(r.matches, nodes)
-        .select(col("id"), col("clusterId"))
-      val wEdges = r.scores.toDF().where(col("isMatch"))
-        .select(col("idA").as("src"), col("idB").as("dst"),
-          col("normDist").as("w"))
-      val centerAssign = CenterClustering.cluster(wEdges, nodes)
-      val center = centerAssign.select(col("id"), col("clusterId"))
-      val mergeCtr = CenterClustering.mergeCenter(wEdges, centerAssign)
+      val pivot = cr.pivot.select(col("id"), col("clusterId"))
+      val hashmin = cr.hashmin.select(col("id"), col("clusterId"))
+      val center = cr.center.select(col("id"), col("clusterId"))
+      val mergeCtr = cr.mergeCenter
         .select(col("id"), col("mergedClusterId").as("clusterId"))
       def discord(assign: DataFrame) = r.scores.toDF()
         .join(assign.select(col("id").as("idA"), col("clusterId").as("cA")), "idA")
@@ -1053,11 +1009,7 @@ object ErQueries {
     // recursive-CTE CC + violation + eviction chain from the
     // er_snm_pairs dump and its own md5 sampling/ordering.
     "er_feedback_clusters" -> ((s, dir) => {
-      val r = pipeline(s, dir)
-      val fb = feedbackSets(s, dir)
-      Feedback.constrainedClusters(fb.edges, fb.must, fb.cannot,
-          r.trees.toDF().select(col("id")))
-        .orderBy(col("id"))
+      FbResults.cached(s, dir).constrained.orderBy(col("id"))
     }),
     // what the feedback bought, in one accounted row: edge/constraint
     // volumes, violations found, evictions paid, must-links the repair
@@ -1065,19 +1017,16 @@ object ErQueries {
     // AFTER (edited + repaired) — the steward-loop progress metric.
     "er_feedback_report" -> ((s, dir) => {
       val r = pipeline(s, dir)
-      val fb = feedbackSets(s, dir)
-      val nodes = r.trees.toDF().select(col("id"))
+      val f = FbResults.cached(s, dir)
+      val fb = f.sets
       val truth = r.trees.toDF().select(col("id"),
         concat(lit("g"), col("groupId")).as("truthId"))
-      val before = Clustering.connectedComponents(
-        fb.edges.select(col("idA"), col("idB")), nodes)
-      val after = Feedback.constrainedClusters(
-        fb.edges, fb.must, fb.cannot, nodes)
-      val eff = fb.edges.select(col("idA"), col("idB"))
-        .unionByName(fb.must.select(col("idA"), col("idB"))).distinct()
-        .join(fb.cannot, Seq("idA", "idB"), "left_anti")
-      val editedCc = Clustering.connectedComponents(eff, nodes)
-      val ev = Feedback.evictions(editedCc, fb.cannot, fb.must)
+      // before / after / editedCc / ev come from the shared layer — the
+      // definitions are identical, the (iterative) CCs just run once
+      val before = f.before
+      val after = f.constrained
+      val editedCc = f.editedCc
+      val ev = f.ev
       val counts = fb.edges.agg(count(lit(1)).as("n_edges"))
         .crossJoin(broadcast(fb.must.agg(count(lit(1)).as("n_must"))))
         .crossJoin(broadcast(fb.cannot.agg(count(lit(1)).as("n_cannot"))))
@@ -1576,7 +1525,24 @@ object ErQueries {
     * pprl_build_sec line instead of every query re-encoding. */
   private[graft] object PprlResults {
     final case class P(pathEnc: DataFrame, compEnc: DataFrame,
-                       pairs: DataFrame)
+                       pairs: DataFrame) {
+      /** The 3-batch streaming-blocking twin's candidate pairs — the
+        * same deterministic id-hash split and fold er_pprl_stream always
+        * ran, built once on the warmed layer like the other streaming
+        * twins (er_stream_clusters / er_link_stream / er_truth_stream
+        * all read a warm-built state; this one inexplicably re-folded
+        * per sweep). The fold reads the persisted compEnc. */
+      lazy val streamPairs: DataFrame = {
+        var st: Option[graft.streaming.StreamingPprl.State] = None
+        (0 until 3).foreach { b =>
+          val batch = compEnc.where(pmod(xxhash64(col("id")), lit(3)) === b)
+          st = Some(graft.streaming.StreamingPprl.foldBatch(st,
+            Pprl.hlshKeys(batch, Pprl.HlshConfig(), Pprl.CompositeClk)))
+        }
+        graft.streaming.StreamingPprl.pairs(st.get)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    }
     private val cache =
       scala.collection.concurrent.TrieMap.empty[(SparkSession, String), P]
     def cached(spark: SparkSession, sfDir: String): P =
@@ -1596,6 +1562,8 @@ object ErQueries {
   def warmPprl(spark: SparkSession, sfDir: String): Unit = {
     val p = PprlResults.cached(spark, sfDir)
     p.pathEnc.count(); p.compEnc.count(); p.pairs.count()
+    p.streamPairs.count()
+    ()
   }
 
   /** Steward-sample threshold for the feedback queries: pairs whose
@@ -1613,10 +1581,7 @@ object ErQueries {
     * (or unlabeled-singleton) ones cannot-links. */
   private def feedbackSets(spark: SparkSession, sfDir: String): FbSets = {
     val r = pipeline(spark, sfDir)
-    val snm = SortedNeighborhood.pairs(
-      r.trees.toDF().select(col("id"), col("nTokens")),
-      "id", Seq("nTokens", "id"), SnmWindow)
-      .select(col("idA"), col("idB"))
+    val snm = SnmResults.cached(spark, sfDir).select(col("idA"), col("idB"))
     val lab = r.trees.toDF().select(col("id"), col("groupId"))
     val labeled = snm
       .join(lab.select(col("id").as("idA"), col("groupId").as("gA")), "idA")
@@ -1630,6 +1595,110 @@ object ErQueries {
         .select(col("idA"), col("idB")),
       cannot = labeled.where(col("sampled") && !col("dup"))
         .select(col("idA"), col("idB")))
+  }
+
+  /** Sorted-neighborhood candidate pairs over (nTokens, id), window
+    * [[SnmWindow]] — ONE materialized frame for its five consumers
+    * (er_snm_pairs, er_blocking_recall, er_progressive, the feedback
+    * layer's edge set, and the FS assessment-pair union). Each used to
+    * rebuild the full rank + windowed pair emission from scratch
+    * (guide §1.2: remove redundant passes before tuning anything). */
+  private[graft] object SnmResults {
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    def cached(spark: SparkSession, sfDir: String): DataFrame =
+      cache.getOrElseUpdate((spark, sfDir), {
+        val r = Results.cached(spark, sfDir)
+        SortedNeighborhood.pairs(
+            r.trees.toDF().select(col("id"), col("nTokens")),
+            "id", Seq("nTokens", "id"), SnmWindow)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+  }
+
+  /** Meta-blocking layer over the ER block index, computed once per
+    * (session, sfDir): the CBS pair-weight table and its pruned form —
+    * er_meta_blocking, er_blocking_recall's meta channel and
+    * er_progressive's schedule all read these instead of re-deriving
+    * the keyed index + weight aggregation per query line. */
+  private[graft] object MetaResults {
+    final case class M(weights: DataFrame, pruned: DataFrame)
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), M]
+    def cached(spark: SparkSession, sfDir: String): M =
+      cache.getOrElseUpdate((spark, sfDir), {
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val cfg = Pipeline.Config().blocking
+        val keyed = Blocking.keyedIds(Results.cached(spark, sfDir).trees, cfg)
+        val weights = MetaBlocking.pairWeights(keyed, cfg.maxBlockSize)
+          .persist(lvl)
+        M(weights, MetaBlocking.prune(weights).persist(lvl))
+      })
+  }
+
+  /** The non-CC clustering families over the SAME match graph, each
+    * computed once per (session, sfDir) — lazily per member, so the
+    * first query that needs a family pays for exactly that family and
+    * er_clustering_compare (which reads all four plus the pipeline CC)
+    * stops re-running clusterings that already have their own query
+    * lines. The iterative operators themselves are unchanged; this
+    * removes the duplicate executions (guide §1.2 step 1). */
+  private[graft] object ClusterResults {
+    final class C(spark: SparkSession, sfDir: String) {
+      private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      private def r = Results.cached(spark, sfDir)
+      private def nodes = r.trees.toDF().select(col("id"))
+      private def wEdges = r.scores.toDF().where(col("isMatch"))
+        .select(col("idA").as("src"), col("idB").as("dst"),
+          col("normDist").as("w"))
+      lazy val pivot: DataFrame = PivotClustering.cluster(
+          r.matches.select(col("idA").as("src"), col("idB").as("dst")),
+          nodes)
+        .persist(lvl)
+      lazy val hashmin: DataFrame =
+        HashToMin.connectedComponents(r.matches, nodes).persist(lvl)
+      lazy val center: DataFrame =
+        CenterClustering.cluster(wEdges, nodes).persist(lvl)
+      lazy val mergeCenter: DataFrame =
+        CenterClustering.mergeCenter(wEdges, center).persist(lvl)
+    }
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), C]
+    def cached(spark: SparkSession, sfDir: String): C =
+      cache.getOrElseUpdate((spark, sfDir), new C(spark, sfDir))
+  }
+
+  /** The clerical-feedback layer, computed once per (session, sfDir)
+    * with lazily-built members. er_feedback_report previously ran the
+    * edited-edge connected components TWICE (once inside
+    * constrainedClusters, once inline for its violation counts) plus
+    * everything er_feedback_clusters had already computed — the
+    * single-build layer removes all of that duplicate work while
+    * keeping every derived frame definitionally identical. */
+  private[graft] object FbResults {
+    final class F(spark: SparkSession, sfDir: String) {
+      private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      private def nodes =
+        Results.cached(spark, sfDir).trees.toDF().select(col("id"))
+      lazy val sets: FbSets = feedbackSets(spark, sfDir)
+      /** components of the RAW candidate graph (the "before" picture) */
+      lazy val before: DataFrame = Clustering.connectedComponents(
+          sets.edges.select(col("idA"), col("idB")), nodes).persist(lvl)
+      /** components of the steward-edited graph — the one CC run the
+        * whole layer shares */
+      lazy val editedCc: DataFrame = Clustering.connectedComponents(
+          Feedback.editedEdges(sets.edges, sets.must, sets.cannot), nodes)
+        .persist(lvl)
+      lazy val ev: DataFrame =
+        Feedback.evictions(editedCc, sets.cannot, sets.must).persist(lvl)
+      /** the final constrained assignment = editedCc + eviction repair */
+      lazy val constrained: DataFrame =
+        Feedback.applyEvictions(editedCc, ev).persist(lvl)
+    }
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), F]
+    def cached(spark: SparkSession, sfDir: String): F =
+      cache.getOrElseUpdate((spark, sfDir), new F(spark, sfDir))
   }
 
   /** Ground-truth duplicate pairs (idA < idB) from the corpus labels —
@@ -1661,9 +1730,7 @@ object ErQueries {
         // pairs pay the DP (anti-join against the already-persisted
         // candidate scores), through the exact same attach/score stages
         // as the pipeline.
-        val snm = SortedNeighborhood.pairs(
-          r.trees.toDF().select(col("id"), col("nTokens")),
-          "id", Seq("nTokens", "id"), SnmWindow)
+        val snm = SnmResults.cached(spark, sfDir)
         val extra = snm.join(r.pairs.select(col("idA"), col("idB")),
           Seq("idA", "idB"), "left_anti")
         val cfg = Pipeline.Config()

@@ -99,11 +99,19 @@ object Pipeline {
       Scoring.score(pt, cfg.tau, Some(metricsAcc)).toDF()
     }
 
-    lazy val matches: DataFrame = staged(spark, cfg, "matches") { Scoring.matches(scores) }
+    // persist: the clustering families, feedback layer, retract and the
+    // edit-script sample all read matches — same multi-consumer rule as
+    // scores (without it each reader re-runs the threshold projection)
+    lazy val matches: DataFrame = staged(spark, cfg, "matches") {
+      Scoring.matches(scores)
+    }.persist(StorageLevel.MEMORY_AND_DISK)
 
+    // persist: ~8 queries read clusters (sizes, cohesion, golden, split,
+    // eval, nmi, …) — each re-ran the CC finale's groupBy + anti-join
+    // from the checkpointed edge set per action before this
     lazy val clusters: DataFrame = staged(spark, cfg, "clusters") {
       Clustering.connectedComponents(matches, trees.toDF().select($"id"))
-    }
+    }.persist(StorageLevel.MEMORY_AND_DISK)
 
     /** Per-partition lineage/metrics for the parse AND score stages. The
       * accumulator fills when a stage actually executes; on resume it

@@ -28,6 +28,26 @@ object SimQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Embedding dimensionality per (session, sfDir) — one head() probe
+    * instead of one per lshBuckets call (q_knn_lsh buckets two sides,
+    * q_embed_neardup a third; each probe was its own Spark job). */
+  private val dimCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+  private def embDim(s: SparkSession, dir: String): Option[Int] =
+    Some(dimCache.getOrElseUpdate((s, dir),
+      emb(s, dir).select(col("embedding")).head().getSeq[Float](0).length))
+
+  /** The deterministic IVF/k-means quantizer per (session, sfDir,
+    * nlist) — q_knn_ivf, q_knn_ivf_full, the semantic-dedup layer and
+    * the aux dumps all train the IDENTICAL seeded centroids; one
+    * count+collect+Lloyd pass serves them all. */
+  private val centCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), Array[Array[Float]]]
+  private def centroids(s: SparkSession, dir: String,
+                        nlist: Int): Option[Array[Array[Float]]] =
+    Some(centCache.getOrElseUpdate((s, dir, nlist),
+      graft.operators.Similarity.trainCentroids(emb(s, dir), nlist)))
+
   /** Semantic-dedup pair table shared by q_semdedup_pairs and
     * q_semdedup_keepers — memoized per (session, sfDir) like the
     * edit-script dump, so the two queries train the quantizer and score
@@ -39,7 +59,8 @@ object SimQueries {
 
   private def semPairs(s: SparkSession, dir: String): DataFrame =
     semPairsCache.getOrElseUpdate((s, dir),
-      Similarity.semDedupPairs(emb(s, dir), SemNlist, SemMinCosine)
+      Similarity.semDedupPairs(emb(s, dir), SemNlist, SemMinCosine,
+          centsHint = centroids(s, dir, SemNlist))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   def warmSemDedup(spark: SparkSession, sfDir: String): Unit = {
@@ -70,7 +91,8 @@ object SimQueries {
     // 6dp in the OUTPUT only, like q_knn_brute)
     "q_knn_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.lshKnn(e, queriesOf(e, 20), k = 5, planeBits = 4, tables = 8)
+      Similarity.lshKnn(e, queriesOf(e, 20), k = 5, planeBits = 4, tables = 8,
+          dimHint = embDim(s, dir))
         .select(col("query_id"), col("vec_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
@@ -81,7 +103,8 @@ object SimQueries {
     // Oracle-checked from the dumped inverted-file assignment tables
     "q_knn_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.ivfKnn(e, queriesOf(e, 20), k = 5, nlist = 16, nprobe = 4)
+      Similarity.ivfKnn(e, queriesOf(e, 20), k = 5, nlist = 16, nprobe = 4,
+          centsHint = centroids(s, dir, 16))
         .select(col("query_id"), col("vec_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
@@ -92,7 +115,8 @@ object SimQueries {
     // against its own independent kNN recompute
     "q_knn_ivf_full" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.ivfKnn(e, queriesOf(e, 20), k = 5, nlist = 16, nprobe = 16)
+      Similarity.ivfKnn(e, queriesOf(e, 20), k = 5, nlist = 16, nprobe = 16,
+          centsHint = centroids(s, dir, 16))
         .select(col("query_id"), col("vec_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
@@ -103,7 +127,8 @@ object SimQueries {
     // 0.35 marks the "unusually close" tail — real corpora would use
     // ~0.9 on normalized text embeddings)
     "q_embed_neardup" -> ((s, dir) => {
-      Similarity.embeddingNearDupPairs(emb(s, dir), minCosine = 0.35)
+      Similarity.embeddingNearDupPairs(emb(s, dir), minCosine = 0.35,
+          dimHint = embDim(s, dir))
         .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("idA"), col("idB"))
     }),
@@ -185,15 +210,19 @@ object SimQueries {
     val e = emb(spark, sfDir)
     def dump(df: DataFrame, name: String): Unit =
       df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-    dump(Similarity.lshBuckets(e, planeBits = 4, tables = 8), "lsh_corpus_buckets")
-    dump(Similarity.lshBuckets(queriesOf(e, 20), planeBits = 4, tables = 8),
+    val dim = embDim(spark, sfDir)
+    dump(Similarity.lshBuckets(e, planeBits = 4, tables = 8, dim),
+      "lsh_corpus_buckets")
+    dump(Similarity.lshBuckets(queriesOf(e, 20), planeBits = 4, tables = 8, dim),
       "lsh_query_buckets")
-    dump(Similarity.lshBuckets(e, planeBits = 12, tables = 8)
+    dump(Similarity.lshBuckets(e, planeBits = 12, tables = 8, dim)
       .withColumnRenamed("bucket", "key"), "embed_keys")
-    val (cl, ql) = Similarity.ivfAssignments(e, queriesOf(e, 20), nlist = 16, nprobe = 4)
+    val (cl, ql) = Similarity.ivfAssignments(e, queriesOf(e, 20),
+      nlist = 16, nprobe = 4, centsHint = centroids(spark, sfDir, 16))
     dump(cl, "ivf_corpus_lists")
     dump(ql, "ivf_query_lists")
-    dump(Similarity.kmeansAssign(e, SemNlist), "sem_lists")
+    dump(Similarity.kmeansAssign(e, SemNlist,
+      centroids(spark, sfDir, SemNlist)), "sem_lists")
     // per-asset stub-decode seed hash: the q_multimodal_features oracle
     // recomputes width/height/n_frames from it with independent
     // unsigned-shift/mod arithmetic

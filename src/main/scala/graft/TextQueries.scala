@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{BlockingScheme, BlockSplit, Canopy, Decontaminate, Dedup, MatchMerge, Phonetic, PivotClustering, SetSimJoin, SuffixBlocking, TextAnalysis}
+import graft.operators.{BlockingScheme, BlockSplit, CandidateGen, Canopy, Decontaminate, Dedup, MatchMerge, Phonetic, PivotClustering, SetSimJoin, SuffixBlocking, TextAnalysis}
 import graft.sources.CorpusGen
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -359,8 +359,7 @@ object TextQueries {
     // MinHash LSH near-dup candidates on the code corpus (true dups
     // exist there) — verified by DedupSpec, rows-only for the driver
     "q_minhash_neardup" -> ((s, dir) => {
-      Dedup.minHashPairs(corpusDf(s, dir), "doc_id", "text")
-        .orderBy(col("idA"), col("idB"))
+      MinHashResults.cached(s, dir).pairs.orderBy(col("idA"), col("idB"))
     }),
 
     // INCREMENTAL MinHash near-dup: the corpus folded through the
@@ -392,8 +391,8 @@ object TextQueries {
     // transitive; dropping per-pair leaks near-copies). Oracle redoes
     // the closure with a recursive CTE over the dumped pair set
     "q_neardup_keepers" -> ((s, dir) => {
-      val c = corpusDf(s, dir)
-      Dedup.nearDupKeepers(c, "doc_id", Dedup.minHashPairs(c, "doc_id", "text"))
+      Dedup.nearDupKeepers(corpusDf(s, dir), "doc_id",
+          MinHashResults.cached(s, dir).pairs)
         .orderBy(col("doc_id"))
     }),
 
@@ -405,8 +404,8 @@ object TextQueries {
 
     // n-gram Jaccard verification of the MinHash candidates
     "q_ngram_jaccard" -> ((s, dir) => {
-      val c = corpusDf(s, dir)
-      Dedup.ngramJaccard(Dedup.minHashPairs(c, "doc_id", "text"), c, "doc_id", "text")
+      Dedup.ngramJaccard(MinHashResults.cached(s, dir).pairs,
+          corpusDf(s, dir), "doc_id", "text")
         .orderBy(col("idA"), col("idB"))
     }),
 
@@ -444,7 +443,7 @@ object TextQueries {
     // The oracle replays the ENTIRE Soundex algorithm in SQL, so the
     // builtin's semantics are verified, not assumed
     "q_soundex_blocks" -> ((s, dir) => {
-      Phonetic.codeBlocks(Phonetic.vocabulary(phoneticDocs(s, dir), "ptext"))
+      Phonetic.codeBlocks(BlockChanResults.cached(s, dir).vocab)
         .orderBy(col("code"))
     }),
 
@@ -455,7 +454,7 @@ object TextQueries {
     // way name fields do (smith/smyth/smithe, ashcraft/ashcroft, ...),
     // including same-code pairs beyond the edit bound (jackson/jaxon)
     "q_phonetic_pairs" -> ((s, dir) => {
-      Phonetic.candidatePairs(Phonetic.vocabulary(phoneticDocs(s, dir), "ptext"))
+      Phonetic.candidatePairs(BlockChanResults.cached(s, dir).vocab)
         .orderBy(col("tokA"), col("tokB"))
     }),
 
@@ -465,8 +464,7 @@ object TextQueries {
     // bound. The oracle regenerates every suffix with a DuckDB list
     // comprehension and recounts
     "q_suffix_blocks" -> ((s, dir) => {
-      SuffixBlocking.blockHistogram(
-          Phonetic.vocabulary(phoneticDocs(s, dir), "ptext"))
+      SuffixBlocking.blockHistogram(BlockChanResults.cached(s, dir).vocab)
         .orderBy(col("n_tokens"))
     }),
 
@@ -476,8 +474,7 @@ object TextQueries {
     // verified. Suffix generation, purge, pair algebra, and
     // verification are ALL replayed by DuckDB
     "q_suffix_pairs" -> ((s, dir) => {
-      SuffixBlocking.candidatePairs(
-          Phonetic.vocabulary(phoneticDocs(s, dir), "ptext"))
+      SuffixBlocking.candidatePairs(BlockChanResults.cached(s, dir).vocab)
         .orderBy(col("tokA"), col("tokB"))
     }),
 
@@ -491,8 +488,7 @@ object TextQueries {
     // unrolled MIS round chain under its own md5 order, the membership
     // join
     "q_canopy" -> ((s, dir) => {
-      val vocab = Phonetic.vocabulary(phoneticDocs(s, dir), "ptext")
-      Canopy.canopies(Canopy.edges(vocab), vocab)
+      BlockChanResults.cached(s, dir).canopies
         .orderBy(col("center"), col("member"))
     }),
 
@@ -547,8 +543,7 @@ object TextQueries {
     // (member rank, block size, D(idx, n) bound, modular partner) from
     // the dumped raw (key, id) table and must reproduce every row
     "q_balanced_pairs" -> ((s, dir) => {
-      BlockSplit.balancedPairs(
-          Dedup.minHashKeyed(corpusDf(s, dir), "doc_id", "text"))
+      BlockSplit.balancedPairs(MinHashResults.cached(s, dir).keyed)
         .orderBy(col("key"), col("idA"), col("idB"))
     }),
 
@@ -560,7 +555,7 @@ object TextQueries {
     // (key, id) dump alone: brute pairs from its own self-join, emission
     // counts from its own replay of the circular rule
     "q_balanced_coverage" -> ((s, dir) => {
-      val kd = Dedup.minHashKeyed(corpusDf(s, dir), "doc_id", "text")
+      val kd = MinHashResults.cached(s, dir).keyed
         .select(col("key"), col("id")).distinct().localCheckpoint(true)
       val ix = BlockSplit.indexed(kd).localCheckpoint(true)
       val pr = BlockSplit.balancedPairs(kd).localCheckpoint(true)
@@ -657,7 +652,7 @@ object TextQueries {
     val c = corpusDf(spark, sfDir)
     def dump(df: DataFrame, name: String): Unit =
       df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-    dump(Dedup.minHashKeyed(c, "doc_id", "text"), "minhash_keys")
+    dump(MinHashResults.cached(spark, sfDir).keyed, "minhash_keys")
     // the same keys tagged with their q_dedup_incremental batch number:
     // the oracle replays the 3-batch incremental cap/merge/pair algebra
     dump((0 until IncDedupBatches).map(b =>
@@ -1277,20 +1272,61 @@ object TextQueries {
     * stage. */
   private def blockingChannels(s: SparkSession, dir: String)
       : (DataFrame, Seq[(String, DataFrame)], DataFrame) = {
-    val vocab = Phonetic.vocabulary(phoneticDocs(s, dir), "ptext")
-      .localCheckpoint(true)
-    val ph = Phonetic.candidatePairs(vocab).select(col("tokA"), col("tokB"))
-      .localCheckpoint(true)
-    val sf = SuffixBlocking.candidatePairs(vocab).select(col("tokA"), col("tokB"))
-      .localCheckpoint(true)
-    val cn = Canopy.candidatePairs(Canopy.canopies(Canopy.edges(vocab), vocab))
-      .localCheckpoint(true)
-    val truth = vocab.select(col("tok").as("tokA"))
-      .crossJoin(vocab.select(col("tok").as("tokB")))
-      .where(col("tokA") < col("tokB") &&
-        levenshtein(col("tokA"), col("tokB")) <= Phonetic.DefaultMaxLev)
-      .localCheckpoint(true)
-    (vocab, Seq("soundex" -> ph, "suffix" -> sf, "canopy" -> cn), truth)
+    val b = BlockChanResults.cached(s, dir)
+    (b.vocab, b.chans, b.truth)
+  }
+
+  /** The phonetic-vocabulary blocking layer, computed once per
+    * (session, sfDir) with lazily-built members: the vocabulary, the
+    * canopy assignment (its MIS rounds are iterative and were run by
+    * BOTH q_canopy and each channel consumer), the three scheme
+    * channels, and the brute-force Levenshtein truth set. Previously
+    * q_blocking_quality, q_blocking_scheme and q_canopy each rebuilt
+    * all of this from the raw documents per query line (~14 s of
+    * triplicated work per sweep — guide §1.2 step 1). */
+  private[graft] object BlockChanResults {
+    final class B(s: SparkSession, dir: String) {
+      private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      lazy val vocab: DataFrame =
+        Phonetic.vocabulary(phoneticDocs(s, dir), "ptext").localCheckpoint(true)
+      /** canopy membership — shared by q_canopy and the canopy channel */
+      lazy val canopies: DataFrame =
+        Canopy.canopies(Canopy.edges(vocab), vocab).persist(lvl)
+      lazy val ph: DataFrame = Phonetic.candidatePairs(vocab)
+        .select(col("tokA"), col("tokB")).persist(lvl)
+      lazy val sf: DataFrame = SuffixBlocking.candidatePairs(vocab)
+        .select(col("tokA"), col("tokB")).persist(lvl)
+      lazy val cn: DataFrame = Canopy.candidatePairs(canopies).persist(lvl)
+      lazy val truth: DataFrame = vocab.select(col("tok").as("tokA"))
+        .crossJoin(vocab.select(col("tok").as("tokB")))
+        .where(col("tokA") < col("tokB") &&
+          levenshtein(col("tokA"), col("tokB")) <= Phonetic.DefaultMaxLev)
+        .persist(lvl)
+      def chans: Seq[(String, DataFrame)] =
+        Seq("soundex" -> ph, "suffix" -> sf, "canopy" -> cn)
+    }
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), B]
+    def cached(s: SparkSession, dir: String): B =
+      cache.getOrElseUpdate((s, dir), new B(s, dir))
+  }
+
+  /** MinHash near-dup layer, computed once per (session, sfDir): the
+    * banded (key, id) block index and the capped candidate pairs over
+    * it. Five query lines consumed one or the other and each re-ran
+    * the full shingle → signature → band pass over the corpus. */
+  private[graft] object MinHashResults {
+    final class M(s: SparkSession, dir: String) {
+      private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      lazy val keyed: DataFrame =
+        Dedup.minHashKeyed(corpusDf(s, dir), "doc_id", "text").persist(lvl)
+      lazy val pairs: DataFrame =
+        CandidateGen.pairsFromKeys(keyed, Dedup.MinHashParams().cap).persist(lvl)
+    }
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), M]
+    def cached(s: SparkSession, dir: String): M =
+      cache.getOrElseUpdate((s, dir), new M(s, dir))
   }
 
   private def authorSql: String =

@@ -155,7 +155,7 @@ case class AffineGap(left: Expression, right: Expression)
       a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.AffineGapKernel.distance($a, $b)")
+      (a, b) => s"graft.functions.AffineGapKernel.distance((org.apache.spark.unsafe.types.UTF8String) $a, (org.apache.spark.unsafe.types.UTF8String) $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -88,7 +88,7 @@ case class JaroSimilarity(left: Expression, right: Expression)
     JaroWinklerKernel.jaro(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.JaroWinklerKernel.jaro($a, $b)")
+      (a, b) => s"graft.functions.JaroWinklerKernel.jaro((org.apache.spark.unsafe.types.UTF8String) $a, (org.apache.spark.unsafe.types.UTF8String) $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -101,7 +101,7 @@ case class JaroWinklerSimilarity(left: Expression, right: Expression)
     JaroWinklerKernel.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.JaroWinklerKernel.jaroWinkler($a, $b)")
+      (a, b) => s"graft.functions.JaroWinklerKernel.jaroWinkler((org.apache.spark.unsafe.types.UTF8String) $a, (org.apache.spark.unsafe.types.UTF8String) $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

