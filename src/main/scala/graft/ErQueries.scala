@@ -903,21 +903,27 @@ object ErQueries {
       val fs = FsResults.cached(s, dir)
       val pairs = fs.features.select(col("idA"), col("idB"))
       val pr = PprlResults.cached(s, dir)
-      val crossed = Seq("path_clk" -> pr.pathEnc, "composite_clk" -> pr.compEnc)
+      // both encodings' Dice verdicts tagged and unioned, then ONE join
+      // chain against the FS decisions + truth and one grouped count —
+      // the per-encoding loop replayed the (unpersisted) weighted table
+      // and the feature join twice; the tagged groupBy keeps per-
+      // encoding rows identical
+      val diced = Seq("path_clk" -> pr.pathEnc, "composite_clk" -> pr.compEnc)
         .map { case (nm, enc) =>
-          fs.weighted.select(col("idA"), col("idB"), col("decision"))
-            .join(Pprl.dice(pairs, enc)
-              .select(col("idA"), col("idB"), col("is_match").as("pprl_match")),
-              Seq("idA", "idB"))
-            .join(fs.features.select(col("idA"), col("idB"),
-              (col("gidA") === col("gidB") && col("gidA") >= 0).as("is_dup")),
-              Seq("idA", "idB"))
-            .groupBy(col("decision"), col("pprl_match"))
-            .agg(count(lit(1)).as("n_pairs"),
-              sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_true"))
-            .select(lit(nm).as("encoding"), col("*"))
+          Pprl.dice(pairs, enc).select(lit(nm).as("encoding"),
+            col("idA"), col("idB"), col("is_match").as("pprl_match"))
         }
-      crossed.reduce(_ unionByName _)
+        .reduce(_ unionByName _)
+      fs.weighted.select(col("idA"), col("idB"), col("decision"))
+        .join(diced, Seq("idA", "idB"))
+        .join(fs.features.select(col("idA"), col("idB"),
+          (col("gidA") === col("gidB") && col("gidA") >= 0).as("is_dup")),
+          Seq("idA", "idB"))
+        .groupBy(col("encoding"), col("decision"), col("pprl_match"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_true"))
+        .select(col("encoding"), col("decision"), col("pprl_match"),
+          col("n_pairs"), col("n_true"))
         .orderBy(col("encoding"), col("decision"), col("pprl_match"))
     }),
     // the STREAMING twin folded over three deterministic micro-batches
@@ -977,26 +983,40 @@ object ErQueries {
       val center = cr.center.select(col("id"), col("clusterId"))
       val mergeCtr = cr.mergeCenter
         .select(col("id"), col("mergedClusterId").as("clusterId"))
-      def discord(assign: DataFrame) = r.scores.toDF()
-        .join(assign.select(col("id").as("idA"), col("clusterId").as("cA")), "idA")
-        .join(assign.select(col("id").as("idB"), col("clusterId").as("cB")), "idB")
-        .where(col("cA") === col("cB"))
-        .agg(count(lit(1)).as("n_intra_scored"),
-          sum(when(!col("isMatch"), 1L).otherwise(0L)).as("n_discord"))
       // all five clustering families against the same truth, discord,
       // and pair algebra — hashmin must land EXACTLY on the cc row
       // (same components via an independent algorithm), center/pivot
       // bracket the over-merge/over-split trade, merge_center re-admits
-      // the center-mediated chains
-      Seq("cc" -> r.clusters.toDF().select(col("id"), col("clusterId")),
-          "pivot" -> pivot, "hashmin" -> hashmin,
-          "center" -> center, "merge_center" -> mergeCtr)
-        .map { case (nm, a) =>
-          ClusterEval.evaluate(a, truth)
-            .select(lit(nm).as("method"), col("*"))
-            .crossJoin(broadcast(discord(a)))
-        }
-        .reduce(_ unionByName _)
+      // the center-mediated chains. Both the B³/ARI table and the
+      // intra-cluster discord counts are computed for ALL five families
+      // in ONE tagged pass each (previously one checkpoint + three
+      // aggregates + one two-join discord PER family): per-method
+      // values are unchanged — every aggregate just carries the tag.
+      val fams = Seq(
+        "cc" -> r.clusters.select(col("id"), col("clusterId")),
+        "pivot" -> pivot, "hashmin" -> hashmin,
+        "center" -> center, "merge_center" -> mergeCtr)
+      val tagged = fams.map { case (nm, a) =>
+        a.select(lit(nm).as("method"), col("id"), col("clusterId"))
+      }.reduce(_ unionByName _)
+      val discords = r.scores.toDF()
+        .join(tagged.select(col("method"), col("id").as("idA"),
+          col("clusterId").as("cA")), "idA")
+        .join(tagged.select(col("method"), col("id").as("idB"),
+          col("clusterId").as("cB")), Seq("method", "idB"))
+        .where(col("cA") === col("cB"))
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("n_intra_scored"),
+          sum(when(!col("isMatch"), 1L).otherwise(0L)).as("n_discord"))
+      ClusterEval.evaluateMany(fams, truth)
+        .join(broadcast(discords), Seq("method"), "left")
+        // a family with zero intra-scored pairs has no discord group;
+        // the single-family aggregate reported (0, NULL) for that case
+        .select(col("method"), col("n"), col("a_pairs"), col("b_pairs"),
+          col("index_pairs"), col("b3_precision"), col("b3_recall"),
+          col("b3_f1"), col("ari"),
+          coalesce(col("n_intra_scored"), lit(0L)).as("n_intra_scored"),
+          col("n_discord"))
         .orderBy(col("method"))
     }),
     // clerical-feedback constrained clustering over the OVER-MERGING
@@ -1042,10 +1062,15 @@ object ErQueries {
             .join(ev.select(col("id").as("idB")), Seq("idB"), "left_semi"))
           .distinct()
           .agg(count(lit(1)).as("n_must_broken"))))
-      val f1Before = ClusterEval.evaluate(before, truth)
+      // both B³ evaluations in one tagged pass (per-method values are
+      // the single-run ones — see ClusterEval.evaluateMany)
+      val evals = ClusterEval.evaluateMany(Seq(
+          "before" -> before,
+          "after" -> after.select(col("id"), col("clusterId"))), truth)
+        .localCheckpoint(true)
+      val f1Before = evals.where(col("method") === "before")
         .select(col("b3_f1").as("b3_f1_before"))
-      val f1After = ClusterEval.evaluate(
-          after.select(col("id"), col("clusterId")), truth)
+      val f1After = evals.where(col("method") === "after")
         .select(col("b3_f1").as("b3_f1_after"))
       counts.crossJoin(broadcast(f1Before)).crossJoin(broadcast(f1After))
     }),
@@ -1498,11 +1523,19 @@ object ErQueries {
     * corpus on the identity triple — the standard enrich join a
     * content-grain comparator pays at any scale (narrow id side shuffles
     * against the fat content side exactly once). */
+  private val contentDocsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private[graft] def contentDocs(spark: SparkSession, sfDir: String): DataFrame =
-    Results.cached(spark, sfDir).trees.toDF()
-      .select(col("id"), col("repo"), col("path"), col("commit"))
-      .join(CorpusGen.corpus(spark, sfDir).toDF(), Seq("repo", "path", "commit"))
-      .select(col("id"), col("content"))
+    // memoized: four comparator queries (tfidf/monge-elkan/soft-tfidf)
+    // plus the composite-CLK encoding each paid this content-grain
+    // enrich join per line
+    contentDocsCache.getOrElseUpdate((spark, sfDir),
+      Results.cached(spark, sfDir).trees.toDF()
+        .select(col("id"), col("repo"), col("path"), col("commit"))
+        .join(CorpusGen.corpus(spark, sfDir).toDF(), Seq("repo", "path", "commit"))
+        .select(col("id"), col("content"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** The composite-CLK quasi-identifier set — path bigrams, language,
     * content tokens — as element arrays, ONE definition shared by the
@@ -1680,7 +1713,12 @@ object ErQueries {
       private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       private def nodes =
         Results.cached(spark, sfDir).trees.toDF().select(col("id"))
-      lazy val sets: FbSets = feedbackSets(spark, sfDir)
+      /** must/cannot persisted: the steward constraint sets are tiny and
+        * read by eff, the evictions, and three report counters each */
+      lazy val sets: FbSets = {
+        val raw = feedbackSets(spark, sfDir)
+        FbSets(raw.edges, raw.must.persist(lvl), raw.cannot.persist(lvl))
+      }
       /** components of the RAW candidate graph (the "before" picture) */
       lazy val before: DataFrame = Clustering.connectedComponents(
           sets.edges.select(col("idA"), col("idB")), nodes).persist(lvl)

@@ -1297,10 +1297,14 @@ object TextQueries {
       lazy val sf: DataFrame = SuffixBlocking.candidatePairs(vocab)
         .select(col("tokA"), col("tokB")).persist(lvl)
       lazy val cn: DataFrame = Canopy.candidatePairs(canopies).persist(lvl)
+      // the bounded 3-arg levenshtein (banded O(n·k) DP, −1 past the
+      // bound) replaces the full O(n²) DP per pair — this brute-force
+      // diagnostic evaluates |vocab|²/2 pairs, so the kernel is the
+      // whole cost; the kept row set is identical
       lazy val truth: DataFrame = vocab.select(col("tok").as("tokA"))
         .crossJoin(vocab.select(col("tok").as("tokB")))
         .where(col("tokA") < col("tokB") &&
-          levenshtein(col("tokA"), col("tokB")) <= Phonetic.DefaultMaxLev)
+          levenshtein(col("tokA"), col("tokB"), Phonetic.DefaultMaxLev) >= 0)
         .persist(lvl)
       def chans: Seq[(String, DataFrame)] =
         Seq("soundex" -> ph, "suffix" -> sf, "canopy" -> cn)

@@ -108,7 +108,10 @@ object CenterClustering {
       // localTruncated, not localCheckpoint: these three frames are
       // rebuilt from each other every round — inherited stats estimates
       // would square per round (see Checkpoints.localTruncated), and
-      // CENTER's adversarial shapes legitimately run hundreds of rounds
+      // CENTER's adversarial shapes legitimately run hundreds of rounds.
+      // (Keeping live LAZY was measured SLOWER — 4.3 s → 7.8 s on the
+      // sf0.1 match graph: the st/pending materializations re-expand
+      // the duplicated live subtree into extra AQE stage jobs.)
       val live = localTruncated(withSt.where(
         ($"stA" === "U" && $"stB".isin("U", "C")) ||
           ($"stB" === "U" && $"stA".isin("U", "C"))))

@@ -77,6 +77,60 @@ object ClusterEval {
         col("b3_precision"), col("b3_recall"), col("b3_f1"), col("ari"))
   }
 
+  /** [[evaluate]] for SEVERAL assignments against one truth in a single
+    * pass: the assignments are tagged and unioned, the contingency
+    * table built with ONE shuffle grouped by (method, c, t), and every
+    * downstream aggregate carries the method key — one plan instead of
+    * per-assignment checkpoint + three aggregates each (the
+    * clustering-compare query evaluated five families one by one).
+    * Per-method output values are identical to [[evaluate]]'s: every
+    * aggregation is grouped by the tag, so the cell sets per method are
+    * exactly the single-run ones. Returns one row per method:
+    * (method, n, a_pairs, b_pairs, index_pairs, b3_precision,
+    * b3_recall, b3_f1, ari). */
+  def evaluateMany(assigns: Seq[(String, DataFrame)],
+                   truth: DataFrame): DataFrame = {
+    def pairs(c: org.apache.spark.sql.Column) =
+      shiftright(c * (c - lit(1L)), 1)
+    val tagged = assigns.map { case (nm, a) =>
+      a.select(lit(nm).as("method"), col("id"), col("clusterId"))
+    }.reduce(_ unionByName _)
+    val ct = tagged.join(truth, "id")
+      .groupBy(col("method"), col("clusterId"), col("truthId"))
+      .agg(count(lit(1)).as("n_ct"))
+      .localCheckpoint(true)
+    val c = ct.groupBy(col("method"), col("clusterId"))
+      .agg(sum(col("n_ct")).as("n_c"))
+    val t = ct.groupBy(col("method"), col("truthId"))
+      .agg(sum(col("n_ct")).as("n_t"))
+    val cells = ct.join(c, Seq("method", "clusterId"))
+      .join(t, Seq("method", "truthId"))
+      .groupBy(col("method")).agg(
+        sum(col("n_ct")).as("n"),
+        sum(pairs(col("n_ct"))).as("index_pairs"),
+        sum(col("n_ct") * col("n_ct") / col("n_c").cast("double")).as("b3p_sum"),
+        sum(col("n_ct") * col("n_ct") / col("n_t").cast("double")).as("b3r_sum"))
+    val aP = c.groupBy(col("method")).agg(sum(pairs(col("n_c"))).as("a_pairs"))
+    val bP = t.groupBy(col("method")).agg(sum(pairs(col("n_t"))).as("b_pairs"))
+    cells.join(aP, "method").join(bP, "method")
+      .withColumn("total_pairs", pairs(col("n")))
+      .withColumn("expected",
+        col("a_pairs").cast("double") * col("b_pairs").cast("double") /
+          col("total_pairs").cast("double"))
+      .withColumn("max_idx", (col("a_pairs") + col("b_pairs")) / lit(2.0))
+      .withColumn("b3_precision", round(col("b3p_sum") / col("n"), 6))
+      .withColumn("b3_recall", round(col("b3r_sum") / col("n"), 6))
+      .withColumn("b3_f1", round(
+        lit(2.0) * (col("b3p_sum") / col("n")) * (col("b3r_sum") / col("n")) /
+          (col("b3p_sum") / col("n") + col("b3r_sum") / col("n")), 6))
+      .withColumn("ari", when(col("max_idx") === col("expected"), lit(1.0))
+        .otherwise(round((col("index_pairs") - col("expected")) /
+          (col("max_idx") - col("expected")), 6)))
+      .select(col("method"), col("n"), col("a_pairs"), col("b_pairs"),
+        col("index_pairs"), col("b3_precision"), col("b3_recall"),
+        col("b3_f1"), col("ari"))
+  }
+
   /** Homogeneity / completeness / V-measure (Rosenberg & Hirschberg,
     * "V-Measure: a conditional entropy-based external cluster
     * evaluation measure", EMNLP 2007) — the information-theoretic

@@ -36,19 +36,17 @@ object Clustering {
       .distinct()
       .localCheckpoint(true)
 
-    var sigPrev = signature(e)
-    var converged = sigPrev._1 == 0L
-    var iter = 0
-    while (!converged && iter < maxIter) {
+    // one large-star + small-star round as a lazy plan transform
+    def starRound(in: DataFrame): DataFrame = {
       // ---- large-star: for every node u, attach all strictly-larger
       // neighbors to m = min(N(u) ∪ {u})
-      val und = e.select($"src", $"dst")
-        .union(e.select($"dst".as("src"), $"src".as("dst")))
+      val und = in.select($"src", $"dst")
+        .union(in.select($"dst".as("src"), $"src".as("dst")))
       val mins = und.groupBy($"src").agg(min($"dst").as("mn"))
         .select($"src", least($"src", $"mn").as("mn"))
       // no distinct here: both consumers absorb duplicates for free —
-      // mins2 is a min-aggregate and ss ends in its own distinct — so
-      // the dedup exchange was one pure-overhead shuffle per round
+      // mins2 is a min-aggregate and the round ends in its own distinct
+      // — so the dedup exchange was one pure-overhead shuffle per round
       // (guide §2.4: remove shuffles outright; duplicate (src,dst) rows
       // are bounded by neighbor degree, they never amplify)
       val ls = und.join(mins, "src")
@@ -60,12 +58,22 @@ object Clustering {
       // smaller neighbors to their min
       val mins2 = ls.groupBy($"src").agg(min($"dst").as("mn"))
       val j = ls.join(mins2, "src")
-      val ss = j.select($"src", $"mn".as("dst"))
+      j.select($"src", $"mn".as("dst"))
         .union(j.where($"dst" =!= $"mn").select($"dst".as("src"), $"mn".as("dst")))
         .where($"src" =!= $"dst")
         .distinct()
-        .localCheckpoint(true)
+    }
 
+    var sigPrev = signature(e)
+    var converged = sigPrev._1 == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // ONE star round per materialization. (Unrolling TWO rounds per
+      // checkpoint to halve the action count was measured 2.5× SLOWER
+      // on the sf0.1 match graph — 2.3 s → 5.9 s, 27 → 44 jobs: the
+      // doubled lazy tree defeats exchange reuse and AQE re-materializes
+      // the duplicated subtrees as extra stage jobs.)
+      val ss = starRound(e).localCheckpoint(true)
       val sig = signature(ss)
       converged = sig == sigPrev
       sigPrev = sig

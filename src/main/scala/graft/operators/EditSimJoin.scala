@@ -83,9 +83,12 @@ object EditSimJoin {
     gramCands.unionByName(shortCands).distinct()
       .join(slim.withColumnRenamed("id", "idA").withColumnRenamed("s", "sA"), "idA")
       .join(slim.withColumnRenamed("id", "idB").withColumnRenamed("s", "sB"), "idB")
+      // bounded verify: the 3-arg builtin runs the banded O(n·k) DP and
+      // returns −1 past the bound — exact distances for every kept row,
+      // so the output is identical to the unbounded verify + filter
       .select(col("idA"), col("idB"),
-        levenshtein(col("sA"), col("sB")).as("dist"))
-      .where(col("dist") <= k)
+        levenshtein(col("sA"), col("sB"), k).as("dist"))
+      .where(col("dist") >= 0)
   }
 
   /** DISTINCT q-grams of `s` (set semantics — the filter theorem above
