@@ -66,10 +66,17 @@ object MatchMerge {
         // the oracle unrolls maxRounds rounds and must agree on it
         require(rounds <= maxRounds,
           s"match-merge did not reach its fixpoint in $maxRounds rounds")
-        val cc = Clustering.connectedComponents(
-          pairs, cur.select(col("eid").as("id")))
-        cur = cur.join(cc, cur("eid") === cc("id"))
-          .groupBy(col("clusterId"))
+        // CC only over the match-INCIDENT entities: an entity with no
+        // pair this round keeps its own id as the cluster id, which the
+        // full-universe CC expressed as its (much larger) singleton
+        // anti-join — the left join + coalesce below is definitionally
+        // the same assignment with the node frame shrunk from every
+        // entity to the handful touching a match
+        val incident = pairs.select(col("idA").as("id"))
+          .union(pairs.select(col("idB").as("id"))).distinct()
+        val cc = Clustering.connectedComponents(pairs, incident)
+        cur = cur.join(cc, cur("eid") === cc("id"), "left")
+          .groupBy(coalesce(col("clusterId"), col("eid")).as("clusterId"))
           .agg(
             array_sort(array_distinct(flatten(collect_list(col("members")))))
               .as("members"),
