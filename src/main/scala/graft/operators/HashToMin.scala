@@ -62,6 +62,12 @@ object HashToMin {
     // pathology Checkpoints.localTruncated exists for) — at the proven
     // O(log n) round counts the tax is mild, but a near-maxIter graph
     // would stall the driver in stats visits.
+    // (Riding each round on persist + the signature probe — one action
+    // per round instead of checkpoint + probe — was measured 8× SLOWER:
+    // 2.0 s → 16.7 s on the sf0.1 match graph. Cached-plan subtrees are
+    // planned without AQE, so every round's shuffles ran uncoalesced and
+    // the growing un-truncated lineage re-optimized per round. The
+    // eager localTruncated round below stays.)
     var state = localTruncated(
       nodes.select($"id".as("node"), $"id".as("member"))
         .union(e)
