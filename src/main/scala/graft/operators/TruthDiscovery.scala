@@ -94,10 +94,26 @@ object TruthDiscovery {
     * opaque NPE deep in the round chain (reachable: an empty first
     * streaming batch). */
   private def maxDecimal(df: DataFrame, c: String, what: String): java.math.BigDecimal = {
-    val row: Row = df.agg(max(col(c))).head()
+    val row: Row = df.agg(max(col(c)), count(lit(1)), count(col(c))).head()
     require(!row.isNullAt(0),
       s"TruthDiscovery.$what: empty claims frame (no rows to aggregate)")
-    row.getDecimal(0)
+    // fail LOUDLY on the two silent-divergence modes the round-5 advisor
+    // flagged: (1) a decimal(38,0) sum past the documented ~10^38
+    // envelope nulls under non-ANSI Spark while the oracle's HUGEINT
+    // raises — a null count here surfaces the breach as an error;
+    // (2) an all-zero round (every source floored to 0) would make the
+    // div-by-max yield NULL trust/belief silently while DuckDB's `//`
+    // errors — reject a zero max with the same loud contract.
+    require(row.getLong(1) == row.getLong(2),
+      s"TruthDiscovery.$what: ${row.getLong(1) - row.getLong(2)} null $c " +
+        "rows — decimal(38,0) overflow envelope breached (ANSI-off Spark " +
+        "nulls silently; the oracle would error instead)")
+    val m = row.getDecimal(0)
+    require(m.signum != 0,
+      s"TruthDiscovery.$what: max $c is 0 — every source's trust floored " +
+        "to zero; normalizing would divide by zero (NULL under ANSI-off " +
+        "Spark, an error in the oracle engine)")
+    m
   }
 
   private def renderFp(df: DataFrame, key: Seq[String], fp: String,

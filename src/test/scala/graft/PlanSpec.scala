@@ -272,7 +272,11 @@ class PlanSpec extends AnyFunSuite {
     // survive in a Filter condition (the alias pq_dist is pruned away
     // by the projection; a bare contains("Filter") would be vacuous —
     // isnotnull pushdowns put Filter nodes in any equi-join plan)
-    assert(plan.contains(s"<= ${graft.Pipeline.PqPrefilterTau}"),
+    // regex, not a literal contains: the double may render 0.2 / 0.20 /
+    // 2.0E-1 depending on Spark's explain formatting (round-5 advisor
+    // item) — match any numeric rendering of the cutoff
+    val tauPat = """<=\s*(0\.20*\b|\.2\b|2\.?0*E-1)""".r
+    assert(tauPat.findFirstIn(plan).isDefined,
       s"pq distance <= tau gate missing from the plan\n$plan")
   }
 }
